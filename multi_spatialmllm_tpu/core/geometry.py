@@ -1,0 +1,391 @@
+"""Batched camera/scene geometry kernels (JAX).
+
+This module is the TPU-native equivalent of the reference geometry core
+(`spatial_engine/utils/scannet_utils/handler/info_handler.py` and
+`handler/ops.py`): world<->camera<->pixel transforms, the depth-buffer
+occlusion test, depth-map unprojection, and pose decompositions.
+
+Design notes (TPU-first):
+  * Every function is a pure, statically-shaped JAX program, polymorphic in
+    dtype (float64 on CPU for parity tests, float32/bfloat16 on TPU).
+  * Points are packed `[N, 3]` arrays; cameras are `[4, 4]` matrices; all
+    functions `vmap` cleanly over an image axis and a scene axis so the
+    per-scene Python loops of the reference become one fused XLA program.
+  * The occlusion test reproduces the reference's exact rounding semantics
+    (round-half-to-even -> int, clip to the depth map, strict `<` compare,
+    `depth > 0`), because QA labels sit on mm/deg rounding cliffs.
+
+Reference parity anchors (file:line into /root/reference):
+  * project_points            info_handler.py:46-72
+  * boundary check            info_handler.py:337-344
+  * occlusion test            info_handler.py:346-373
+  * combined visibility       info_handler.py:375-386
+  * depth unprojection        handler/ops.py:235-329
+  * yaw/pitch extraction      camera_movement/calculate_frames_relations.py:86-100
+  * relative pose/displacement camera_movement/camera_movement_engine_train_val.py:184-190
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Homogeneous coordinates & SE(3) helpers
+# ---------------------------------------------------------------------------
+
+def to_homogeneous(points: Array) -> Array:
+    """Append a 1-column: `[..., N, 3] -> [..., N, 4]`."""
+    ones = jnp.ones(points.shape[:-1] + (1,), dtype=points.dtype)
+    return jnp.concatenate([points, ones], axis=-1)
+
+
+def se3_inverse(E: Array) -> Array:
+    """Inverse of a (batch of) affine 4x4 transform(s) (last row [0,0,0,1]).
+
+    Closed-form adjugate inverse of the 3x3 block + translation compose.
+    The reference inverts these matrices numerically with LAPACK LU
+    (info_handler.py:57); for the well-conditioned (near-)rigid matrices in
+    this pipeline the adjugate form agrees to machine precision, runs in any
+    dtype on TPU (no f64 LU there), and fuses into surrounding XLA programs.
+    """
+    R = E[..., :3, :3]
+    t = E[..., :3, 3:]
+    # Adjugate of the 3x3 block.
+    a, b, c = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    d, e, f = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    g, h, i = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    Rinv = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+        ],
+        axis=-2,
+    ) * inv_det[..., None, None]
+    top = jnp.concatenate([Rinv, -(Rinv @ t)], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=E.dtype), E.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def rigid_inverse(E: Array) -> Array:
+    """Closed-form inverse for exactly-rigid transforms (fast path).
+
+    `[R | t]^-1 = [R^T | -R^T t]`. Prefer :func:`se3_inverse` when parity
+    with the reference's `np.linalg.inv` matters.
+    """
+    R = E[..., :3, :3]
+    t = E[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -Rt @ t], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=E.dtype), E.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def compose(*mats: Array) -> Array:
+    """Left-to-right composition `compose(A, B, C) = A @ B @ C`."""
+    out = mats[0]
+    for m in mats[1:]:
+        out = out @ m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Projection (world -> pixel)
+# ---------------------------------------------------------------------------
+
+def project_points(points: Array, K: Array, E_c2w: Array) -> tuple[Array, Array]:
+    """Project world-space points into an image plane.
+
+    Parity: info_handler.py:46-72 (`project_points`). The extrinsic is the
+    camera-to-world matrix; it is inverted here. Depth is the camera-frame z
+    *before* the intrinsic is applied.
+
+    Args:
+      points: `[..., N, 3]` world coordinates.
+      K: `[..., 4, 4]` intrinsic matrix.
+      E_c2w: `[..., 4, 4]` camera-to-world extrinsic.
+
+    Returns:
+      xy: `[..., N, 2]` pixel coordinates (x = width axis, y = height axis).
+      depth: `[..., N]` camera-frame depth (can be <= 0 behind the camera).
+    """
+    pts_h = to_homogeneous(points)                      # [..., N, 4]
+    E_inv = se3_inverse(E_c2w)
+    cam = jnp.einsum("...ij,...nj->...ni", E_inv, pts_h)   # [..., N, 4]
+    depth = cam[..., 2]
+    img = jnp.einsum("...ij,...nj->...ni", K, cam)          # [..., N, 4]
+    xy = img[..., :2] / img[..., 2:3]
+    return xy, depth
+
+
+def in_bounds_mask(xy: Array, image_hw: tuple[int, int] | Array) -> Array:
+    """`[..., N]` mask of pixels inside `[0, W) x [0, H)`.
+
+    Parity: info_handler.py:337-344 (float compare, no rounding).
+    """
+    h, w = image_hw[0], image_hw[1]
+    x, y = xy[..., 0], xy[..., 1]
+    return (x >= 0) & (x < w) & (y >= 0) & (y < h)
+
+
+def depth_occlusion_mask(
+    xy: Array,
+    depth: Array,
+    depth_map: Array,
+    image_hw: tuple[int, int] | Array,
+    depth_value_scale: float = 0.001,
+) -> Array:
+    """Z-buffer occlusion test against a (possibly lower-resolution) depth map.
+
+    Parity: info_handler.py:346-373 (`check_point_visibility_by_depth`):
+    scale pixel coords to the depth-map resolution, round-half-to-even to
+    int, clip into the map, gather, and require `0 < depth < map * scale`.
+    Invalid depth pixels are stored as 0 so they reject automatically.
+
+    Args:
+      xy: `[..., N, 2]` pixel coords in *color image* resolution.
+      depth: `[..., N]` camera-frame point depth in meters.
+      depth_map: `[Hd, Wd]` integer depth image (millimeters).
+      image_hw: color image `(H, W)`.
+      depth_value_scale: depth map unit -> meters (reference default 0.001).
+    """
+    hd, wd = depth_map.shape[-2], depth_map.shape[-1]
+    h, w = image_hw[0], image_hw[1]
+    scale_x = wd / w
+    scale_y = hd / h
+    dx = jnp.clip(jnp.round(xy[..., 0] * scale_x).astype(jnp.int32), 0, wd - 1)
+    dy = jnp.clip(jnp.round(xy[..., 1] * scale_y).astype(jnp.int32), 0, hd - 1)
+    flat = depth_map.reshape(depth_map.shape[:-2] + (hd * wd,))
+    gathered = jnp.take_along_axis(
+        flat, (dy * wd + dx).reshape(flat.shape[:-1] + (-1,)), axis=-1
+    ).reshape(dx.shape)
+    depth_values = gathered.astype(depth.dtype) * jnp.asarray(
+        depth_value_scale, dtype=depth.dtype
+    )
+    return (depth > 0) & (depth < depth_values)
+
+
+def point_visibility_mask(
+    xy: Array,
+    depth: Array,
+    depth_map: Array,
+    image_hw: tuple[int, int] | Array,
+    depth_value_scale: float = 0.001,
+) -> Array:
+    """In-bounds AND unoccluded. Parity: info_handler.py:375-386."""
+    return in_bounds_mask(xy, image_hw) & depth_occlusion_mask(
+        xy, depth, depth_map, image_hw, depth_value_scale
+    )
+
+
+def visibility_matrix(
+    points: Array,
+    K: Array,
+    E_c2w: Array,
+    depth_maps: Array,
+    image_hw: tuple[int, int],
+    image_valid: Array | None = None,
+    point_valid: Array | None = None,
+    depth_value_scale: float = 0.001,
+) -> Array:
+    """Dense `[I, N]` bool visibility matrix for one scene.
+
+    This single fused program replaces the reference's per-image Python loop
+    (make_visibility_info.py:93-113): projection is one batched einsum over
+    all images, the z-buffer test is one batched gather, and the inverse
+    `point_to_images` map is simply the transpose of the result.
+
+    Args:
+      points: `[N, 3]` (padded; mask padding via `point_valid`).
+      K: `[4, 4]` shared intrinsic.
+      E_c2w: `[I, 4, 4]` per-image extrinsics (padded; mask via `image_valid`).
+      depth_maps: `[I, Hd, Wd]` integer depth images.
+      image_hw: color-image resolution `(H, W)`.
+      image_valid: `[I]` bool, False for padded/invalid-pose images.
+      point_valid: `[N]` bool, False for padded points.
+    """
+    xy, depth = project_points(points[None], K[None], E_c2w)  # [I, N, 2], [I, N]
+    vis = in_bounds_mask(xy, image_hw) & depth_occlusion_mask(
+        xy, depth, depth_maps, image_hw, depth_value_scale
+    )
+    if image_valid is not None:
+        vis = vis & image_valid[:, None]
+    if point_valid is not None:
+        vis = vis & point_valid[None, :]
+    return vis
+
+
+# ---------------------------------------------------------------------------
+# Unprojection (pixel + depth -> world)
+# ---------------------------------------------------------------------------
+
+def unproject_pixels(
+    pixels_xy: Array,
+    depth_map: Array,
+    K: Array,
+    E_c2w: Array,
+    axis_align: Array | None = None,
+    mask_hw: tuple[int, int] | Array | None = None,
+    depth_value_scale: float = 0.001,
+) -> tuple[Array, Array]:
+    """Lift pixel coordinates to 3D world points via the depth map.
+
+    Parity: handler/ops.py:235-329 (`project_mask_to_3d`). The reference
+    filters out zero-depth pixels by slicing; with static shapes we instead
+    return a `valid` mask (zero-depth pixels produce garbage points that the
+    caller must mask out) — the surviving points match the reference bit-for-
+    bit in float64.
+
+    Args:
+      pixels_xy: `[M, 2]` integer or float pixel coords `(x, y)` at the
+        *mask/color* resolution.
+      depth_map: `[Hd, Wd]` integer depth image (mm).
+      K: `[4, 4]` intrinsic.
+      E_c2w: `[4, 4]` camera-to-world extrinsic.
+      axis_align: optional `[4, 4]` world-to-axis-aligned matrix.
+      mask_hw: resolution the pixel coords live in; defaults to depth_map's.
+
+    Returns:
+      points: `[M, 3]` world (or axis-aligned) coordinates.
+      valid: `[M]` bool (depth > 0).
+    """
+    hd, wd = depth_map.shape
+    if mask_hw is None:
+        mask_hw = (hd, wd)
+    scale_y = hd / mask_hw[0]
+    scale_x = wd / mask_hw[1]
+    x = pixels_xy[:, 0]
+    y = pixels_xy[:, 1]
+    dx = jnp.clip(jnp.round(x * scale_x).astype(jnp.int32), 0, wd - 1)
+    dy = jnp.clip(jnp.round(y * scale_y).astype(jnp.int32), 0, hd - 1)
+    d = depth_map[dy, dx].astype(K.dtype) * jnp.asarray(
+        depth_value_scale, dtype=K.dtype
+    )
+    valid = d > 0
+    xf = x.astype(K.dtype)
+    yf = y.astype(K.dtype)
+    pix_h = jnp.stack([xf * d, yf * d, d, jnp.ones_like(d)], axis=-1)  # [M, 4]
+    cam = jnp.einsum("ij,nj->ni", se3_inverse(K), pix_h)  # K is affine 4x4
+    world = jnp.einsum("ij,nj->ni", E_c2w, cam)
+    if axis_align is not None:
+        world = jnp.einsum("ij,nj->ni", axis_align, world)
+    return world[:, :3], valid
+
+
+# ---------------------------------------------------------------------------
+# Pose decomposition
+# ---------------------------------------------------------------------------
+
+def yaw_pitch_deg(E: Array) -> tuple[Array, Array]:
+    """Yaw/pitch (degrees) of the camera forward axis.
+
+    Parity: calculate_frames_relations.py:86-100 (`extract_yaw_pitch`):
+    take the rotated z-axis (third column of R), yaw = atan2(y, x),
+    pitch = asin(z / ||z||).
+
+    Accepts `[..., 4, 4]` or `[..., 3, 3]`.
+    """
+    R = E[..., :3, :3]
+    z = R[..., :, 2]
+    yaw = jnp.degrees(jnp.arctan2(z[..., 1], z[..., 0]))
+    pitch = jnp.degrees(
+        jnp.arcsin(z[..., 2] / jnp.linalg.norm(z, axis=-1))
+    )
+    return yaw, pitch
+
+
+def relative_pose(E1_c2w: Array, E2_c2w: Array) -> Array:
+    """Pose of camera 2 expressed in camera 1's frame: `E1^-1 @ E2`.
+
+    Parity: camera_movement_engine_train_val.py:184-187.
+    """
+    return se3_inverse(E1_c2w) @ E2_c2w
+
+
+def displacement_in_frame1(E1_c2w: Array, E2_c2w: Array) -> Array:
+    """Translation of camera 2 in camera 1's coordinates (`[..., 3]`).
+
+    Parity: camera_movement_engine_train_val.py:189-190.
+    """
+    return relative_pose(E1_c2w, E2_c2w)[..., :3, 3]
+
+
+def wrap_yaw_deg(yaw: Array) -> Array:
+    """Wrap a yaw difference into (-180, 180].
+
+    Parity: camera_movement_engine_train_val.py:168-172 (single conditional
+    +-360 correction — inputs are differences of atan2 outputs so one wrap
+    suffices).
+    """
+    yaw = jnp.where(yaw > 180.0, yaw - 360.0, yaw)
+    yaw = jnp.where(yaw < -180.0, yaw + 360.0, yaw)
+    return yaw
+
+
+def camera_center(E_c2w: Array) -> Array:
+    """World-space camera center: translation column of the c2w matrix."""
+    return E_c2w[..., :3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Pairwise frame relations (the O(I^2) loop as one MXU matmul)
+# ---------------------------------------------------------------------------
+
+def overlap_percentage_matrix(vis: Array, image_valid: Array | None = None) -> Array:
+    """`[I, I]` pairwise view-overlap percentage from a visibility matrix.
+
+    overlap(a, b) = |Va & Vb| / |Va | Vb| * 100, computed for all pairs at
+    once: intersections are `V @ V^T` on the MXU (float32 accumulate), unions
+    via inclusion-exclusion. Parity: calculate_frames_relations.py:102-137
+    (`calculate_camera_overlap`), which computes one pair per call in NumPy.
+
+    Pairs with an empty union return 0 (the reference emits NaN and logs a
+    warning; callers that need that semantic can re-mask with `union == 0`).
+    """
+    v = vis.astype(jnp.float32)
+    inter = v @ v.T                                  # [I, I] MXU matmul
+    counts = jnp.sum(v, axis=1)
+    union = counts[:, None] + counts[None, :] - inter
+    pct = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0) * 100.0, 0.0)
+    if image_valid is not None:
+        m = image_valid[:, None] & image_valid[None, :]
+        pct = jnp.where(m, pct, 0.0)
+    return pct
+
+
+def pairwise_frame_relations(
+    vis: Array, E_c2w: Array, image_valid: Array | None = None
+) -> dict[str, Array]:
+    """All pairwise relations for one scene in one fused program.
+
+    Returns dict of `[I, I]` arrays: `overlap` (%), `distance` (m, camera
+    center L2), `yaw` / `pitch` (deg, value[j] - value[i]).
+
+    Parity: calculate_frames_relations.py:139-197 (`process_scene`), which
+    walks `i < j` pairs in Python; here the full antisymmetric/symmetric
+    matrices are produced and the caller takes the upper triangle.
+    """
+    overlap = overlap_percentage_matrix(vis, image_valid)
+    yaw, pitch = yaw_pitch_deg(E_c2w)
+    centers = camera_center(E_c2w)
+    diff = centers[None, :, :] - centers[:, None, :]
+    distance = jnp.linalg.norm(diff, axis=-1)
+    return {
+        "overlap": overlap,
+        "distance": distance,
+        "yaw": yaw[None, :] - yaw[:, None],
+        "pitch": pitch[None, :] - pitch[:, None],
+    }
