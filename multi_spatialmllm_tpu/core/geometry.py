@@ -356,8 +356,9 @@ def overlap_percentage_matrix(vis: Array, image_valid: Array | None = None) -> A
     warning; callers that need that semantic can re-mask with `union == 0`).
     """
     v = vis.astype(jnp.float32)
-    inter = v @ v.T                                  # [I, I] MXU matmul
-    counts = jnp.sum(v, axis=1)
+    # Counts are integers; float32 accumulation is exact below 2^24 points.
+    inter = (v @ v.T).astype(jnp.result_type(float))  # [I, I] MXU matmul
+    counts = jnp.sum(v, axis=1).astype(inter.dtype)
     union = counts[:, None] + counts[None, :] - inter
     pct = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0) * 100.0, 0.0)
     if image_valid is not None:

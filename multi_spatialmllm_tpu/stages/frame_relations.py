@@ -1,0 +1,135 @@
+"""Stage: pairwise frame relations (overlap / distance / yaw / pitch).
+
+TPU-native replacement for
+`spatial_engine/camera_movement/calculate_frames_relations.py`: the
+reference walks all O(I^2) image pairs in Python calling a NumPy and/or
+`torch.cuda` overlap routine per pair (:102-137, :176-194; 25-process Pool
+over scenes, 82.65M train records). Here the whole pair block is one MXU
+matmul (`V @ V^T`) plus elementwise inclusion-exclusion, and yaw/pitch/
+distance difference matrices are broadcast subtractions — one fused XLA
+program per scene.
+
+Output schema parity: parquet columns
+`scene_id, image_id1, image_id2, overlap, distance, yaw, pitch`
+(calculate_frames_relations.py:40-57), plus the `_nonzero` variant
+(:59-84). Pairs are the upper triangle (i < j) over *valid-pose* images in
+sorted id order, matching `process_scene` (:176-179).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as G
+from ..core.io import WarningSink, write_parquet
+from ..core.scene import Scene
+from .visibility import compute_scene_visibility
+
+
+@functools.lru_cache(maxsize=32)
+def _relations_fn(i_pad: int, n_pad: int, dtype_name: str):
+    @jax.jit
+    def fn(vis, extrinsics, image_valid):
+        return G.pairwise_frame_relations(vis, extrinsics, image_valid)
+
+    return fn
+
+
+def compute_scene_relations(
+    scene: Scene,
+    vis: np.ndarray | None = None,
+    dtype=np.float64,
+) -> dict[str, np.ndarray]:
+    """`[I, I]` relation matrices for one scene (rows/cols = scene.image_ids)."""
+    from .visibility import ensure_x64
+
+    ensure_x64(dtype)
+    if vis is None:
+        vis = compute_scene_visibility(scene, dtype)
+    ext, _, ivalid = scene.padded_images(dtype)
+    i_pad = ext.shape[0]
+    vis_pad = np.zeros((i_pad, vis.shape[1]), dtype=bool)
+    vis_pad[: vis.shape[0]] = vis
+    fn = _relations_fn(i_pad, vis.shape[1], np.dtype(dtype).name)
+    rel = fn(jnp.asarray(vis_pad), jnp.asarray(ext), jnp.asarray(ivalid))
+    n = scene.num_images
+    return {k: np.asarray(v)[:n, :n] for k, v in rel.items()}
+
+
+def scene_relation_records(
+    scene: Scene,
+    rel: dict[str, np.ndarray],
+    warning_sink: WarningSink | None = None,
+) -> dict[str, np.ndarray]:
+    """Flatten matrices to the reference's row schema (valid pairs, i < j)."""
+    valid = scene.valid_image_mask()
+    idx = np.where(valid)[0]
+    ids = np.asarray(scene.image_ids)
+    a, b = np.triu_indices(len(idx), k=1)
+    ia, ib = idx[a], idx[b]
+    overlap = rel["overlap"][ia, ib]
+    distance = rel["distance"][ia, ib]
+    yaw = rel["yaw"][ia, ib]
+    pitch = rel["pitch"][ia, ib]
+    if warning_sink is not None:
+        bad = ~(
+            np.isfinite(overlap) & np.isfinite(distance)
+            & np.isfinite(yaw) & np.isfinite(pitch)
+        )
+        for k in np.where(bad)[0]:
+            warning_sink(
+                f"{scene.scene_id}: ({ids[ia[k]]}, {ids[ib[k]]}) has something "
+                f"wrong {[overlap[k], distance[k], yaw[k], pitch[k]]}."
+            )
+    return {
+        "scene_id": np.full(len(a), scene.scene_id, dtype=object),
+        "image_id1": ids[ia],
+        "image_id2": ids[ib],
+        "overlap": overlap,
+        "distance": distance,
+        "yaw": yaw,
+        "pitch": pitch,
+    }
+
+
+def build_frame_relations(
+    scenes: Iterable[Scene],
+    output_parquet: str | None = None,
+    warning_path: str | None = None,
+    dtype=np.float64,
+    visibility: "dict[str, np.ndarray] | None" = None,
+):
+    """Run the stage over scenes; returns the full DataFrame.
+
+    Writes `output_parquet` and the `_nonzero` companion when a path is
+    given (calculate_frames_relations.py:242-244 semantics: nonzero keeps
+    `overlap != 0`).
+    """
+    import pandas as pd
+
+    sink = WarningSink(warning_path)
+    frames = []
+    for scene in scenes:
+        vis = None if visibility is None else visibility.get(scene.scene_id)
+        rel = compute_scene_relations(scene, vis=vis, dtype=dtype)
+        frames.append(pd.DataFrame(scene_relation_records(scene, rel, sink)))
+    df = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(
+            columns=["scene_id", "image_id1", "image_id2", "overlap",
+                     "distance", "yaw", "pitch"]
+        )
+    )
+    if output_parquet:
+        write_parquet(df, output_parquet)
+        nonzero = df[df["overlap"] != 0.0]
+        write_parquet(
+            nonzero, output_parquet.replace(".parquet", "_nonzero.parquet")
+        )
+    return df

@@ -1,0 +1,210 @@
+"""Stage: point-visibility index (L3).
+
+TPU-native replacement for the reference's
+`spatial_engine/utils/scannet_utils/make_visibility_info.py`: instead of a
+per-image Python loop with per-point set inversion (make_visibility_info.py
+:93-113, 25-process Pool, 47 min val / 3 h train), each scene becomes one
+fused XLA program producing the dense `[I, N]` visibility matrix; the
+inverse `point_to_images` map is its transpose.
+
+Output format parity: the parquet schema every consumer actually reads —
+`key = "{scene_id}:image_to_points:{image_id}"` / `"{scene_id}:point_to_images:{p}"`,
+`values` = JSON-encoded list (convert_pkl_to_parquet, make_visibility_info.py
+:56-71; load_visibility_dict, compute_object_visibility.py:60-70;
+VisibilityInfoHandler, info_handler.py:502-538). The reference's `run_split`
+as shipped writes comma-separated keys and raw lists and crashes on a scoped
+import (SURVEY.md §2 #9); we implement the evident intent.
+
+Precision: device compute defaults to float64 (TPU-emulated) — measured
+exact agreement with the reference float64 semantics; float32 flips ~5% of
+borderline labels (surface points sit on depth-compare cliffs) and is an
+explicit speed opt-in.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as G
+from ..core.io import WarningSink, write_parquet
+from ..core.scene import Scene
+
+
+@functools.lru_cache(maxsize=32)
+def _visibility_fn(i_pad: int, n_pad: int, depth_hw: tuple, image_hw: tuple, dtype_name: str):
+    """Compile cache keyed by padded shapes (bucketed upstream)."""
+
+    @jax.jit
+    def fn(points, K, extrinsics, depth_maps, image_valid, point_valid):
+        return G.visibility_matrix(
+            points, K, extrinsics, depth_maps, image_hw,
+            image_valid, point_valid,
+        )
+
+    return fn
+
+
+def ensure_x64(dtype) -> None:
+    """Stages default to float64 for exact label parity; jax silently
+    downcasts f64 -> f32 unless the x64 flag is on, so flip it on demand."""
+    if np.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def compute_scene_visibility(scene: Scene, dtype=np.float64) -> np.ndarray:
+    """Dense `[num_images, num_points]` bool visibility for one scene."""
+    ensure_x64(dtype)
+    pts, pvalid = scene.padded_points(dtype)
+    ext, depth, ivalid = scene.padded_images(dtype)
+    fn = _visibility_fn(
+        ext.shape[0], pts.shape[0], scene.depth_hw, scene.image_hw,
+        np.dtype(dtype).name,
+    )
+    vis = fn(
+        jnp.asarray(pts), jnp.asarray(scene.intrinsic.astype(dtype)),
+        jnp.asarray(ext), jnp.asarray(depth),
+        jnp.asarray(ivalid), jnp.asarray(pvalid),
+    )
+    return np.asarray(vis)[: scene.num_images, : scene.num_points]
+
+
+class VisibilityIndex:
+    """In-memory visibility index over many scenes.
+
+    Stores the dense bool matrix per scene — it is both maps at once —
+    and speaks the reference's parquet key/value dialect at the edges.
+    """
+
+    def __init__(self):
+        self._matrices: dict[str, np.ndarray] = {}
+        self._image_ids: dict[str, list[str]] = {}
+
+    # -- construction ---------------------------------------------------
+
+    def add_scene(self, scene_id: str, image_ids: list[str], vis: np.ndarray):
+        self._matrices[scene_id] = vis.astype(bool)
+        self._image_ids[scene_id] = list(image_ids)
+
+    @staticmethod
+    def build(
+        scenes: Iterable[Scene],
+        dtype=np.float64,
+        warning_sink: WarningSink | None = None,
+    ) -> "VisibilityIndex":
+        index = VisibilityIndex()
+        for scene in scenes:
+            vis = compute_scene_visibility(scene, dtype)
+            if warning_sink is not None:
+                valid = scene.valid_image_mask()
+                for i, iid in enumerate(scene.image_ids):
+                    if valid[i] and not vis[i].any():
+                        warning_sink(
+                            f"[Warning] {scene.scene_id}: {iid} has no in-bound points."
+                        )
+            index.add_scene(scene.scene_id, scene.image_ids, vis)
+        return index
+
+    # -- queries (VisibilityInfoHandler parity) -------------------------
+
+    def scene_ids(self) -> list[str]:
+        return sorted(self._matrices.keys())
+
+    def matrix(self, scene_id: str) -> np.ndarray:
+        return self._matrices[scene_id]
+
+    def image_ids(self, scene_id: str) -> list[str]:
+        return self._image_ids[scene_id]
+
+    def image_to_points(self, scene_id: str, image_id: str) -> np.ndarray:
+        """Point indices visible in an image (info_handler.py:502-519)."""
+        row = self._image_ids[scene_id].index(f"{int(image_id):05d}")
+        return np.where(self._matrices[scene_id][row])[0]
+
+    def point_to_images(self, scene_id: str, point_index: int) -> list[str]:
+        """Image ids that see a point (info_handler.py:521-538)."""
+        col = self._matrices[scene_id][:, point_index]
+        return [iid for iid, v in zip(self._image_ids[scene_id], col) if v]
+
+    def common_points(self, scene_id: str, image_id1: str, image_id2: str) -> np.ndarray:
+        """Intersection of two images' visible-point sets (replaces
+        np.intersect1d over JSON lists, coor_2_coor engine :300-306)."""
+        ids = self._image_ids[scene_id]
+        m = self._matrices[scene_id]
+        r1 = ids.index(f"{int(image_id1):05d}")
+        r2 = ids.index(f"{int(image_id2):05d}")
+        return np.where(m[r1] & m[r2])[0]
+
+    # -- persistence ----------------------------------------------------
+
+    def to_parquet(self, path: str) -> int:
+        """Reference-dialect parquet (colon keys, JSON-list values)."""
+        import pandas as pd
+
+        rows = []
+        for scene_id in self.scene_ids():
+            m = self._matrices[scene_id]
+            ids = self._image_ids[scene_id]
+            for i, iid in enumerate(ids):
+                rows.append(
+                    (f"{scene_id}:image_to_points:{iid}",
+                     json.dumps(np.where(m[i])[0].tolist()))
+                )
+            for p in range(m.shape[1]):
+                rows.append(
+                    (f"{scene_id}:point_to_images:{p}",
+                     json.dumps([ids[i] for i in np.where(m[:, p])[0]]))
+                )
+        df = pd.DataFrame(rows, columns=["key", "values"])
+        write_parquet(df, path)
+        return len(df)
+
+    def save_npz(self, path: str) -> None:
+        """Compact native format: packed bitmaps per scene."""
+        payload = {}
+        for scene_id in self.scene_ids():
+            m = self._matrices[scene_id]
+            payload[f"{scene_id}__bits"] = np.packbits(m, axis=1)
+            payload[f"{scene_id}__shape"] = np.asarray(m.shape)
+            payload[f"{scene_id}__ids"] = np.asarray(self._image_ids[scene_id])
+        np.savez_compressed(path, **payload)
+
+    @staticmethod
+    def load_npz(path: str) -> "VisibilityIndex":
+        z = np.load(path, allow_pickle=False)
+        index = VisibilityIndex()
+        scene_ids = {k[: -len("__bits")] for k in z.files if k.endswith("__bits")}
+        for sid in sorted(scene_ids):
+            shape = tuple(z[f"{sid}__shape"])
+            bits = np.unpackbits(z[f"{sid}__bits"], axis=1)[:, : shape[1]]
+            index.add_scene(sid, [str(s) for s in z[f"{sid}__ids"]], bits.astype(bool))
+        return index
+
+    @staticmethod
+    def from_parquet(path: str) -> "VisibilityIndex":
+        """Load a reference-dialect parquet (colon keys, JSON values)."""
+        import pandas as pd
+
+        df = pd.read_parquet(path)
+        per_scene: dict[str, dict[str, list[int]]] = {}
+        for key, value in zip(df["key"], df["values"]):
+            scene_id, kind, entity = key.split(":")
+            if kind != "image_to_points":
+                continue  # transpose is redundant
+            per_scene.setdefault(scene_id, {})[entity] = json.loads(value)
+        index = VisibilityIndex()
+        for scene_id, img_map in per_scene.items():
+            ids = sorted(img_map.keys())
+            n_points = max(
+                (max(v) + 1 for v in img_map.values() if v), default=0
+            )
+            m = np.zeros((len(ids), n_points), dtype=bool)
+            for i, iid in enumerate(ids):
+                m[i, img_map[iid]] = True
+            index.add_scene(scene_id, ids, m)
+        return index

@@ -1,0 +1,297 @@
+"""Tests for the L3 stages: visibility index, frame relations, object
+visibility, coverage search. Oracles reimplement the reference flows with
+sets/boolean masks (make_visibility_info.py, calculate_frames_relations.py,
+compute_object_visibility.py, single_object_coverage_finder.py)."""
+
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.core.synthetic import make_scene, np_project_points
+from multi_spatialmllm_tpu.stages.visibility import (
+    VisibilityIndex,
+    compute_scene_visibility,
+)
+from multi_spatialmllm_tpu.stages.frame_relations import (
+    build_frame_relations,
+    compute_scene_relations,
+    scene_relation_records,
+)
+from multi_spatialmllm_tpu.stages.object_visibility import (
+    compute_object_visibility,
+    object_image_counts,
+)
+from multi_spatialmllm_tpu.stages import coverage as C
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(seed=2, n_images=10, n_background=3000, n_objects=3)
+
+
+@pytest.fixture(scope="module")
+def vis(scene):
+    return compute_scene_visibility(scene)
+
+
+class TestVisibilityIndex:
+    def test_matrix_shape(self, scene, vis):
+        assert vis.shape == (scene.num_images, scene.num_points)
+        # poisoned pose row must be empty
+        assert not vis[~scene.valid_image_mask()].any()
+
+    def test_queries(self, scene, vis):
+        idx = VisibilityIndex()
+        idx.add_scene(scene.scene_id, scene.image_ids, vis)
+        i = int(np.argmax(vis.sum(axis=1)))
+        pts = idx.image_to_points(scene.scene_id, scene.image_ids[i])
+        np.testing.assert_array_equal(pts, np.where(vis[i])[0])
+        p = int(pts[0])
+        imgs = idx.point_to_images(scene.scene_id, p)
+        assert scene.image_ids[i] in imgs
+        # common points = AND of rows
+        j = (i + 1) % scene.num_images
+        common = idx.common_points(
+            scene.scene_id, scene.image_ids[i], scene.image_ids[j])
+        np.testing.assert_array_equal(common, np.where(vis[i] & vis[j])[0])
+
+    def test_parquet_roundtrip(self, scene, vis, tmp_path):
+        idx = VisibilityIndex()
+        idx.add_scene(scene.scene_id, scene.image_ids, vis)
+        path = str(tmp_path / "vis.parquet")
+        n = idx.to_parquet(path)
+        assert n == scene.num_images + scene.num_points
+        idx2 = VisibilityIndex.from_parquet(path)
+        m2 = idx2.matrix(scene.scene_id)
+        # column count may shrink to the max visible point index + 1
+        np.testing.assert_array_equal(m2, vis[:, : m2.shape[1]])
+        assert vis[:, m2.shape[1]:].sum() == 0
+
+    def test_npz_roundtrip(self, scene, vis, tmp_path):
+        idx = VisibilityIndex()
+        idx.add_scene(scene.scene_id, scene.image_ids, vis)
+        path = str(tmp_path / "vis.npz")
+        idx.save_npz(path)
+        idx2 = VisibilityIndex.load_npz(path)
+        np.testing.assert_array_equal(idx2.matrix(scene.scene_id), vis)
+        assert idx2.image_ids(scene.scene_id) == scene.image_ids
+
+    def test_reference_parquet_dialect(self, scene, vis, tmp_path):
+        import pandas as pd
+        import json
+
+        idx = VisibilityIndex()
+        idx.add_scene(scene.scene_id, scene.image_ids, vis)
+        path = str(tmp_path / "vis.parquet")
+        idx.to_parquet(path)
+        df = pd.read_parquet(path)
+        assert list(df.columns) == ["key", "values"]
+        key = f"{scene.scene_id}:image_to_points:{scene.image_ids[0]}"
+        row = df[df["key"] == key]
+        assert len(row) == 1
+        assert json.loads(row["values"].iloc[0]) == np.where(vis[0])[0].tolist()
+
+
+class TestFrameRelations:
+    def test_records_vs_pairwise_oracle(self, scene, vis):
+        rel = compute_scene_relations(scene, vis=vis)
+        rec = scene_relation_records(scene, rel)
+        ids = scene.image_ids
+        valid = scene.valid_image_mask()
+        # Oracle: reference per-pair computation.
+        k = 0
+        vidx = np.where(valid)[0]
+        for a in range(len(vidx)):
+            for b in range(a + 1, len(vidx)):
+                i, j = vidx[a], vidx[b]
+                assert rec["image_id1"][k] == ids[i]
+                assert rec["image_id2"][k] == ids[j]
+                inter = np.logical_and(vis[i], vis[j]).sum()
+                union = np.logical_or(vis[i], vis[j]).sum()
+                expect = inter / union * 100 if union else 0.0
+                np.testing.assert_allclose(rec["overlap"][k], expect, atol=1e-9)
+                E1 = scene.axis_align @ scene.extrinsics[i]
+                E2 = scene.axis_align @ scene.extrinsics[j]
+                np.testing.assert_allclose(
+                    rec["distance"][k],
+                    np.linalg.norm(E2[:3, 3] - E1[:3, 3]), atol=1e-9)
+                for E, col in ((E1, None), (E2, None)):
+                    pass
+                z1, z2 = E1[:3, 2], E2[:3, 2]
+                yaw1 = np.degrees(np.arctan2(z1[1], z1[0]))
+                yaw2 = np.degrees(np.arctan2(z2[1], z2[0]))
+                np.testing.assert_allclose(rec["yaw"][k], yaw2 - yaw1, atol=1e-9)
+                k += 1
+        assert k == len(rec["overlap"])
+
+    def test_parquet_outputs(self, scene, tmp_path):
+        out = str(tmp_path / "rel.parquet")
+        df = build_frame_relations([scene], output_parquet=out)
+        import pandas as pd
+
+        full = pd.read_parquet(out)
+        nonzero = pd.read_parquet(str(tmp_path / "rel_nonzero.parquet"))
+        assert list(full.columns) == [
+            "scene_id", "image_id1", "image_id2", "overlap", "distance",
+            "yaw", "pitch"]
+        assert len(full) == len(df)
+        assert (nonzero["overlap"] != 0).all()
+        assert len(nonzero) == (full["overlap"] != 0).sum()
+
+
+class TestObjectVisibility:
+    def test_counts_vs_set_oracle(self, scene, vis):
+        counts = object_image_counts(scene, vis)
+        for o in range(scene.num_objects):
+            obj_set = set(scene.object_point_index(o).tolist())
+            for i in range(scene.num_images):
+                expect = len(obj_set & set(np.where(vis[i])[0].tolist()))
+                assert counts[i, o] == expect
+
+    def test_schema_and_threshold(self, scene, vis):
+        res = compute_object_visibility(scene, vis)
+        assert set(res.keys()) == {"object_to_images", "image_to_objects"}
+        for o, lst in res["object_to_images"].items():
+            total = len(scene.object_point_index(o))
+            thr = max(1, int(0.05 * total))
+            for entry in lst:
+                assert entry["intersection_count"] >= thr
+                np.testing.assert_allclose(
+                    entry["visibility"],
+                    entry["intersection_count"] / total * 100)
+        # inverse map is consistent
+        for img, lst in res["image_to_objects"].items():
+            for entry in lst:
+                o = entry["object_id"]
+                assert any(e["image_id"] == img
+                           for e in res["object_to_images"][o])
+
+    def test_noninformative_skipped(self, scene, vis):
+        scene.categories[0] = "wall"
+        try:
+            res = compute_object_visibility(scene, vis)
+            assert 0 not in res["object_to_images"]
+        finally:
+            scene.categories[0] = "chair"
+
+
+# ---------------------------------------------------------------------------
+# Coverage search: mask-based oracle implementing the same BFS on full
+# boolean masks (the reference's representation) to cross-check the
+# interval-based implementation.
+# ---------------------------------------------------------------------------
+
+def _oracle_bfs(image_masks, coords, target, tol=0.1, max_images=5):
+    n = len(image_masks)
+
+    def cover(mask):
+        if not mask.any():
+            return False
+        c = coords[mask]
+        return abs((c.max() - c.min()) - target) <= tol * target
+
+    suffix = [None] * n
+    if n:
+        suffix[-1] = image_masks[-1].copy()
+        for i in range(n - 2, -1, -1):
+            suffix[i] = image_masks[i] | suffix[i + 1]
+
+    minimal_sets = []
+    solutions = {}
+    first_layer = []
+    current = [((i,), image_masks[i], i, 1 << i) for i in range(n)]
+    k = 1
+    while k <= max_images and current:
+        to_expand, new_min = [], []
+        for comb, um, last, bits in current:
+            if any((m & bits) == m for m in minimal_sets):
+                continue
+            if cover(um):
+                new_min.append(bits)
+                solutions.setdefault(k, []).append(comb)
+            else:
+                if last < n - 1 and not cover(um | suffix[last]):
+                    continue
+                to_expand.append((comb, um, last, bits))
+                if k == 1:
+                    first_layer.append((comb[0], image_masks[comb[0]], 1 << comb[0]))
+        minimal_sets.extend(new_min)
+        nxt = []
+        if k < max_images:
+            for comb, um, last, bits in to_expand:
+                for idx, m, b in first_layer:
+                    if idx > last:
+                        nxt.append((comb + (idx,), um | m, idx, bits | b))
+        current = nxt
+        k += 1
+    return solutions
+
+
+class TestCoverage:
+    def test_intervals_vs_masked_oracle(self, scene, vis):
+        mins, maxs, cnt = C.object_coverage_intervals(scene, vis)
+        for o in range(scene.num_objects):
+            om = scene.object_point_mask(o)
+            for i in range(scene.num_images):
+                m = vis[i] & om
+                assert cnt[i, o + 1] == m.sum()
+                for axis in range(3):
+                    if m.any():
+                        c = scene.points_aligned[m, axis]
+                        np.testing.assert_allclose(mins[i, axis, o + 1], c.min())
+                        np.testing.assert_allclose(maxs[i, axis, o + 1], c.max())
+                    else:
+                        assert mins[i, axis, o + 1] == np.inf
+                        assert maxs[i, axis, o + 1] == -np.inf
+
+    def test_bfs_matches_mask_oracle(self, rng):
+        # Random small instances, no caps triggered -> exact match expected.
+        for trial in range(10):
+            n_imgs, n_pts = 8, 60
+            coords = rng.normal(size=n_pts)
+            masks = [rng.random(n_pts) < 0.3 for _ in range(n_imgs)]
+            target = float(coords.max() - coords.min()) * rng.uniform(0.5, 1.0)
+            lows = np.array([coords[m].min() if m.any() else np.inf for m in masks])
+            highs = np.array([coords[m].max() if m.any() else -np.inf for m in masks])
+            ids = [f"{i:05d}" for i in range(n_imgs)]
+            got = C.find_minimal_combinations(
+                ids, lows, highs, target, np.random.default_rng(0))
+            expect = _oracle_bfs(masks, coords, target)
+            assert set(got.keys()) == set(expect.keys()), f"trial {trial}"
+            for k in expect:
+                exp_ids = {tuple(ids[i] for i in comb) for comb in expect[k]}
+                assert set(got[k]) == exp_ids, f"trial {trial} k={k}"
+
+    def test_full_stage_on_scene(self, scene, vis):
+        from multi_spatialmllm_tpu.stages.object_visibility import (
+            compute_object_visibility,
+        )
+
+        ov = {scene.scene_id: compute_object_visibility(scene, vis)}
+        h, l, w = C.build_object_coverage(
+            [scene], ov, visibility={scene.scene_id: vis})
+        assert scene.scene_id in h
+        # every reported combination must actually cover its target
+        for dim, res, target_fn, axis_fn in (
+            ("height", h, scene.object_height, lambda o: 2),
+            ("length", l, scene.object_length, scene.object_length_axis),
+            ("width", w, scene.object_width, scene.object_width_axis),
+        ):
+            for o, kdict in res[scene.scene_id].items():
+                axis = axis_fn(o)
+                target = target_fn(o)
+                om = scene.object_point_mask(o)
+                for k, combos in kdict.items():
+                    for combo in combos:
+                        assert len(combo) == k
+                        union = np.zeros(scene.num_points, bool)
+                        for img in combo:
+                            union |= vis[scene.image_index(img)] & om
+                        c = scene.points_aligned[union, axis]
+                        cov = c.max() - c.min()
+                        assert abs(cov - target) <= 0.1 * target + 1e-12
+
+    def test_merge_shards(self):
+        a = {"s1": {0: {1: [("a",)]}}}
+        b = {"s1": {1: {1: [("b",)]}}, "s2": {0: {}}}
+        m = C.merge_coverage_shards([a, b])
+        assert set(m["s1"].keys()) == {0, 1} and "s2" in m
