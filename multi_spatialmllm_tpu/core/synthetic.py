@@ -246,7 +246,12 @@ def make_tapvid_npz(
         base = rng.uniform(-1.0, 1.0, size=(points_per_group, 3)) * 0.4
         base += np.array([rng.uniform(-1, 1), rng.uniform(-0.5, 0.5),
                           rng.uniform(3.0, 5.0)])
-        vel = rng.uniform(-0.08, 0.08, size=3)
+        # Per-frame velocity large enough that inter-group distance changes
+        # clear the segmentation smoothing threshold (0.01 m/step) and
+        # accumulate well past the 0.1 clustering cut.
+        direction = rng.normal(size=3)
+        direction /= np.linalg.norm(direction)
+        vel = direction * rng.uniform(0.06, 0.15)
         track = base[None] + vel[None, None] * np.arange(n_frames)[:, None, None]
         groups.append(track)
     static = rng.uniform(-1.0, 1.0, size=(n_static, 3)) * 0.8

@@ -1,0 +1,239 @@
+"""Camera-movement QA engine (L4).
+
+TPU-native replacement for
+`spatial_engine/camera_movement/camera_movement_engine_train_val.py`: the
+reference loops over sampled pairs computing two 4x4 inverses + a matmul per
+row in Python (:153-245, ~4 min per 1M samples). Here the ground-truth math
+for *all* sampled pairs is one batched device program (`inv(E1) @ E2` over
+`[n, 4, 4]` stacks), and only text formatting stays on host.
+
+Semantics parity, per build_training_sample (:153-245):
+  * 50% random image swap with yaw/pitch negation (:163-167),
+  * yaw wrapped into +-180 (:168-172),
+  * displacement expressed in frame 1 (:184-190),
+  * consistency assert |distance - parquet distance| < 0.1 (:193),
+  * answer-value mapping: x>0 -> "right", y>0 -> "down", z>0 -> "forward",
+    yaw>0 -> "left", pitch>0 -> "up"; mm = int(m*1000); deg = int(abs(deg))
+    (:209-225) — note the reference uses *truncating* int(), not round().
+  * sample dict schema (:234-243) and eval conversion (:247-269).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geometry as G
+from ..core.rng import ENGINE_SEEDS, stream
+from ..core.scene import SceneStore
+from .base import (
+    EngineOutputs,
+    choice,
+    make_conversation,
+    shuffle_and_write,
+    to_eval_sample,
+)
+from .sampling import sample_overlap_balanced
+from .templates import camera_movement as T
+
+QUESTION_TYPES = (
+    "x_movement", "y_movement", "z_movement", "yaw_movement",
+    "pitch_movement", "yaw_angle", "pitch_angle", "total_distance",
+    "displacement_vector",
+)
+
+# Reference sample volumes (camera_movement_engine_train_val.py:369-390).
+TRAIN_QUESTION_SAMPLES = {
+    "x_movement": 1_000_000, "y_movement": 1_000_000, "z_movement": 1_000_000,
+    "yaw_movement": 1_000_000, "pitch_movement": 1_000_000,
+    "yaw_angle": 1_000_000, "pitch_angle": 1_000_000,
+    "total_distance": 3_000_000, "displacement_vector": 3_000_000,
+}
+VAL_QUESTION_SAMPLES = {q: 300 for q in QUESTION_TYPES}
+
+
+@dataclasses.dataclass
+class CameraMovementConfig:
+    overlap_min: float = 6.0
+    overlap_max: float = 35.0
+    interval: float = 1.0
+    seed: int = ENGINE_SEEDS["camera_movement"]
+    distance_consistency_tol: float = 0.1
+    chunk: int = 1_000_000
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _batched_displacement(E1, E2):
+    """`[n, 3]` displacement of camera 2 in camera 1 coordinates."""
+    return G.displacement_in_frame1(E1, E2)
+
+
+def compute_displacements(E1: np.ndarray, E2: np.ndarray, chunk: int) -> np.ndarray:
+    out = np.empty((E1.shape[0], 3), dtype=E1.dtype)
+    for lo in range(0, E1.shape[0], chunk):
+        hi = min(lo + chunk, E1.shape[0])
+        out[lo:hi] = np.asarray(
+            _batched_displacement(jnp.asarray(E1[lo:hi]), jnp.asarray(E2[lo:hi]))
+        )
+    return out
+
+
+def _gather_pair_extrinsics(store: SceneStore, scene_ids, image1, image2):
+    """Stack aligned extrinsics for every sampled pair: two `[n, 4, 4]`."""
+    n = len(scene_ids)
+    E1 = np.empty((n, 4, 4), dtype=np.float64)
+    E2 = np.empty((n, 4, 4), dtype=np.float64)
+    hw = np.empty((n, 2), dtype=np.int64)
+    order = np.argsort(scene_ids, kind="stable")
+    cur_sid, scene, ext, index = None, None, None, None
+    for k in order:
+        sid = scene_ids[k]
+        if sid != cur_sid:
+            scene = store.get(sid)
+            ext = scene.extrinsics_align()
+            index = {iid: i for i, iid in enumerate(scene.image_ids)}
+            cur_sid = sid
+        E1[k] = ext[index[image1[k]]]
+        E2[k] = ext[index[image2[k]]]
+        hw[k] = scene.image_hw
+    return E1, E2, hw
+
+
+def build_answer_values(disp: np.ndarray, yaw: float, pitch: float) -> dict:
+    """Value mapping parity (camera_movement_engine_train_val.py:209-225)."""
+    return {
+        "x_movement": "right" if disp[0] > 0 else "left",
+        "y_movement": "down" if disp[1] > 0 else "up",
+        "z_movement": "forward" if disp[2] > 0 else "backward",
+        "yaw_movement": "left" if yaw > 0 else "right",
+        "pitch_movement": "up" if pitch > 0 else "down",
+        "x_distance": int(abs(disp[0]) * 1000),
+        "y_distance": int(abs(disp[1]) * 1000),
+        "z_distance": int(abs(disp[2]) * 1000),
+        "yaw_angle": int(abs(yaw)),
+        "pitch_angle": int(abs(pitch)),
+        "x_value": int(disp[0] * 1000),
+        "y_value": int(disp[1] * 1000),
+        "z_value": int(disp[2] * 1000),
+        "total_distance": int(np.linalg.norm(disp) * 1000),
+        "displacement_vector": disp.tolist(),
+    }
+
+
+def build_samples_for_question_type(
+    relations,
+    store: SceneStore,
+    question_type: str,
+    desired_count: int,
+    config: CameraMovementConfig | None = None,
+    rng: np.random.Generator | None = None,
+) -> list[dict]:
+    """Balanced-sample pairs and build train samples for one question type.
+
+    `relations` is the frame-relations DataFrame (or any mapping of column
+    name -> array with scene_id/image_id1/image_id2/overlap/distance/yaw/
+    pitch).
+    """
+    config = config or CameraMovementConfig()
+    if rng is None:
+        rng = stream(config.seed, "camera_movement", question_type)
+
+    cols = {c: np.asarray(relations[c]) for c in
+            ("scene_id", "image_id1", "image_id2", "overlap", "distance",
+             "yaw", "pitch")}
+    idx = sample_overlap_balanced(
+        cols["overlap"], desired_count, rng,
+        overlap_min=config.overlap_min, overlap_max=config.overlap_max,
+        interval=config.interval,
+    )
+    n = len(idx)
+    scene_ids = cols["scene_id"][idx]
+    image1 = cols["image_id1"][idx].astype(object)
+    image2 = cols["image_id2"][idx].astype(object)
+    yaw = cols["yaw"][idx].astype(np.float64).copy()
+    pitch = cols["pitch"][idx].astype(np.float64).copy()
+    overlap = cols["overlap"][idx].astype(np.float64)
+    ref_distance = cols["distance"][idx].astype(np.float64)
+
+    # 50% swap with sign negation (:163-167).
+    swap = rng.random(n) < 0.5
+    yaw[swap] = -yaw[swap]
+    pitch[swap] = -pitch[swap]
+    image1[swap], image2[swap] = image2[swap].copy(), image1[swap].copy()
+
+    # yaw wrap (:168-172).
+    yaw = np.where(yaw > 180.0, yaw - 360.0, yaw)
+    yaw = np.where(yaw < -180.0, yaw + 360.0, yaw)
+
+    # Batched GT math on device.
+    E1, E2, hw = _gather_pair_extrinsics(store, scene_ids, image1, image2)
+    disp = compute_displacements(E1, E2, config.chunk)
+    dist = np.linalg.norm(disp, axis=1)
+    bad = np.abs(dist - ref_distance) >= config.distance_consistency_tol
+    if bad.any():
+        k = int(np.where(bad)[0][0])
+        raise AssertionError(
+            f"distance inconsistency for {scene_ids[k]} {image1[k]} "
+            f"{image2[k]}: {dist[k]} vs {ref_distance[k]}"
+        )
+
+    samples = []
+    for k in range(n):
+        if overlap[k] < 0.1:
+            # reference raises NotImplementedError (:199-201); pairs are
+            # sampled from overlap >= overlap_min so this cannot trigger.
+            raise NotImplementedError("overlap < 0.1 is not supported.")
+        values = build_answer_values(disp[k], float(yaw[k]), float(pitch[k]))
+        task = choice(rng, T.TASK_DESCRIPTION)
+        question = choice(rng, T.QUESTION_TEMPLATES[question_type])
+        answer = choice(rng, T.ANSWER_TEMPLATES[question_type]).format(**values)
+        samples.append({
+            "id": k,
+            "image": [f"{scene_ids[k]}/{image1[k]}.jpg",
+                      f"{scene_ids[k]}/{image2[k]}.jpg"],
+            "conversations": make_conversation(f"{task}\n{question}", answer),
+            "height_list": [int(hw[k, 0])] * 2,
+            "width_list": [int(hw[k, 1])] * 2,
+            "answer_values": values,
+            "question_type": question_type,
+            "gt_value": values[question_type],
+        })
+    return samples
+
+
+def generate(
+    relations_train,
+    relations_val,
+    store: SceneStore,
+    output_dir_train: str,
+    output_dir_val: str,
+    train_counts: dict | None = None,
+    val_counts: dict | None = None,
+    config: CameraMovementConfig | None = None,
+) -> dict[str, EngineOutputs]:
+    """Full engine run over all question types (main() parity :360-444)."""
+    config = config or CameraMovementConfig()
+    train_counts = train_counts or TRAIN_QUESTION_SAMPLES
+    val_counts = val_counts or VAL_QUESTION_SAMPLES
+    outputs: dict[str, EngineOutputs] = {}
+    for qtype, count in train_counts.items():
+        out = EngineOutputs()
+        val_rng = stream(config.seed, "camera_movement", qtype, "val")
+        val_samples = build_samples_for_question_type(
+            relations_val, store, qtype, val_counts.get(qtype, 300),
+            config, val_rng)
+        val_eval = [to_eval_sample(s) for s in val_samples]
+        out.val_path = f"{output_dir_val}/{qtype}_val.jsonl"
+        out.n_val = shuffle_and_write(val_eval, out.val_path, val_rng)
+
+        train_rng = stream(config.seed, "camera_movement", qtype, "train")
+        train_samples = build_samples_for_question_type(
+            relations_train, store, qtype, count, config, train_rng)
+        out.train_path = f"{output_dir_train}/{qtype}_train.jsonl"
+        out.n_train = shuffle_and_write(train_samples, out.train_path, train_rng)
+        outputs[qtype] = out
+    return outputs

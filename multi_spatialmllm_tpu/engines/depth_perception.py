@@ -1,0 +1,349 @@
+"""Depth-perception QA engines: estimation and comparison, coor and dot.
+
+TPU-native replacement for the four reference engines
+(`spatial_engine/depth_perception/depth_{estimation,comparison}_{coor,dot}_
+engine.py`). The reference re-reads the depth PNG from disk for every
+sampled point via `get_point_2d_coordinates_in_image` (info_handler.py
+:291-305 — the dominant cost, 51 min-1.5 h per split); here points are
+reprojected in bulk from the in-memory scene pack, with the same float64
+math and visibility re-check.
+
+Semantics parity (depth_estimation_coor_engine.py unless noted):
+  * per-scene quota `max(all_max_samples // n_scenes + 1, 1)`; when the
+    quota is 1 a random subset of `all_max_samples` scenes is used
+    (:260-267),
+  * images sampled without replacement (with replacement when the quota
+    exceeds the image count — comparison engines, depth_comparison_coor
+    :246-255),
+  * one (estimation) or two (comparison) visible points per image from the
+    visibility index, re-checked by reprojection, skipped with a warning if
+    the re-check fails (:207-213),
+  * x,y = round(px/extent*1000); depth = round(m*1000) (:216-218),
+  * comparison: equal-depth pairs skipped (coor :289-294) / retried up to
+    10 times (dot :262-310); A/B labels shuffled; closer/farther question
+    chosen at random (:296-325),
+  * final pool subsampled to `all_max_samples` and shuffled (:273-276),
+  * eval = train with conversations[0] lifted to `text` (:289-306).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core.io import WarningSink
+from ..core.rng import ENGINE_SEEDS, stream
+from ..core.scene import Scene, SceneStore
+from ..core.synthetic import np_project_points
+from ..stages.visibility import VisibilityIndex
+from .annotate import (
+    ImageProvider,
+    draw_dot,
+    draw_lettered_dot,
+    generate_distinct_colors,
+    save_annotated,
+)
+from .base import (
+    EngineOutputs,
+    choice,
+    make_conversation,
+    normalized_coord,
+    shuffle_and_write,
+    subsample,
+    to_eval_sample,
+)
+from .templates import depth as T
+
+
+@dataclasses.dataclass
+class DepthEngineConfig:
+    all_max_samples: int = -1
+    max_n_points_per_image: int = 1
+    seed: int = ENGINE_SEEDS["depth_perception"]
+
+
+def _project_point(scene: Scene, image_index: int, point_index: int):
+    """Reproject one scene point into one image with the visibility
+    re-check (get_point_2d_coordinates_in_image parity). Returns
+    (x_px, y_px, depth_m) or None if the re-check fails."""
+    E = scene.extrinsic_align(image_index)
+    p = scene.points_aligned[point_index: point_index + 1, :3]
+    xy, depth = np_project_points(p, scene.intrinsic, E)
+    x, y, d = float(xy[0, 0]), float(xy[0, 1]), float(depth[0])
+    h, w = scene.image_hw
+    if not (0 <= x < w and 0 <= y < h):
+        return None
+    hd, wd = scene.depth_hw
+    dx = int(np.clip(np.round(x * wd / w), 0, wd - 1))
+    dy = int(np.clip(np.round(y * hd / h), 0, hd - 1))
+    dv = scene.depth_maps[image_index][dy, dx] * 0.001
+    if not (0 < d < dv):
+        return None
+    return x, y, d
+
+
+def _scene_plan(scene_ids: list[str], all_max_samples: int,
+                rng: np.random.Generator) -> tuple[list[str], int]:
+    """Per-scene quota rule (:260-267)."""
+    if all_max_samples > 0:
+        quota = max(all_max_samples // len(scene_ids) + 1, 1)
+        if quota == 1 and len(scene_ids) > all_max_samples:
+            idx = rng.choice(len(scene_ids), size=all_max_samples,
+                             replace=False)
+            scene_ids = [scene_ids[i] for i in sorted(idx)]
+        return scene_ids, quota
+    return scene_ids, -1
+
+
+def _sample_images(image_ids: list[str], quota: int,
+                   rng: np.random.Generator, with_replacement_overflow: bool):
+    if quota <= 0:
+        return list(rng.permutation(image_ids))
+    if quota > len(image_ids):
+        if with_replacement_overflow:
+            return [image_ids[int(i)] for i in
+                    rng.integers(len(image_ids), size=quota)]
+        return list(rng.permutation(image_ids))
+    idx = rng.choice(len(image_ids), size=quota, replace=False)
+    return [image_ids[int(i)] for i in idx]
+
+
+# ---------------------------------------------------------------------------
+# Depth estimation (coor + dot)
+# ---------------------------------------------------------------------------
+
+def generate_depth_estimation(
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    output_path: str,
+    variant: str = "coor",
+    config: DepthEngineConfig | None = None,
+    eval_mode: bool = False,
+    image_provider: ImageProvider | None = None,
+    image_output_dir: str | None = None,
+    warning_path: str | None = None,
+) -> EngineOutputs:
+    assert variant in ("coor", "dot")
+    config = config or DepthEngineConfig()
+    warn = WarningSink(warning_path)
+    rng = stream(config.seed, "depth_estimation", variant,
+                 "eval" if eval_mode else "train")
+    task_name = f"depth_estimation_{variant}"
+
+    scene_ids, quota = _scene_plan(store.scene_ids(), config.all_max_samples, rng)
+    samples: list[dict] = []
+    for sid in scene_ids:
+        scene = store.get(sid)
+        h, w = scene.image_hw
+        image_ids = scene.valid_image_ids()
+        if not image_ids:
+            continue
+        for image_id in _sample_images(image_ids, quota, rng, False):
+            visible = vis_index.image_to_points(sid, image_id)
+            if len(visible) == 0:
+                warn(f"Warning: image {image_id} in scene {sid} has no "
+                     f"visible points.")
+                continue
+            if len(visible) < config.max_n_points_per_image:
+                picks = [int(visible[int(i)]) for i in
+                         rng.integers(len(visible),
+                                      size=config.max_n_points_per_image)]
+            else:
+                picks = [int(visible[int(i)]) for i in
+                         rng.choice(len(visible),
+                                    size=config.max_n_points_per_image,
+                                    replace=False)]
+            img_index = scene.image_index(image_id)
+            for point in picks:
+                proj = _project_point(scene, img_index, point)
+                if proj is None:
+                    warn(f"Warning: Point-Id {point} is not visible in "
+                         f"image {image_id} in scene {sid}.")
+                    continue
+                x_px, y_px, depth_m = proj
+                x = normalized_coord(x_px, w)
+                y = normalized_coord(y_px, h)
+                depth = int(np.round(depth_m * 1000))
+
+                if variant == "coor":
+                    task = choice(rng, T.EST_COOR_TASK_DESCRIPTION)
+                    question = choice(rng, T.EST_QUESTIONS_COOR).format(x1=x, y1=y)
+                    answer = choice(rng, T.EST_ANSWERS_COOR).format(
+                        x1=x, y1=y, depth=depth)
+                    image_rel = f"{sid}/{image_id}.jpg"
+                else:
+                    task = choice(rng, T.EST_DOT_TASK_DESCRIPTION)
+                    question = choice(rng, T.EST_QUESTIONS_DOT)
+                    answer = choice(rng, T.EST_ANSWERS_DOT).format(depth=depth)
+                    image_rel = f"{sid}/{image_id}_p{point}_annotated.jpg"
+                    if image_provider is not None and image_output_dir:
+                        img = image_provider(sid, image_id).copy()
+                        color = generate_distinct_colors(1, rng)[0]
+                        draw_dot(img, (int(x_px), int(y_px)), color)
+                        save_annotated(img, image_output_dir, image_rel)
+
+                samples.append({
+                    "id": f"{sid}_{image_id}_point{point}",
+                    "image": [image_rel],
+                    "conversations": make_conversation(
+                        f"{task}\n{question}", answer),
+                    "height_list": [h],
+                    "width_list": [w],
+                    "question_type": task_name,
+                    "gt_value": depth,
+                    "ori_coordinates": [int(x_px), int(y_px)],
+                })
+
+    samples = subsample(samples, config.all_max_samples, rng)
+    if eval_mode:
+        samples = [to_eval_sample(s) for s in samples]
+    out = EngineOutputs(n_skipped=warn.count)
+    n = shuffle_and_write(samples, output_path, rng)
+    if eval_mode:
+        out.val_path, out.n_val = output_path, n
+    else:
+        out.train_path, out.n_train = output_path, n
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Depth comparison (coor + dot)
+# ---------------------------------------------------------------------------
+
+def generate_depth_comparison(
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    output_path: str,
+    variant: str = "coor",
+    config: DepthEngineConfig | None = None,
+    eval_mode: bool = False,
+    image_provider: ImageProvider | None = None,
+    image_output_dir: str | None = None,
+    warning_path: str | None = None,
+) -> EngineOutputs:
+    assert variant in ("coor", "dot")
+    config = config or DepthEngineConfig()
+    warn = WarningSink(warning_path)
+    rng = stream(config.seed, "depth_comparison", variant,
+                 "eval" if eval_mode else "train")
+    question_type = ("depth_comparison_coordinate" if variant == "coor"
+                     else "depth_comparison_annotated")
+
+    scene_ids, quota = _scene_plan(store.scene_ids(), config.all_max_samples, rng)
+    samples: list[dict] = []
+    for sid in scene_ids:
+        scene = store.get(sid)
+        h, w = scene.image_hw
+        image_ids = scene.valid_image_ids()
+        if not image_ids:
+            continue
+        for image_id in _sample_images(image_ids, quota, rng, True):
+            visible = vis_index.image_to_points(sid, image_id)
+            if len(visible) < 2:
+                continue
+            img_index = scene.image_index(image_id)
+
+            for _ in range(config.max_n_points_per_image):
+                max_retries = 10 if variant == "dot" else 1
+                pair = None
+                for retry in range(max_retries + 1):
+                    if retry == max_retries:
+                        break
+                    pick = rng.choice(len(visible), size=2, replace=False)
+                    candidate = []
+                    for p in pick:
+                        proj = _project_point(scene, img_index, int(visible[p]))
+                        if proj is None:
+                            warn(f"Warning: Point-Id {int(visible[p])} is not "
+                                 f"visible in image {image_id} in scene {sid}.")
+                            continue
+                        x_px, y_px, depth_m = proj
+                        candidate.append({
+                            "x": normalized_coord(x_px, w),
+                            "y": normalized_coord(y_px, h),
+                            "depth": int(np.round(depth_m * 1000)),
+                            "coords": (int(x_px), int(y_px)),
+                            "point_id": int(visible[p]),
+                        })
+                    if (len(candidate) == 2
+                            and candidate[0]["depth"] != candidate[1]["depth"]):
+                        pair = candidate
+                        break
+                if pair is None:
+                    warn(f"Warning: no valid unequal-depth pair in image "
+                         f"{image_id} in scene {sid}.")
+                    continue
+
+                letters = ["A", "B"]
+                rng.shuffle(letters)
+                order = rng.permutation(2)
+                shuffled = [pair[int(i)] for i in order]
+                for i, info in enumerate(shuffled):
+                    info["letter"] = letters[i]
+                p1, p2 = shuffled
+                closer = p1 if p1["depth"] <= p2["depth"] else p2
+                farther = p2 if p1["depth"] <= p2["depth"] else p1
+                is_closer = bool(rng.integers(2))
+
+                if variant == "coor":
+                    task = choice(rng, T.COMP_COOR_TASK_DESCRIPTION)
+                    qbank = (T.COMP_CLOSER_QUESTIONS_COOR if is_closer
+                             else T.COMP_FARTHER_QUESTIONS_COOR)
+                    abank = (T.COMP_CLOSER_ANSWERS_COOR if is_closer
+                             else T.COMP_FARTHER_ANSWERS_COOR)
+                    target = closer if is_closer else farther
+                    question = choice(rng, qbank).format(
+                        x1=p1["x"], y1=p1["y"], x2=p2["x"], y2=p2["y"])
+                    answer = choice(rng, abank).format(
+                        correct_x=target["x"], correct_y=target["y"])
+                    gt_value = [target["x"], target["y"]]
+                    image_rel = f"{sid}/{image_id}.jpg"
+                else:
+                    task = choice(rng, T.COMP_DOT_TASK_DESCRIPTION)
+                    qbank = (T.COMP_CLOSER_QUESTIONS_DOT if is_closer
+                             else T.COMP_FARTHER_QUESTIONS_DOT)
+                    abank = (T.COMP_CLOSER_ANSWERS_DOT if is_closer
+                             else T.COMP_FARTHER_ANSWERS_DOT)
+                    target = closer if is_closer else farther
+                    question = choice(rng, qbank)
+                    answer = choice(rng, abank).format(
+                        correct_label=target["letter"])
+                    gt_value = target["letter"]
+                    pid0, pid1 = pair[0]["point_id"], pair[1]["point_id"]
+                    image_rel = f"{sid}/{image_id}_p{pid0}_p{pid1}_annotated.jpg"
+                    if image_provider is not None and image_output_dir:
+                        img = image_provider(sid, image_id).copy()
+                        for info in shuffled:
+                            color = tuple(int(c) for c in rng.integers(0, 256, 3))
+                            draw_lettered_dot(img, info["coords"],
+                                              info["letter"], color)
+                        save_annotated(img, image_output_dir, image_rel)
+
+                pid0, pid1 = pair[0]["point_id"], pair[1]["point_id"]
+                samples.append({
+                    "id": f"{sid}_{image_id}_p{pid0}_p{pid1}",
+                    "image": [image_rel],
+                    "conversations": make_conversation(
+                        f"{task}\n{question}", answer),
+                    "height_list": [h],
+                    "width_list": [w],
+                    "question_type": question_type,
+                    "gt_value": gt_value,
+                    "points_info": [
+                        {k: v for k, v in info.items() if k != "point_id"}
+                        for info in shuffled
+                    ],
+                    "is_closer_question": is_closer,
+                })
+
+    samples = subsample(samples, config.all_max_samples, rng)
+    if eval_mode:
+        samples = [to_eval_sample(s) for s in samples]
+    out = EngineOutputs(n_skipped=warn.count)
+    n = shuffle_and_write(samples, output_path, rng)
+    if eval_mode:
+        out.val_path, out.n_val = output_path, n
+    else:
+        out.train_path, out.n_train = output_path, n
+    return out
