@@ -1,0 +1,98 @@
+"""Benchmark: MultiSPA QA-sample generation throughput on TPU.
+
+Headline metric (BASELINE.json): QA samples/sec for the data engine. The
+measured task is camera-movement QA generation — the reference's fastest
+engine at ~4.2K samples/s/proc (camera_movement_engine_train_val.py:418,
+"~4 min per 1M samples") — run end-to-end: overlap-balanced sampling,
+batched device pose math, host template formatting, on synthetic scenes
+(no dataset download required).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SAMPLES_PER_SEC = 1_000_000 / 240.0  # ~4167/s (reference comment)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from multi_spatialmllm_tpu.core.scene import SceneStore
+    from multi_spatialmllm_tpu.core.synthetic import make_scene
+    from multi_spatialmllm_tpu.engines import camera_movement as CM
+    from multi_spatialmllm_tpu.stages.frame_relations import (
+        build_frame_relations,
+    )
+    from multi_spatialmllm_tpu.stages.visibility import (
+        compute_scene_visibility,
+    )
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        # 40 scenes x 96 images -> ~182K frame pairs, enough population for
+        # the 200K-per-type balanced sample below.
+        scenes = [
+            make_scene(scene_id=f"bench{i:04d}_00", seed=100 + i,
+                       n_images=96, n_background=4000, n_objects=4,
+                       n_invalid_poses=0)
+            for i in range(40)
+        ]
+        store = SceneStore.write(scenes, f"{tmp}/scenes")
+        log(f"scene synthesis: {time.perf_counter() - t0:.1f}s")
+
+        t0 = time.perf_counter()
+        vis = {s.scene_id: compute_scene_visibility(s, dtype=np.float64)
+               for s in scenes}
+        log(f"visibility stage (f64 on device): {time.perf_counter() - t0:.1f}s")
+
+        t0 = time.perf_counter()
+        relations = build_frame_relations(scenes, visibility=vis,
+                                          dtype=np.float64)
+        log(f"frame relations: {time.perf_counter() - t0:.1f}s "
+            f"({len(relations)} pairs)")
+
+        cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100.0,
+                                      interval=5.0)
+
+        # Warm up device compilation + caches.
+        CM.build_samples_for_question_type(
+            relations, store, "total_distance", 1000, cfg)
+
+        n_target = 200_000
+        qtypes = ("total_distance", "displacement_vector")
+        total = 0
+        t0 = time.perf_counter()
+        for qtype in qtypes:
+            samples = CM.build_samples_for_question_type(
+                relations, store, qtype, n_target, cfg)
+            total += len(samples)
+        dt = time.perf_counter() - t0
+        rate = total / dt
+        log(f"generated {total} samples in {dt:.2f}s -> {rate:,.0f}/s")
+
+    print(json.dumps({
+        "metric": "camera_movement_qa_samples_per_sec",
+        "value": round(rate, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(rate / REFERENCE_SAMPLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,12 +73,23 @@ def _batched_displacement(E1, E2):
 
 
 def compute_displacements(E1: np.ndarray, E2: np.ndarray, chunk: int) -> np.ndarray:
-    out = np.empty((E1.shape[0], 3), dtype=E1.dtype)
-    for lo in range(0, E1.shape[0], chunk):
-        hi = min(lo + chunk, E1.shape[0])
+    """Chunked batched device math; the final chunk is padded to `chunk`
+    (or the smallest power-of-two bucket) so every call hits one of a few
+    compiled shapes instead of recompiling per request size."""
+    n = E1.shape[0]
+    out = np.empty((n, 3), dtype=E1.dtype)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = hi - lo
+        bucket = 1 << (m - 1).bit_length()  # next power of two
+        a = np.zeros((bucket, 4, 4), dtype=E1.dtype)
+        b = np.zeros((bucket, 4, 4), dtype=E1.dtype)
+        a[:m], b[:m] = E1[lo:hi], E2[lo:hi]
+        a[m:] = np.eye(4, dtype=E1.dtype)
+        b[m:] = np.eye(4, dtype=E1.dtype)
         out[lo:hi] = np.asarray(
-            _batched_displacement(jnp.asarray(E1[lo:hi]), jnp.asarray(E2[lo:hi]))
-        )
+            _batched_displacement(jnp.asarray(a), jnp.asarray(b))
+        )[:m]
     return out
 
 
@@ -122,6 +133,49 @@ def build_answer_values(disp: np.ndarray, yaw: float, pitch: float) -> dict:
         "total_distance": int(np.linalg.norm(disp) * 1000),
         "displacement_vector": disp.tolist(),
     }
+
+
+def build_answer_values_batch(disp: np.ndarray, yaw: np.ndarray,
+                              pitch: np.ndarray) -> list[dict]:
+    """Vectorized variant of :func:`build_answer_values` for the hot path:
+    all numeric conversions happen as array ops (the reference does ~15
+    Python-float conversions per row, camera_movement_engine_train_val.py
+    :209-225); the final per-row dict assembly uses plain Python ints from
+    `tolist()`. `int()` truncates toward zero, matching the reference."""
+    n = disp.shape[0]
+    x_right = (disp[:, 0] > 0)
+    y_down = (disp[:, 1] > 0)
+    z_fwd = (disp[:, 2] > 0)
+    yaw_left = yaw > 0
+    pitch_up = pitch > 0
+    abs_mm = np.trunc(np.abs(disp) * 1000).astype(np.int64)
+    val_mm = np.trunc(disp * 1000).astype(np.int64)
+    yaw_i = np.trunc(np.abs(yaw)).astype(np.int64)
+    pitch_i = np.trunc(np.abs(pitch)).astype(np.int64)
+    total = np.trunc(np.linalg.norm(disp, axis=1) * 1000).astype(np.int64)
+    cols = (x_right.tolist(), y_down.tolist(), z_fwd.tolist(),
+            yaw_left.tolist(), pitch_up.tolist(),
+            abs_mm.tolist(), val_mm.tolist(), yaw_i.tolist(),
+            pitch_i.tolist(), total.tolist(), disp.tolist())
+    out = []
+    for k in range(n):
+        (xr, yd, zf, yl, pu, amm, vmm, yi, pi, tot, dv) = (
+            cols[0][k], cols[1][k], cols[2][k], cols[3][k], cols[4][k],
+            cols[5][k], cols[6][k], cols[7][k], cols[8][k], cols[9][k],
+            cols[10][k])
+        out.append({
+            "x_movement": "right" if xr else "left",
+            "y_movement": "down" if yd else "up",
+            "z_movement": "forward" if zf else "backward",
+            "yaw_movement": "left" if yl else "right",
+            "pitch_movement": "up" if pu else "down",
+            "x_distance": amm[0], "y_distance": amm[1], "z_distance": amm[2],
+            "yaw_angle": yi, "pitch_angle": pi,
+            "x_value": vmm[0], "y_value": vmm[1], "z_value": vmm[2],
+            "total_distance": tot,
+            "displacement_vector": dv,
+        })
+    return out
 
 
 def build_samples_for_question_type(
@@ -181,23 +235,35 @@ def build_samples_for_question_type(
             f"{image2[k]}: {dist[k]} vs {ref_distance[k]}"
         )
 
+    if (overlap < 0.1).any():
+        # reference raises NotImplementedError (:199-201); pairs are
+        # sampled from overlap >= overlap_min so this cannot trigger.
+        raise NotImplementedError("overlap < 0.1 is not supported.")
+
+    # Host formatting hot path: pre-draw all template choices and batch the
+    # numeric conversions; the loop below only assembles dicts/strings.
+    values_list = build_answer_values_batch(disp, yaw, pitch)
+    tasks = T.TASK_DESCRIPTION
+    qbank = T.QUESTION_TEMPLATES[question_type]
+    abank = T.ANSWER_TEMPLATES[question_type]
+    t_idx = rng.integers(len(tasks), size=n).tolist()
+    q_idx = rng.integers(len(qbank), size=n).tolist()
+    a_idx = rng.integers(len(abank), size=n).tolist()
+    heights = hw[:, 0].tolist()
+    widths = hw[:, 1].tolist()
+
     samples = []
     for k in range(n):
-        if overlap[k] < 0.1:
-            # reference raises NotImplementedError (:199-201); pairs are
-            # sampled from overlap >= overlap_min so this cannot trigger.
-            raise NotImplementedError("overlap < 0.1 is not supported.")
-        values = build_answer_values(disp[k], float(yaw[k]), float(pitch[k]))
-        task = choice(rng, T.TASK_DESCRIPTION)
-        question = choice(rng, T.QUESTION_TEMPLATES[question_type])
-        answer = choice(rng, T.ANSWER_TEMPLATES[question_type]).format(**values)
+        values = values_list[k]
+        answer = abank[a_idx[k]].format(**values)
         samples.append({
             "id": k,
             "image": [f"{scene_ids[k]}/{image1[k]}.jpg",
                       f"{scene_ids[k]}/{image2[k]}.jpg"],
-            "conversations": make_conversation(f"{task}\n{question}", answer),
-            "height_list": [int(hw[k, 0])] * 2,
-            "width_list": [int(hw[k, 1])] * 2,
+            "conversations": make_conversation(
+                f"{tasks[t_idx[k]]}\n{qbank[q_idx[k]]}", answer),
+            "height_list": [heights[k]] * 2,
+            "width_list": [widths[k]] * 2,
             "answer_values": values,
             "question_type": question_type,
             "gt_value": values[question_type],

@@ -1,0 +1,217 @@
+"""LLaMA/InternLM2-style decoder LLM in Flax (RMSNorm, RoPE, GQA, SwiGLU).
+
+This is the language half of the InternVL-2-style MLLM the reference
+delegates training to (README.md:194-200 points at InternVL-2 + DeepSpeed;
+this repo replaces that external dependency with a TPU-native pjit stack).
+
+Design: weights are laid out so tensor parallelism shards head and FFN
+dimensions on the mesh "model" axis (parallel/sharding.py maps parameter
+paths to PartitionSpecs); attention runs through the XLA path in training
+(differentiable) and can use the Pallas flash kernel at inference; decoding
+uses an explicit functional KV cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import reference_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    num_layers: int = 8
+    num_heads: int = 16
+    num_kv_heads: int = 4
+    ffn_size: int = 5632
+    rope_theta: float = 1e6
+    norm_eps: float = 1e-5
+    max_seq_len: int = 8192
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def rope_frequencies(head_dim: int, theta: float) -> jax.Array:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                            / head_dim))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """x: [B, H, T, D]; positions: [B, T] (int)."""
+    freqs = rope_frequencies(x.shape[-1], theta)            # [D/2]
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # [B,1,T,D/2]
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    rotated = jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return rotated.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, attn_mask=None, cache=None):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        b, t, _ = x.shape
+        hd = cfg.head_dim
+
+        wq = nn.DenseGeneral((cfg.num_heads, hd), axis=-1, use_bias=False,
+                             dtype=dtype, name="wq")
+        wk = nn.DenseGeneral((cfg.num_kv_heads, hd), axis=-1, use_bias=False,
+                             dtype=dtype, name="wk")
+        wv = nn.DenseGeneral((cfg.num_kv_heads, hd), axis=-1, use_bias=False,
+                             dtype=dtype, name="wv")
+        wo = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), use_bias=False,
+                             dtype=dtype, name="wo")
+
+        q = wq(x).transpose(0, 2, 1, 3)     # [B, H, T, hd]
+        k = wk(x).transpose(0, 2, 1, 3)     # [B, KVH, T, hd]
+        v = wv(x).transpose(0, 2, 1, 3)
+
+        q = apply_rope(q, positions, cfg.rope_theta)
+        k = apply_rope(k, positions, cfg.rope_theta)
+
+        new_cache = None
+        if cache is not None:
+            # decode: append at cache["index"].
+            idx = cache["index"]
+            ck = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, idx, 0))
+            cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, idx, 0))
+            new_cache = {"k": ck, "v": cv, "index": idx + t}
+            k, v = ck, cv
+
+        # GQA: repeat kv heads.
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+        if cache is None:
+            out = reference_attention(q, k, v, causal=True)
+        else:
+            # decode: attend over the filled prefix only.
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            s = s * (hd ** -0.5)
+            kv_len = k.shape[2]
+            key_pos = jnp.arange(kv_len)[None, None, None, :]
+            valid = key_pos <= (cache["index"] + jnp.arange(t))[None, None, :, None]
+            s = jnp.where(valid, s, -1e30)
+            p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        out = out.transpose(0, 2, 1, 3)      # [B, T, H, hd]
+        return wo(out), new_cache
+
+
+class MLP(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        gate = nn.Dense(cfg.ffn_size, use_bias=False, dtype=dtype,
+                        name="gate")(x)
+        up = nn.Dense(cfg.ffn_size, use_bias=False, dtype=dtype,
+                      name="up")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
+                        name="down")(nn.silu(gate) * up)
+
+
+class DecoderLayer(nn.Module):
+    cfg: LLMConfig
+
+    @nn.compact
+    def __call__(self, x, positions, cache=None):
+        attn_out, new_cache = Attention(self.cfg, name="attn")(
+            RMSNorm(self.cfg.norm_eps, name="attn_norm")(x),
+            positions, cache=cache)
+        x = x + attn_out
+        x = x + MLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x))
+        return x, new_cache
+
+
+class DecoderLM(nn.Module):
+    """Token-in/logits-out decoder. `input_embeds` overrides the embedding
+    lookup (used by the MLLM to splice vision tokens)."""
+
+    cfg: LLMConfig
+
+    def setup(self):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        self.embed_table = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                    dtype=dtype, name="embed")
+        self.layers = [DecoderLayer(cfg, name=f"layer_{i}")
+                       for i in range(cfg.num_layers)]
+        self.final_norm = RMSNorm(cfg.norm_eps, name="final_norm")
+        self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=dtype,
+                                name="lm_head")
+
+    def embed(self, input_ids):
+        return self.embed_table(input_ids)
+
+    def __call__(self, input_ids=None, input_embeds=None, positions=None,
+                 caches=None):
+        if input_embeds is None:
+            input_embeds = self.embed_table(input_ids)
+        b, t, _ = input_embeds.shape
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+
+        x = input_embeds
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            layer_cache = None if caches is None else caches[i]
+            x, nc = layer(x, positions, cache=layer_cache)
+            new_caches.append(nc)
+        x = self.final_norm(x)
+        logits = self.lm_head(x)
+        if caches is None:
+            return logits
+        return logits, new_caches
+
+
+def init_cache(cfg: LLMConfig, batch: int, max_len: int):
+    """Empty KV cache pytree for greedy decoding."""
+    dtype = jnp.dtype(cfg.dtype)
+    return [
+        {"k": jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim),
+                        dtype=dtype),
+         "v": jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim),
+                        dtype=dtype),
+         "index": 0}
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Masked next-token loss. `labels` are already shifted by the caller."""
+    mask = labels != ignore_index
+    safe = jnp.where(mask, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)

@@ -1,0 +1,148 @@
+"""Multi-frame spatial MLLM: InternVL-2-style ViT + projector + decoder.
+
+The reference delegates model training/eval to the external InternVL-2
+stack (README.md:194-200); this module is the TPU-native equivalent: tiles
+from multiple frames are encoded by the ViT, pixel-shuffled 2x2 -> 4C,
+projected into the LLM embedding space, and spliced into the token stream
+at IMG_CONTEXT positions. Loss is masked next-token cross-entropy over the
+assistant turns, exactly what the MultiSPA JSONL conversations train.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .llm import DecoderLM, LLMConfig, cross_entropy_loss, init_cache
+from .vit import ViTConfig, VisionTransformer
+
+IMG_CONTEXT_ID_DEFAULT = 3  # reserved token id for vision-token slots
+
+
+@dataclasses.dataclass(frozen=True)
+class MLLMConfig:
+    vit: ViTConfig = ViTConfig()
+    llm: LLMConfig = LLMConfig()
+    img_context_id: int = IMG_CONTEXT_ID_DEFAULT
+    downsample: int = 2  # pixel-shuffle factor (InternVL uses 0.5 scale)
+
+    @property
+    def tokens_per_tile(self) -> int:
+        return self.vit.num_patches // (self.downsample ** 2)
+
+
+def pixel_shuffle(x: jax.Array, grid: int, factor: int) -> jax.Array:
+    """`[B, P, D] -> [B, P/f^2, D*f^2]` spatial-to-depth on the patch grid
+    (InternVL's 0.5-scale pixel shuffle)."""
+    b, p, d = x.shape
+    x = x.reshape(b, grid, grid, d)
+    x = x.reshape(b, grid // factor, factor, grid // factor, factor, d)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (grid // factor) ** 2, d * factor * factor)
+
+
+class Projector(nn.Module):
+    cfg: MLLMConfig
+
+    @nn.compact
+    def __call__(self, vision_tokens):
+        dtype = jnp.dtype(self.cfg.llm.dtype)
+        x = nn.LayerNorm(dtype=dtype, name="norm")(vision_tokens)
+        x = nn.Dense(self.cfg.llm.hidden_size, dtype=dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.cfg.llm.hidden_size, dtype=dtype, name="fc2")(x)
+
+
+class MultiFrameMLLM(nn.Module):
+    cfg: MLLMConfig
+
+    def setup(self):
+        self.vision = VisionTransformer(self.cfg.vit)
+        self.projector = Projector(self.cfg)
+        self.llm = DecoderLM(self.cfg.llm)
+
+    def encode_tiles(self, tiles: jax.Array) -> jax.Array:
+        """`[N_tiles, H, W, 3] -> [N_tiles, tokens_per_tile, llm_hidden]`."""
+        feats = self.vision(tiles)[:, 1:]  # drop cls
+        feats = pixel_shuffle(feats, self.cfg.vit.grid, self.cfg.downsample)
+        return self.projector(feats)
+
+    def __call__(self, input_ids: jax.Array, tiles: jax.Array):
+        """Training/prefill forward.
+
+        Args:
+          input_ids: `[B, T]` with `img_context_id` at vision-token slots.
+          tiles: `[B, N_tiles, H, W, 3]` image tiles; B*N_tiles*tokens_per_
+            tile must equal the per-batch count of img_context positions.
+        Returns logits `[B, T, vocab]`.
+        """
+        b, t = input_ids.shape
+        n_tiles = tiles.shape[1]
+        vision_embeds = self.encode_tiles(
+            tiles.reshape((b * n_tiles,) + tiles.shape[2:]))
+        vision_embeds = vision_embeds.reshape(
+            b, n_tiles * vision_embeds.shape[1], -1)
+
+        embeds = self.llm.embed(input_ids)
+        # Scatter vision embeddings into IMG_CONTEXT slots. Slot counts are
+        # static per batch layout: position k-th context token <- k-th
+        # vision token (cumsum indexing keeps everything statically shaped).
+        is_ctx = input_ids == self.cfg.img_context_id
+        slot_order = jnp.cumsum(is_ctx, axis=1) - 1          # [B, T]
+        slot_order = jnp.clip(slot_order, 0, vision_embeds.shape[1] - 1)
+        gathered = jnp.take_along_axis(
+            vision_embeds, slot_order[..., None], axis=1)
+        embeds = jnp.where(is_ctx[..., None], gathered, embeds)
+        return self.llm(input_embeds=embeds)
+
+    def decode_step(self, input_ids, positions, caches):
+        """One greedy-decode step: `[B, 1]` token -> logits + new caches."""
+        embeds = self.llm.embed(input_ids)
+        return self.llm(input_embeds=embeds, positions=positions,
+                        caches=caches)
+
+
+def loss_fn(model: MultiFrameMLLM, params, batch):
+    """Masked next-token loss over a batch dict with `input_ids`, `tiles`,
+    `labels` (already shifted, -100 = ignore)."""
+    logits = model.apply(params, batch["input_ids"], batch["tiles"])
+    return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
+
+
+def make_example_batch(cfg: MLLMConfig, batch: int = 1, n_tiles: int = 2,
+                       seq_len: int = 512, seed: int = 0):
+    """Synthetic batch whose IMG_CONTEXT layout matches `tiles`."""
+    rng = jax.random.key(seed)
+    t_img = cfg.tokens_per_tile * n_tiles
+    assert seq_len > t_img + 2
+    ids = jax.random.randint(rng, (batch, seq_len), 10,
+                             cfg.llm.vocab_size)
+    ids = ids.at[:, 1:1 + t_img].set(cfg.img_context_id)
+    tiles = jax.random.normal(
+        rng, (batch, n_tiles, cfg.vit.image_size, cfg.vit.image_size, 3),
+        dtype=jnp.float32)
+    labels = jnp.where(ids == cfg.img_context_id, -100, ids)
+    return {"input_ids": ids, "tiles": tiles, "labels": labels}
+
+
+def tiny_config(**overrides) -> MLLMConfig:
+    """Small config for tests/dry runs (same code path as full scale)."""
+    vit = ViTConfig(image_size=56, patch_size=14, hidden_size=128,
+                    num_layers=2, num_heads=4)
+    llm = LLMConfig(vocab_size=512, hidden_size=128, num_layers=2,
+                    num_heads=4, num_kv_heads=2, ffn_size=256,
+                    max_seq_len=512)
+    return MLLMConfig(vit=vit, llm=llm, **overrides)
+
+
+def flagship_config() -> MLLMConfig:
+    """InternVL2-8B-like shape (InternViT-300M + 7-8B decoder)."""
+    vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
+                    num_layers=24, num_heads=16)
+    llm = LLMConfig(vocab_size=92544, hidden_size=4096, num_layers=32,
+                    num_heads=32, num_kv_heads=8, ffn_size=14336,
+                    max_seq_len=8192)
+    return MLLMConfig(vit=vit, llm=llm)

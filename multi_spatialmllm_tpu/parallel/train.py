@@ -1,0 +1,111 @@
+"""pjit training step for the multi-frame MLLM.
+
+TPU-native replacement for the reference's delegated DeepSpeed training
+(README.md:194-200): one jit-compiled step over a (data, model) mesh —
+batch sharded on "data", parameters per parallel/sharding.py, optimizer
+AdamW with optional LoRA-style trainable-mask (the reference's main-paper
+runs use LoRA; full finetune is the default here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llm import cross_entropy_loss
+from ..models.mllm import MLLMConfig, MultiFrameMLLM
+from .mesh import DATA_AXIS
+from .sharding import params_shardings
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.01
+    b1: float = 0.9
+    b2: float = 0.95
+    grad_clip: float = 1.0
+    warmup_steps: int = 100
+    total_steps: int = 10_000
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, cfg.learning_rate, cfg.warmup_steps,
+        max(cfg.total_steps, cfg.warmup_steps + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(schedule, b1=cfg.b1, b2=cfg.b2,
+                    weight_decay=cfg.weight_decay),
+    )
+
+
+def init_train_state(model_cfg: MLLMConfig, train_cfg: TrainConfig,
+                     example_batch, mesh: Mesh, seed: int = 0):
+    """Initialize (model, params, opt_state) with parameters laid out on
+    the mesh."""
+    model = MultiFrameMLLM(model_cfg)
+    params = model.init(jax.random.key(seed), example_batch["input_ids"],
+                        example_batch["tiles"])
+    p_shard = params_shardings(params, mesh)
+    params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+    tx = make_optimizer(train_cfg)
+    opt_state = tx.init(params)
+    return model, params, opt_state, tx
+
+
+def make_train_step(model: MultiFrameMLLM,
+                    tx: optax.GradientTransformation,
+                    mesh: Mesh) -> Callable:
+    """jit-compiled (params, opt_state, batch) -> (params, opt_state,
+    metrics); batch arrays must lead with the global batch dim."""
+
+    def loss_of(params, batch):
+        logits = model.apply(params, batch["input_ids"], batch["tiles"])
+        return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_of)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    metric_sharding = NamedSharding(mesh, P())
+
+    return jax.jit(
+        step,
+        in_shardings=(None, None,
+                      jax.tree_util.tree_map(lambda _: batch_sharding,
+                                             {"input_ids": 0, "tiles": 0,
+                                              "labels": 0})),
+        out_shardings=(None, None,
+                       {"loss": metric_sharding,
+                        "grad_norm": metric_sharding}),
+        donate_argnums=(0, 1),
+    )
+
+
+def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
+    """Orbax checkpoint save (artifact-level resume, SURVEY.md §5.4)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload: dict[str, Any] = {"params": params, "step": step}
+    if opt_state is not None:
+        payload["opt_state"] = opt_state
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, like)

@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# Run the test suite on a virtual 8-device CPU mesh (the full configuration,
+# including multi-chip sharding tests). See tests/conftest.py.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export JAX_PLATFORM_NAME=cpu
+export JAX_PLATFORMS=cpu
+export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8"
+exec python -m pytest tests/ -q "$@"

@@ -1,0 +1,176 @@
+"""Model + parallel tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.models import mllm as M
+from multi_spatialmllm_tpu.models.llm import (
+    DecoderLM,
+    LLMConfig,
+    apply_rope,
+    cross_entropy_loss,
+    init_cache,
+)
+from multi_spatialmllm_tpu.ops.attention import reference_attention
+
+
+class TestLLM:
+    def test_forward_shapes(self):
+        cfg = LLMConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                        num_heads=4, num_kv_heads=2, ffn_size=128,
+                        dtype="float32")
+        model = DecoderLM(cfg)
+        ids = jnp.arange(2 * 16).reshape(2, 16) % 128
+        params = model.init(jax.random.key(0), ids)
+        logits = model.apply(params, ids)
+        assert logits.shape == (2, 16, 128)
+
+    def test_rope_rotation_invariant_norm(self):
+        x = jax.random.normal(jax.random.key(0), (1, 2, 8, 16))
+        pos = jnp.arange(8)[None, :]
+        y = apply_rope(x, pos, 1e4)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(x)), np.linalg.norm(np.asarray(y)),
+            rtol=1e-5)
+        # position 0 is identity
+        np.testing.assert_allclose(np.asarray(y[:, :, 0]),
+                                   np.asarray(x[:, :, 0]), atol=1e-6)
+
+    def test_causality(self):
+        cfg = LLMConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                        num_heads=2, num_kv_heads=2, ffn_size=64,
+                        dtype="float32")
+        model = DecoderLM(cfg)
+        ids = jnp.zeros((1, 8), dtype=jnp.int32)
+        params = model.init(jax.random.key(0), ids)
+        base = model.apply(params, ids)
+        # perturbing a later token must not change earlier logits
+        ids2 = ids.at[0, 5].set(7)
+        out2 = model.apply(params, ids2)
+        np.testing.assert_allclose(np.asarray(base[0, :5]),
+                                   np.asarray(out2[0, :5]), atol=1e-5)
+        assert not np.allclose(np.asarray(base[0, 5:]),
+                               np.asarray(out2[0, 5:]))
+
+    def test_kv_cache_decode_matches_full_forward(self):
+        cfg = LLMConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=4, num_kv_heads=2, ffn_size=64,
+                        dtype="float32")
+        model = DecoderLM(cfg)
+        ids = jax.random.randint(jax.random.key(1), (1, 10), 0, 64)
+        params = model.init(jax.random.key(0), ids)
+        full = model.apply(params, ids)
+        caches = init_cache(cfg, 1, 16)
+        outs = []
+        for t in range(10):
+            pos = jnp.full((1, 1), t)
+            logits, caches = model.apply(
+                params, ids[:, t:t + 1], positions=pos, caches=caches)
+            outs.append(logits[:, 0])
+        step = jnp.stack(outs, axis=1)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(step),
+                                   atol=1e-4)
+
+    def test_cross_entropy_masking(self):
+        logits = jnp.zeros((1, 4, 8))
+        labels = jnp.asarray([[-100, 2, -100, 3]])
+        loss = cross_entropy_loss(logits, labels)
+        np.testing.assert_allclose(float(loss), np.log(8), rtol=1e-6)
+
+
+class TestAttentionKernel:
+    def test_reference_matches_naive(self):
+        q = jax.random.normal(jax.random.key(0), (2, 3, 16, 8))
+        k = jax.random.normal(jax.random.key(1), (2, 3, 16, 8))
+        v = jax.random.normal(jax.random.key(2), (2, 3, 16, 8))
+        out = reference_attention(q, k, v, causal=True)
+        # naive causal softmax
+        s = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(8)
+        mask = np.tril(np.ones((16, 16), bool))
+        s = np.where(mask, s, -1e30)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        expect = np.einsum("bhqk,bhkd->bhqd", p, v)
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-4)
+
+    def test_flash_kernel_interpret_mode(self):
+        # Run the Pallas kernel in interpreter mode on CPU.
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.attention import flash_attention
+
+        q = jax.random.normal(jax.random.key(0), (1, 2, 256, 64),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.key(1), (1, 2, 256, 64),
+                              dtype=jnp.float32)
+        v = jax.random.normal(jax.random.key(2), (1, 2, 256, 64),
+                              dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = flash_attention(q, k, v, causal=True)
+        expect = reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=2e-3)
+
+
+class TestMLLM:
+    def test_forward_and_loss(self):
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=2, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        logits = model.apply(params, batch["input_ids"], batch["tiles"])
+        assert logits.shape == (1, 64, cfg.llm.vocab_size)
+        loss = cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
+        assert np.isfinite(float(loss))
+
+    def test_vision_tokens_influence_output(self):
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=32)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        out1 = model.apply(params, batch["input_ids"], batch["tiles"])
+        out2 = model.apply(params, batch["input_ids"], batch["tiles"] + 1.0)
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_pixel_shuffle(self):
+        x = jnp.arange(1 * 16 * 4, dtype=jnp.float32).reshape(1, 16, 4)
+        y = M.pixel_shuffle(x, grid=4, factor=2)
+        assert y.shape == (1, 4, 16)
+        # first output token gathers the 2x2 top-left patch features
+        expect = np.concatenate(
+            [np.asarray(x[0, i]) for i in (0, 1, 4, 5)])
+        np.testing.assert_array_equal(np.asarray(y[0, 0]), expect)
+
+
+class TestParallel:
+    def test_mesh_and_sharded_train_step(self):
+        from multi_spatialmllm_tpu.parallel.mesh import make_mesh
+        from multi_spatialmllm_tpu.parallel.sharding import params_shardings
+        from multi_spatialmllm_tpu.parallel.train import (
+            TrainConfig,
+            init_train_state,
+            make_train_step,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices (run scripts/test.sh)")
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = M.tiny_config()
+        batch = M.make_example_batch(cfg, batch=4, n_tiles=1, seq_len=32)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(learning_rate=1e-3, warmup_steps=1), batch, mesh)
+        # at least one parameter actually sharded on the model axis
+        shardings = params_shardings(params, mesh)
+        specs = [s.spec for s in jax.tree_util.tree_leaves(shardings)]
+        assert any("model" in str(s) for s in specs)
+        step = make_train_step(model, tx, mesh)
+        losses = []
+        for _ in range(4):  # step 0 uses warmup lr=0; later steps learn
+            params, opt_state, metrics = step(params, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]  # AdamW on a fixed batch reduces loss
