@@ -1,0 +1,170 @@
+"""Command-line interface: `python -m multi_spatialmllm_tpu <command>`.
+
+One typed-config CLI replacing the reference's per-script argparse/globals
+mix (SURVEY.md §5.6). Commands:
+
+  demo            synthesize scenes and run the full pipeline end to end
+  ingest-scannet  raw ScanNet scans -> reference-layout arrays + info pkl
+  ingest-sens     .sens streams -> packed scene npz store
+  pipeline        run stages + engines over an existing scene store
+  tapvid          run the object-movement engines over TAPVid npz files
+  bench           run the benchmark (same as bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def cmd_demo(args) -> None:
+    from .core.scene import SceneStore
+    from .core.synthetic import make_scene
+    from .pipeline import PipelineConfig, SpatialEnginePipeline
+
+    scenes = [
+        make_scene(scene_id=f"demo{i:04d}_00", seed=args.seed + i,
+                   n_images=args.images_per_scene,
+                   n_background=args.points_per_scene)
+        for i in range(args.scenes)
+    ]
+    store = SceneStore.write(scenes, os.path.join(args.output, "scenes"))
+    pipe = SpatialEnginePipeline(
+        store, args.output,
+        PipelineConfig(overlap_min=0.1, overlap_max=100.0, interval=5.0))
+    results = pipe.run_all()
+    summary = {
+        engine: {k: v.n_train + v.n_val for k, v in outs.items()}
+        if isinstance(outs, dict) else outs
+        for engine, outs in results.items()
+    }
+    print(json.dumps(summary, indent=2, default=str))
+
+
+def cmd_ingest_scannet(args) -> None:
+    from .ingest.scannet_export import batch_export
+
+    scan_dirs = sorted(glob.glob(os.path.join(args.scans, "scene*")))
+    if args.limit:
+        scan_dirs = scan_dirs[: args.limit]
+    info = batch_export(scan_dirs, args.output,
+                        label_map_path=args.label_map,
+                        info_pkl_path=os.path.join(
+                            args.output, "scenes_info.pkl"))
+    print(f"exported {len(info)} scans to {args.output}")
+
+
+def cmd_ingest_sens(args) -> None:
+    from .core.io import load_pickle
+    from .core.scene import SceneStore
+    from .ingest.posed_images import scene_from_sens
+    from .ingest.scannet_export import export_scene_arrays
+
+    os.makedirs(args.output, exist_ok=True)
+    sens_files = sorted(glob.glob(os.path.join(args.scans, "*", "*.sens")))
+    if args.limit:
+        sens_files = sens_files[: args.limit]
+    count = 0
+    for sens_path in sens_files:
+        scan = os.path.basename(os.path.dirname(sens_path))
+        scan_dir = os.path.dirname(sens_path)
+        arrays = export_scene_arrays(
+            os.path.join(scan_dir, f"{scan}_vh_clean_2.ply"),
+            os.path.join(scan_dir, f"{scan}.aggregation.json"),
+            os.path.join(scan_dir, f"{scan}_vh_clean_2.0.010000.segs.json"),
+            os.path.join(scan_dir, f"{scan}.txt"))
+        scene = scene_from_sens(sens_path, scan, arrays,
+                                frame_skip=args.frame_skip)
+        scene.save_npz(os.path.join(args.output, f"{scan}.npz"))
+        count += 1
+    print(f"built {count} scene packs in {args.output}")
+
+
+def cmd_pipeline(args) -> None:
+    from .core.scene import SceneStore
+    from .pipeline import PipelineConfig, SpatialEnginePipeline
+
+    store = SceneStore(args.scenes)
+    pipe = SpatialEnginePipeline(store, args.output, PipelineConfig())
+    results = pipe.run_all()
+    print(json.dumps({k: str(v) for k, v in results.items()}, indent=2))
+
+
+def cmd_tapvid(args) -> None:
+    from .engines import object_movement as OM
+    from .ingest.tapvid import load_split_records
+
+    records = load_split_records(args.data, args.meta, args.sub_dataset,
+                                 args.split)
+    for qtype in OM.QUESTION_TYPES:
+        cfg = OM.ObjectMovementConfig(question_type=qtype,
+                                      dot_variant=args.dot)
+        out = OM.generate(
+            records,
+            os.path.join(args.output,
+                         f"{args.sub_dataset}_{qtype}_{args.split}.jsonl"),
+            cfg, img_output_dir=os.path.join(args.output, "images"),
+            eval_mode=args.split == "val")
+        print(f"{qtype}: {out.n_train + out.n_val} samples")
+
+
+def cmd_bench(args) -> None:
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(prog="multi_spatialmllm_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("demo", help="synthetic end-to-end pipeline run")
+    p.add_argument("--output", default="./msm_demo")
+    p.add_argument("--scenes", type=int, default=3)
+    p.add_argument("--images-per-scene", type=int, default=16)
+    p.add_argument("--points-per-scene", type=int, default=6000)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("ingest-scannet", help="export raw ScanNet scans")
+    p.add_argument("--scans", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--label-map", default=None)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_ingest_scannet)
+
+    p = sub.add_parser("ingest-sens", help=".sens -> scene packs")
+    p.add_argument("--scans", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--frame-skip", type=int, default=5)
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_ingest_sens)
+
+    p = sub.add_parser("pipeline", help="run stages+engines over a store")
+    p.add_argument("--scenes", required=True)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("tapvid", help="object-movement engines over npz")
+    p.add_argument("--data", required=True)
+    p.add_argument("--meta", required=True)
+    p.add_argument("--sub-dataset", default="adt")
+    p.add_argument("--split", default="train")
+    p.add_argument("--dot", action="store_true")
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=cmd_tapvid)
+
+    p = sub.add_parser("bench", help="run the benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

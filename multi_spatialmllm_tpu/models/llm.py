@@ -97,9 +97,12 @@ class Attention(nn.Module):
         new_cache = None
         if cache is not None:
             # decode: append at cache["index"].
-            idx = cache["index"]
-            ck = jax.lax.dynamic_update_slice(cache["k"], k, (0, 0, idx, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v, (0, 0, idx, 0))
+            idx = jnp.asarray(cache["index"], dtype=jnp.int32)
+            zero = jnp.zeros((), dtype=jnp.int32)
+            ck = jax.lax.dynamic_update_slice(
+                cache["k"], k, (zero, zero, idx, zero))
+            cv = jax.lax.dynamic_update_slice(
+                cache["v"], v, (zero, zero, idx, zero))
             new_cache = {"k": ck, "v": cv, "index": idx + t}
             k, v = ck, cv
 

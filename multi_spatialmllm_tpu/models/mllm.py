@@ -70,15 +70,9 @@ class MultiFrameMLLM(nn.Module):
         feats = pixel_shuffle(feats, self.cfg.vit.grid, self.cfg.downsample)
         return self.projector(feats)
 
-    def __call__(self, input_ids: jax.Array, tiles: jax.Array):
-        """Training/prefill forward.
-
-        Args:
-          input_ids: `[B, T]` with `img_context_id` at vision-token slots.
-          tiles: `[B, N_tiles, H, W, 3]` image tiles; B*N_tiles*tokens_per_
-            tile must equal the per-batch count of img_context positions.
-        Returns logits `[B, T, vocab]`.
-        """
+    def spliced_embeds(self, input_ids: jax.Array, tiles: jax.Array):
+        """Token embeddings with vision features scattered into the
+        IMG_CONTEXT slots (statically shaped via cumsum slot indexing)."""
         b, t = input_ids.shape
         n_tiles = tiles.shape[1]
         vision_embeds = self.encode_tiles(
@@ -87,16 +81,31 @@ class MultiFrameMLLM(nn.Module):
             b, n_tiles * vision_embeds.shape[1], -1)
 
         embeds = self.llm.embed(input_ids)
-        # Scatter vision embeddings into IMG_CONTEXT slots. Slot counts are
-        # static per batch layout: position k-th context token <- k-th
-        # vision token (cumsum indexing keeps everything statically shaped).
         is_ctx = input_ids == self.cfg.img_context_id
         slot_order = jnp.cumsum(is_ctx, axis=1) - 1          # [B, T]
         slot_order = jnp.clip(slot_order, 0, vision_embeds.shape[1] - 1)
         gathered = jnp.take_along_axis(
             vision_embeds, slot_order[..., None], axis=1)
-        embeds = jnp.where(is_ctx[..., None], gathered, embeds)
-        return self.llm(input_embeds=embeds)
+        return jnp.where(is_ctx[..., None], gathered, embeds)
+
+    def __call__(self, input_ids: jax.Array, tiles: jax.Array):
+        """Training forward.
+
+        Args:
+          input_ids: `[B, T]` with `img_context_id` at vision-token slots.
+          tiles: `[B, N_tiles, H, W, 3]` image tiles; B*N_tiles*tokens_per_
+            tile must equal the per-batch count of img_context positions.
+        Returns logits `[B, T, vocab]`.
+        """
+        return self.llm(input_embeds=self.spliced_embeds(input_ids, tiles))
+
+    def prefill(self, input_ids: jax.Array, tiles: jax.Array, caches):
+        """Prompt prefill: fills the KV caches and returns (logits, caches)."""
+        embeds = self.spliced_embeds(input_ids, tiles)
+        b, t, _ = embeds.shape
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        return self.llm(input_embeds=embeds, positions=positions,
+                        caches=caches)
 
     def decode_step(self, input_ids, positions, caches):
         """One greedy-decode step: `[B, 1]` token -> logits + new caches."""

@@ -1,0 +1,247 @@
+"""End-to-end MultiSPA data-engine pipeline orchestrator.
+
+Chains the L2->L3->L4 stages over a SceneStore with manifest-based
+resumability and structured logging — the single entry point replacing the
+reference's collection of per-stage CLI scripts and hardcoded paths
+(SURVEY.md §5.6). Artifact layout under `output_root`:
+
+    indices/visibility.npz            packed visibility index
+    indices/visibility.parquet        reference-dialect export (optional)
+    indices/frame_relations.parquet   (+ _nonzero companion)
+    indices/object_visibility.pkl
+    indices/coverage_{dim}.pkl
+    qa/<engine>/...jsonl              QA outputs per engine
+    manifest.jsonl                    stage-unit completion records
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from .core.io import dump_pickle, load_pickle
+from .core.scene import SceneStore
+from .stages import coverage as cov
+from .stages.frame_relations import build_frame_relations
+from .stages.manifest import Manifest, config_hash
+from .stages.object_visibility import build_object_visibility
+from .stages.visibility import VisibilityIndex, compute_scene_visibility
+from .utils.logging import StageLogger
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    dtype: str = "float64"            # exact label parity (see stages)
+    write_reference_parquet: bool = False
+    overlap_min: float = 6.0
+    overlap_max: float = 35.0
+    interval: float = 1.0
+    coverage_tolerance: float = cov.TOLERANCE
+    seed: int = 0
+
+
+class SpatialEnginePipeline:
+    def __init__(self, store: SceneStore, output_root: str,
+                 config: PipelineConfig | None = None):
+        self.store = store
+        self.root = output_root
+        self.config = config or PipelineConfig()
+        self.manifest = Manifest(os.path.join(output_root, "manifest.jsonl"))
+        os.makedirs(os.path.join(output_root, "indices"), exist_ok=True)
+        os.makedirs(os.path.join(output_root, "qa"), exist_ok=True)
+        self._vis: VisibilityIndex | None = None
+        self._relations = None
+
+    # ------------------------------------------------------------------
+    # L3 stages
+    # ------------------------------------------------------------------
+
+    def _dtype(self):
+        return np.float64 if self.config.dtype == "float64" else np.float32
+
+    def visibility(self) -> VisibilityIndex:
+        if self._vis is not None:
+            return self._vis
+        path = os.path.join(self.root, "indices", "visibility.npz")
+        cfg = {"dtype": self.config.dtype}
+        log = StageLogger("visibility",
+                          os.path.join(self.root, "events.jsonl"))
+        if self.manifest.is_done("visibility", "all", config_hash(cfg)) \
+                and os.path.exists(path):
+            self._vis = VisibilityIndex.load_npz(path)
+            log.event("loaded_cached", path=path)
+            return self._vis
+        index = VisibilityIndex()
+        for scene in self.store:
+            vis = compute_scene_visibility(scene, self._dtype())
+            index.add_scene(scene.scene_id, scene.image_ids, vis)
+            log.count("scenes")
+        index.save_npz(path)
+        if self.config.write_reference_parquet:
+            index.to_parquet(
+                os.path.join(self.root, "indices", "visibility.parquet"))
+        self.manifest.mark_done("visibility", "all", config_hash(cfg),
+                                {"path": path})
+        log.summary()
+        self._vis = index
+        return index
+
+    def frame_relations(self):
+        if self._relations is not None:
+            return self._relations
+        import pandas as pd
+
+        path = os.path.join(self.root, "indices", "frame_relations.parquet")
+        cfg = {"dtype": self.config.dtype}
+        log = StageLogger("frame_relations",
+                          os.path.join(self.root, "events.jsonl"))
+        if self.manifest.is_done("frame_relations", "all", config_hash(cfg)) \
+                and os.path.exists(path):
+            self._relations = pd.read_parquet(path)
+            log.event("loaded_cached", path=path)
+            return self._relations
+        vis_index = self.visibility()
+        vis_map = {sid: vis_index.matrix(sid) for sid in
+                   vis_index.scene_ids()}
+        df = build_frame_relations(
+            self.store, output_parquet=path,
+            warning_path=os.path.join(self.root, "indices",
+                                      "relations_warning.txt"),
+            dtype=self._dtype(), visibility=vis_map)
+        self.manifest.mark_done("frame_relations", "all", config_hash(cfg),
+                                {"path": path, "rows": len(df)})
+        log.event("built", rows=len(df))
+        log.summary()
+        self._relations = df
+        return df
+
+    def object_visibility(self) -> dict:
+        path = os.path.join(self.root, "indices", "object_visibility.pkl")
+        cfg = {"dtype": self.config.dtype}
+        if self.manifest.is_done("object_visibility", "all",
+                                 config_hash(cfg)) and os.path.exists(path):
+            return load_pickle(path)
+        vis_index = self.visibility()
+        vis_map = {sid: vis_index.matrix(sid) for sid in
+                   vis_index.scene_ids()}
+        result = build_object_visibility(
+            self.store, output_pkl=path,
+            warning_path=os.path.join(self.root, "indices",
+                                      "object_visibility_warning.txt"),
+            visibility=vis_map)
+        self.manifest.mark_done("object_visibility", "all",
+                                config_hash(cfg), {"path": path})
+        return result
+
+    def coverage(self) -> dict[str, dict]:
+        paths = {dim: os.path.join(self.root, "indices",
+                                   f"coverage_{dim}.pkl")
+                 for dim in ("height", "length", "width")}
+        cfg = {"tolerance": self.config.coverage_tolerance,
+               "seed": self.config.seed}
+        if self.manifest.is_done("coverage", "all", config_hash(cfg)) and \
+                all(os.path.exists(p) for p in paths.values()):
+            return {dim: load_pickle(p) for dim, p in paths.items()}
+        ov = self.object_visibility()
+        vis_index = self.visibility()
+        vis_map = {sid: vis_index.matrix(sid) for sid in
+                   vis_index.scene_ids()}
+        h, l, w = cov.build_object_coverage(
+            self.store, ov, visibility=vis_map, seed=self.config.seed,
+            tolerance=self.config.coverage_tolerance)
+        result = {"height": h, "length": l, "width": w}
+        for dim, p in paths.items():
+            dump_pickle(result[dim], p)
+        self.manifest.mark_done("coverage", "all", config_hash(cfg),
+                                {k: v for k, v in paths.items()})
+        return result
+
+    # ------------------------------------------------------------------
+    # L4 engines
+    # ------------------------------------------------------------------
+
+    def run_camera_movement(self, train_counts=None, val_counts=None):
+        from .engines import camera_movement as CM
+
+        rel = self.frame_relations()
+        cfg = CM.CameraMovementConfig(
+            overlap_min=self.config.overlap_min,
+            overlap_max=self.config.overlap_max,
+            interval=self.config.interval)
+        return CM.generate(
+            rel, rel, self.store,
+            os.path.join(self.root, "qa", "camera_movement", "train"),
+            os.path.join(self.root, "qa", "camera_movement", "val"),
+            train_counts=train_counts, val_counts=val_counts, config=cfg)
+
+    def run_depth_perception(self, all_max_samples=1000):
+        from .engines import depth_perception as DP
+
+        vis = self.visibility()
+        out = {}
+        base = os.path.join(self.root, "qa")
+        for variant in ("coor", "dot"):
+            out[f"estimation_{variant}"] = DP.generate_depth_estimation(
+                self.store, vis,
+                os.path.join(base, f"depth_estimation_{variant}",
+                             f"depth_estimation_{variant}.jsonl"),
+                variant=variant,
+                config=DP.DepthEngineConfig(all_max_samples=all_max_samples))
+            out[f"comparison_{variant}"] = DP.generate_depth_comparison(
+                self.store, vis,
+                os.path.join(base, f"depth_comparison_{variant}",
+                             f"depth_comparison_{variant}.jsonl"),
+                variant=variant,
+                config=DP.DepthEngineConfig(all_max_samples=all_max_samples))
+        return out
+
+    def run_visual_correspondence(self, desired_count=1000):
+        from .engines import visual_correspondence as VC
+        from .engines.annotate import SyntheticImageProvider
+
+        rel = self.frame_relations()
+        vis = self.visibility()
+        cfg = VC.CorrespondenceConfig(
+            overlap_min=self.config.overlap_min,
+            overlap_max=self.config.overlap_max,
+            interval=self.config.interval)
+        base = os.path.join(self.root, "qa")
+        out = {}
+        out["coor_2_coor"] = VC.generate_coor_to_coor(
+            rel, self.store, vis,
+            os.path.join(base, "visual_correspondence_coor_2_coor",
+                         "train_visual_correspondence_coor_2_coor.jsonl"),
+            desired_count, cfg)
+        first = self.store.get(self.store.scene_ids()[0])
+        out["dot_2_multichoice"] = VC.generate_dot_to_multichoice(
+            rel, self.store, vis,
+            os.path.join(base, "visual_correspondence_dot_2_multichoice",
+                         "train_visual_correspondence_dot_2_multichoice.jsonl"),
+            desired_count,
+            os.path.join(base, "visual_correspondence_dot_2_multichoice",
+                         "images"),
+            image_provider=SyntheticImageProvider(first.image_hw),
+            config=cfg)
+        return out
+
+    def run_object_perception(self, split="train", eval_mode=False):
+        from .engines import object_perception as OP
+
+        coverage = self.coverage()
+        return OP.generate(
+            self.store, coverage,
+            os.path.join(self.root, "qa", "object_perception"),
+            split, eval_mode=eval_mode)
+
+    def run_all(self) -> dict:
+        """Demo-scale full run (all stages + engines)."""
+        results = {}
+        results["camera_movement"] = self.run_camera_movement(
+            train_counts={"total_distance": 500},
+            val_counts={"total_distance": 50})
+        results["depth_perception"] = self.run_depth_perception(200)
+        results["visual_correspondence"] = self.run_visual_correspondence(200)
+        results["object_perception"] = self.run_object_perception()
+        return results

@@ -1,0 +1,90 @@
+"""Pipeline orchestrator + manifest tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.core.scene import SceneStore
+from multi_spatialmllm_tpu.core.synthetic import make_scene
+from multi_spatialmllm_tpu.pipeline import PipelineConfig, SpatialEnginePipeline
+from multi_spatialmllm_tpu.stages.manifest import Manifest, config_hash
+
+
+class TestManifest:
+    def test_config_hash_stability(self):
+        a = config_hash({"x": 1, "y": [1, 2]})
+        b = config_hash({"y": [1, 2], "x": 1})
+        assert a == b
+        assert config_hash({"x": 2}) != a
+
+    def test_run_units_skips_done(self, tmp_path):
+        m = Manifest(str(tmp_path / "m.jsonl"))
+        calls = []
+        ran = m.run_units("s", ["a", "b"], {"v": 1},
+                          lambda u: calls.append(u) or {"out": u})
+        assert ran == ["a", "b"]
+        # resume: same config -> nothing runs (fresh Manifest re-reads file)
+        m2 = Manifest(str(tmp_path / "m.jsonl"))
+        ran2 = m2.run_units("s", ["a", "b"], {"v": 1},
+                            lambda u: calls.append(u))
+        assert ran2 == []
+        assert m2.outputs("s", "a") == {"out": "a"}
+        # config change invalidates
+        ran3 = m2.run_units("s", ["a"], {"v": 2}, lambda u: None)
+        assert ran3 == ["a"]
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def pipe(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("pipe"))
+        scenes = [
+            make_scene(scene_id=f"p{i:04d}_00", seed=40 + i, n_images=10,
+                       n_background=3000, n_objects=3)
+            for i in range(2)
+        ]
+        store = SceneStore.write(scenes, os.path.join(root, "scenes"))
+        return SpatialEnginePipeline(
+            store, root,
+            PipelineConfig(overlap_min=0.1, overlap_max=100.0, interval=5.0))
+
+    def test_stages_produce_artifacts_and_cache(self, pipe):
+        vis = pipe.visibility()
+        assert os.path.exists(
+            os.path.join(pipe.root, "indices", "visibility.npz"))
+        rel = pipe.frame_relations()
+        assert len(rel) > 0
+        ov = pipe.object_visibility()
+        assert set(ov.keys()) == set(pipe.store.scene_ids())
+        covr = pipe.coverage()
+        assert set(covr.keys()) == {"height", "length", "width"}
+        # second pipeline over the same root loads from cache
+        pipe2 = SpatialEnginePipeline(pipe.store, pipe.root, pipe.config)
+        vis2 = pipe2.visibility()
+        np.testing.assert_array_equal(
+            vis2.matrix(pipe.store.scene_ids()[0]),
+            vis.matrix(pipe.store.scene_ids()[0]))
+
+    def test_run_all_engines(self, pipe):
+        results = pipe.run_all()
+        assert set(results.keys()) == {
+            "camera_movement", "depth_perception", "visual_correspondence",
+            "object_perception"}
+        cm = results["camera_movement"]["total_distance"]
+        assert cm.n_train > 0 and cm.n_val > 0
+        # every produced jsonl parses and has the schema
+        qa_root = os.path.join(pipe.root, "qa")
+        n_files = 0
+        for dirpath, _, files in os.walk(qa_root):
+            for fname in files:
+                if not fname.endswith(".jsonl"):
+                    continue
+                n_files += 1
+                with open(os.path.join(dirpath, fname)) as f:
+                    first = f.readline().strip()
+                    if first:
+                        rec = json.loads(first)
+                        assert "image" in rec and "gt_value" in rec
+        assert n_files >= 6
