@@ -29,6 +29,10 @@ def log(msg: str) -> None:
 def main() -> None:
     import jax
 
+    import multi_spatialmllm_tpu
+
+    multi_spatialmllm_tpu.enable_compilation_cache()
+
     from multi_spatialmllm_tpu.core.scene import SceneStore
     from multi_spatialmllm_tpu.core.synthetic import make_scene
     from multi_spatialmllm_tpu.engines import camera_movement as CM
@@ -56,35 +60,48 @@ def main() -> None:
         store = SceneStore.write(scenes, f"{tmp}/scenes")
         log(f"scene synthesis: {time.perf_counter() - t0:.1f}s")
 
+        # Stage precompute in f32: the measured metric below is QA generation
+        # throughput; f32 keeps the one-off stage compiles to seconds
+        # (production pipelines default to f64 for exact label parity).
         t0 = time.perf_counter()
-        vis = {s.scene_id: compute_scene_visibility(s, dtype=np.float64)
+        vis = {s.scene_id: compute_scene_visibility(s, dtype=np.float32)
                for s in scenes}
-        log(f"visibility stage (f64 on device): {time.perf_counter() - t0:.1f}s")
+        log(f"visibility stage (f32 on device): {time.perf_counter() - t0:.1f}s")
 
         t0 = time.perf_counter()
         relations = build_frame_relations(scenes, visibility=vis,
-                                          dtype=np.float64)
+                                          dtype=np.float32)
         log(f"frame relations: {time.perf_counter() - t0:.1f}s "
             f"({len(relations)} pairs)")
 
+        from multi_spatialmllm_tpu.ingest.native import (
+            build as build_native,
+            native_available,
+        )
+
+        build_native()
+        log(f"native emitter available: {native_available()}")
         cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100.0,
                                       interval=5.0)
 
         # Warm up device compilation + caches.
-        CM.build_samples_for_question_type(
-            relations, store, "total_distance", 1000, cfg)
+        CM.generate_to_jsonl(relations, store, "total_distance", 1000,
+                             f"{tmp}/warmup.jsonl", cfg)
 
+        # End-to-end per question type: balanced sampling, batched device
+        # pose math, template fill, shuffle, JSONL write (the reference's
+        # "~4 min per 1M samples" covers the same span).
         n_target = 200_000
         qtypes = ("total_distance", "displacement_vector")
         total = 0
         t0 = time.perf_counter()
         for qtype in qtypes:
-            samples = CM.build_samples_for_question_type(
-                relations, store, qtype, n_target, cfg)
-            total += len(samples)
+            total += CM.generate_to_jsonl(
+                relations, store, qtype, n_target,
+                f"{tmp}/{qtype}_train.jsonl", cfg)
         dt = time.perf_counter() - t0
         rate = total / dt
-        log(f"generated {total} samples in {dt:.2f}s -> {rate:,.0f}/s")
+        log(f"generated+wrote {total} samples in {dt:.2f}s -> {rate:,.0f}/s")
 
     print(json.dumps({
         "metric": "camera_movement_qa_samples_per_sec",

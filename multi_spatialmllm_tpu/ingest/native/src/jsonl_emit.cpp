@@ -1,0 +1,114 @@
+// Columnar JSONL emitter: a tiny per-row template VM.
+//
+// The QA engines' host-side cost is assembling per-sample JSON records
+// (dict building + string formatting + json.dumps in Python, ~40us/row).
+// This emitter executes a compiled "program" per row over columnar inputs
+// and writes the byte stream directly, at ~1-2us/row single-threaded.
+//
+// Program encoding: flat int32 array of (opcode, a, b) triples.
+//   OP_LIT  (0): append literals[a]                     (pre-JSON-escaped)
+//   OP_STR  (1): append string_table[str_indices[a*n + row]]  (pre-escaped)
+//   OP_INT  (2): append decimal of int_cols[a*n + row]
+//   OP_FLT  (3): append shortest-ish float of float_cols[a*n + row]
+//   OP_SEL  (4): sel = int_cols[a*n + row]; run subprogram
+//                (sub_offsets[b + sel], sub_lengths[b + sel])   [recurses]
+// The main program is (main_offset, main_length) in the same array.
+// Rows are emitted in row_order (shuffle permutation), one line each.
+
+#include <cinttypes>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+enum Op { OP_LIT = 0, OP_STR = 1, OP_INT = 2, OP_FLT = 3, OP_SEL = 4 };
+
+struct Ctx {
+  const char* const* literals;
+  const char* const* string_table;
+  const int64_t* str_indices;
+  const int64_t* int_cols;
+  const double* float_cols;
+  const int32_t* program;
+  const int64_t* sub_offsets;
+  const int64_t* sub_lengths;
+  int64_t n_rows;
+};
+
+void run(const Ctx& ctx, int64_t offset, int64_t length, int64_t row,
+         std::string* out) {
+  const int32_t* ops = ctx.program + offset * 3;
+  for (int64_t i = 0; i < length; ++i) {
+    int32_t op = ops[i * 3], a = ops[i * 3 + 1], b = ops[i * 3 + 2];
+    switch (op) {
+      case OP_LIT:
+        out->append(ctx.literals[a]);
+        break;
+      case OP_STR:
+        out->append(
+            ctx.string_table[ctx.str_indices[(int64_t)a * ctx.n_rows + row]]);
+        break;
+      case OP_INT: {
+        char buf[24];
+        int len = snprintf(buf, sizeof(buf), "%" PRId64,
+                           ctx.int_cols[(int64_t)a * ctx.n_rows + row]);
+        out->append(buf, len);
+        break;
+      }
+      case OP_FLT: {
+        char buf[32];
+        double v = ctx.float_cols[(int64_t)a * ctx.n_rows + row];
+        // shortest representation that round-trips (try increasing
+        // precision; %.17g always round-trips)
+        int len = snprintf(buf, sizeof(buf), "%.15g", v);
+        double back;
+        sscanf(buf, "%lf", &back);
+        if (back != v) len = snprintf(buf, sizeof(buf), "%.17g", v);
+        out->append(buf, len);
+        break;
+      }
+      case OP_SEL: {
+        int64_t sel = ctx.int_cols[(int64_t)a * ctx.n_rows + row];
+        run(ctx, ctx.sub_offsets[b + sel], ctx.sub_lengths[b + sel], row,
+            out);
+        break;
+      }
+      default:
+        break;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int msm_emit_jsonl(
+    const char* out_path, int64_t n_rows, const char* const* literals,
+    const char* const* string_table, const int64_t* str_indices,
+    const int64_t* int_cols, const double* float_cols,
+    const int32_t* program, const int64_t* sub_offsets,
+    const int64_t* sub_lengths, int64_t main_offset, int64_t main_length,
+    const int64_t* row_order) {
+  FILE* f = fopen(out_path, "wb");
+  if (!f) return -1;
+  std::vector<char> iobuf(1 << 20);
+  setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
+
+  Ctx ctx{literals,  string_table, str_indices, int_cols,
+          float_cols, program,     sub_offsets, sub_lengths, n_rows};
+  std::string line;
+  line.reserve(4096);
+  for (int64_t i = 0; i < n_rows; ++i) {
+    int64_t row = row_order ? row_order[i] : i;
+    line.clear();
+    run(ctx, main_offset, main_length, row, &line);
+    line.push_back('\n');
+    if (fwrite(line.data(), 1, line.size(), f) != line.size()) {
+      fclose(f);
+      return -2;
+    }
+  }
+  fclose(f);
+  return 0;
+}

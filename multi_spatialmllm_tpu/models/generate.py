@@ -1,20 +1,30 @@
 """Greedy decoding for the multi-frame MLLM (KV-cache based).
 
-Prefill runs once over the prompt (vision tokens spliced), then a jitted
-single-token decode step repeats; the cache index is carried as a static
-Python int per step so the compiled step is reused across positions via a
-traced position argument.
+Prefill runs once over the (optionally padded) prompt with pad keys masked
+out of attention; then a jitted single-token decode step repeats, its cache
+index carried as a traced position so one compiled step serves every decode
+position. Padding prompts to a shared bucket length keeps the number of
+compiled prefill shapes small across an eval run.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .llm import init_cache
 from .mllm import MultiFrameMLLM
+
+
+def pad_to_bucket(ids: np.ndarray, bucket: int, pad_id: int) -> np.ndarray:
+    """Right-pad `[B, T]` ids to the next multiple of `bucket`."""
+    t = ids.shape[1]
+    target = ((t + bucket - 1) // bucket) * bucket
+    if target == t:
+        return ids
+    pad = np.full((ids.shape[0], target - t), pad_id, dtype=ids.dtype)
+    return np.concatenate([ids, pad], axis=1)
 
 
 def greedy_generate(
@@ -24,17 +34,24 @@ def greedy_generate(
     tiles: jax.Array,
     max_new_tokens: int = 32,
     eos_id: int | None = None,
+    prompt_len: int | None = None,
 ):
-    """`[B, T]` prompt -> `[B, <=max_new_tokens]` generated ids."""
+    """`[B, T]` prompt -> `[B, <=max_new_tokens]` generated ids.
+
+    `prompt_len` marks the real prompt length when `input_ids` is padded
+    (same length for all rows); defaults to the full width.
+    """
     b, t = input_ids.shape
+    real_len = t if prompt_len is None else int(prompt_len)
     max_len = t + max_new_tokens
     caches = init_cache(model.cfg.llm, b, max_len)
 
     prefill = jax.jit(
-        lambda p, ids, tl, cc: model.apply(
-            p, ids, tl, cc, method=MultiFrameMLLM.prefill))
-    logits, caches = prefill(params, input_ids, tiles, caches)
-    next_token = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+        lambda p, ids, tl, cc, n: model.apply(
+            p, ids, tl, cc, n, method=MultiFrameMLLM.prefill))
+    logits, caches = prefill(params, input_ids, tiles, caches,
+                             jnp.asarray(real_len, dtype=jnp.int32))
+    next_token = jnp.argmax(logits[:, real_len - 1], axis=-1)[:, None]
 
     @jax.jit
     def step(params, token, position, caches):
@@ -51,7 +68,7 @@ def greedy_generate(
         return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
 
     out = [next_token]
-    position = jnp.asarray(t, dtype=jnp.int32)
+    position = jnp.asarray(real_len, dtype=jnp.int32)
     finished = jnp.zeros((b,), dtype=bool)
     for _ in range(max_new_tokens - 1):
         if eos_id is not None:

@@ -34,6 +34,7 @@ class LLMConfig:
     norm_eps: float = 1e-5
     max_seq_len: int = 8192
     dtype: str = "bfloat16"
+    use_flash_attention: bool = False  # Pallas fwd + recompute bwd (TPU)
 
     @property
     def head_dim(self) -> int:
@@ -72,7 +73,7 @@ class Attention(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x, positions, attn_mask=None, cache=None):
+    def __call__(self, x, positions, attn_valid=None, cache=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         b, t, _ = x.shape
@@ -112,7 +113,13 @@ class Attention(nn.Module):
         v = jnp.repeat(v, rep, axis=1)
 
         if cache is None:
-            out = reference_attention(q, k, v, causal=True)
+            if cfg.use_flash_attention and attn_valid is None:
+                from ..ops.attention import trainable_flash_attention
+
+                out = trainable_flash_attention(q, k, v, True)
+            else:
+                out = reference_attention(q, k, v, causal=True,
+                                          key_valid=attn_valid)
         else:
             # decode: attend over the filled prefix only.
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
@@ -147,10 +154,10 @@ class DecoderLayer(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x, positions, cache=None):
+    def __call__(self, x, positions, attn_valid=None, cache=None):
         attn_out, new_cache = Attention(self.cfg, name="attn")(
             RMSNorm(self.cfg.norm_eps, name="attn_norm")(x),
-            positions, cache=cache)
+            positions, attn_valid=attn_valid, cache=cache)
         x = x + attn_out
         x = x + MLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x))
@@ -178,7 +185,7 @@ class DecoderLM(nn.Module):
         return self.embed_table(input_ids)
 
     def __call__(self, input_ids=None, input_embeds=None, positions=None,
-                 caches=None):
+                 attn_valid=None, caches=None):
         if input_embeds is None:
             input_embeds = self.embed_table(input_ids)
         b, t, _ = input_embeds.shape
@@ -189,7 +196,8 @@ class DecoderLM(nn.Module):
         new_caches = []
         for i, layer in enumerate(self.layers):
             layer_cache = None if caches is None else caches[i]
-            x, nc = layer(x, positions, cache=layer_cache)
+            x, nc = layer(x, positions, attn_valid=attn_valid,
+                          cache=layer_cache)
             new_caches.append(nc)
         x = self.final_norm(x)
         logits = self.lm_head(x)

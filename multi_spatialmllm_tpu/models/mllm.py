@@ -99,13 +99,28 @@ class MultiFrameMLLM(nn.Module):
         """
         return self.llm(input_embeds=self.spliced_embeds(input_ids, tiles))
 
-    def prefill(self, input_ids: jax.Array, tiles: jax.Array, caches):
-        """Prompt prefill: fills the KV caches and returns (logits, caches)."""
+    def prefill(self, input_ids: jax.Array, tiles: jax.Array, caches,
+                true_length=None):
+        """Prompt prefill: fills the KV caches and returns (logits, caches).
+
+        `true_length` (scalar) marks the real prompt length inside a
+        padded `input_ids` block: pad keys are masked out of attention and
+        the cache index is rewound to `true_length` so decoding overwrites
+        the pad slots. All rows of a batch must share one true length.
+        """
         embeds = self.spliced_embeds(input_ids, tiles)
         b, t, _ = embeds.shape
         positions = jnp.broadcast_to(jnp.arange(t), (b, t))
-        return self.llm(input_embeds=embeds, positions=positions,
-                        caches=caches)
+        attn_valid = None
+        if true_length is not None:
+            attn_valid = jnp.broadcast_to(
+                jnp.arange(t)[None, :] < true_length, (b, t))
+        logits, caches = self.llm(input_embeds=embeds, positions=positions,
+                                  attn_valid=attn_valid, caches=caches)
+        if true_length is not None:
+            caches = [{"k": c["k"], "v": c["v"], "index": true_length}
+                      for c in caches]
+        return logits, caches
 
     def decode_step(self, input_ids, positions, caches):
         """One greedy-decode step: `[B, 1]` token -> logits + new caches."""

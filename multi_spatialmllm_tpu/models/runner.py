@@ -1,0 +1,102 @@
+"""MultiSPA evaluation runner: model x eval JSONL -> predictions + scores.
+
+Completes the L5 loop the reference delegates externally: reads the eval
+records the engines emit (`text` + image list + gt_value), builds padded
+prompts with vision-token expansion, greedy-decodes answers, and scores
+them with models/eval_harness. Prompt lengths are bucketed so an eval run
+compiles only a handful of prefill shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterable
+
+import numpy as np
+
+from .data import DataConfig
+from .eval_harness import ScoreConfig, evaluate
+from .generate import greedy_generate, pad_to_bucket
+from .mllm import MLLMConfig, MultiFrameMLLM
+from .preprocess import tile_image
+from .tokenizer import (
+    ASSISTANT,
+    HUMAN,
+    IMG_CONTEXT,
+    IMG_END,
+    IMG_START,
+    SpatialTokenizer,
+)
+
+
+@dataclasses.dataclass
+class EvalRunConfig:
+    max_new_tokens: int = 24
+    length_bucket: int = 128
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+
+def build_prompt_ids(
+    sample: dict,
+    tokenizer: SpatialTokenizer,
+    model_cfg: MLLMConfig,
+    tiles_per_image: list[int],
+) -> list[int]:
+    """Eval prompt: human turn with vision blocks + assistant cue."""
+    text = sample["text"]
+    img_idx = 0
+    while "<image>" in text:
+        n_ctx = model_cfg.tokens_per_tile * tiles_per_image[img_idx]
+        text = text.replace(
+            "<image>", IMG_START + IMG_CONTEXT * n_ctx + IMG_END, 1)
+        img_idx += 1
+    return [tokenizer.bos_id] + tokenizer.encode(HUMAN + text + ASSISTANT)
+
+
+def predict_sample(
+    model: MultiFrameMLLM,
+    params,
+    tokenizer: SpatialTokenizer,
+    sample: dict,
+    image_loader: Callable[[str], np.ndarray],
+    config: EvalRunConfig,
+) -> str:
+    stacks = [tile_image(image_loader(p), config.data.preprocess)
+              for p in sample["image"]]
+    tiles_per_image = [s.shape[0] for s in stacks]
+    tiles = np.concatenate(stacks, axis=0)[None]          # [1, n, H, W, 3]
+
+    ids = build_prompt_ids(sample, tokenizer, model.cfg, tiles_per_image)
+    prompt = np.asarray([ids], dtype=np.int32)
+    real_len = prompt.shape[1]
+    prompt = pad_to_bucket(prompt, config.length_bucket, tokenizer.pad_id)
+    out = greedy_generate(
+        model, params, prompt, tiles,
+        max_new_tokens=config.max_new_tokens, eos_id=tokenizer.eos_id,
+        prompt_len=real_len)
+    gen = np.asarray(out[0])
+    if tokenizer.eos_id in gen:
+        gen = gen[: int(np.where(gen == tokenizer.eos_id)[0][0])]
+    return tokenizer.decode(gen)
+
+
+def run_eval(
+    model: MultiFrameMLLM,
+    params,
+    tokenizer: SpatialTokenizer,
+    samples: Iterable[dict],
+    image_loader: Callable[[str], np.ndarray],
+    config: EvalRunConfig | None = None,
+    score_config: ScoreConfig | None = None,
+) -> dict:
+    """Greedy-decode every sample and return eval_harness aggregates,
+    plus the raw predictions under "predictions"."""
+    config = config or EvalRunConfig()
+    samples = list(samples)
+    predictions = [
+        predict_sample(model, params, tokenizer, s, image_loader, config)
+        for s in samples
+    ]
+    report = evaluate(samples, predictions, score_config)
+    report["predictions"] = predictions
+    return report

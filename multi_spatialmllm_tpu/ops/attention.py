@@ -114,8 +114,11 @@ def flash_attention(
     return out.reshape(b, h, s, d)
 
 
-def reference_attention(q, k, v, causal=True, sm_scale=None):
-    """XLA reference (differentiable) with identical semantics."""
+def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
+    """XLA reference (differentiable) with identical semantics.
+
+    `key_valid`: optional `[B, T]` bool marking real (non-pad) keys.
+    """
     d = q.shape[-1]
     if sm_scale is None:
         sm_scale = d ** -0.5
@@ -124,5 +127,43 @@ def reference_attention(q, k, v, causal=True, sm_scale=None):
         n = q.shape[2]
         mask = jnp.tril(jnp.ones((n, n), dtype=bool))
         s = jnp.where(mask, s, NEG_INF)
+    if key_valid is not None:
+        s = jnp.where(key_valid[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+
+
+# ---------------------------------------------------------------------------
+# Trainable wrapper: Pallas forward, XLA-recompute backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def trainable_flash_attention(q, k, v, causal=True):
+    """Flash-attention forward (Pallas kernel) with a recompute backward
+    through the XLA reference path — same gradients, fast forward. Falls
+    through to the kernel only when shapes satisfy its block constraints;
+    otherwise uses the XLA path outright."""
+    if _kernel_ok(q):
+        return flash_attention(q, k, v, causal=causal)
+    return reference_attention(q, k, v, causal=causal)
+
+
+def _kernel_ok(q) -> bool:
+    s, d = q.shape[2], q.shape[3]
+    return s >= 128 and s % 128 == 0 and d % 8 == 0 and \
+        jax.default_backend() == "tpu"
+
+
+def _tfa_fwd(q, k, v, causal):
+    return trainable_flash_attention(q, k, v, causal), (q, k, v)
+
+
+def _tfa_bwd(causal, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
+        q, k, v)
+    return vjp(g)
+
+
+trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)

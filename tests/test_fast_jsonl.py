@@ -1,0 +1,144 @@
+"""Native JSONL emitter: program VM correctness + engine output parity."""
+
+import json
+
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.engines import fast_jsonl as FJ
+from multi_spatialmllm_tpu.ingest.native import build, native_available
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _built():
+    build()
+    assert native_available()
+
+
+class TestEmitVM:
+    def _tiny_program(self, n=5):
+        p = FJ.EmitProgram(n)
+        c_int = p.add_int_col(np.arange(n) * 10)
+        c_flt = p.add_float_col(np.asarray([0.1, 1.5, -2.25, 3e-7, 123.0][:n]))
+        c_str = p.add_str_col([f"name{i}" for i in range(n)])
+        c_sel = p.add_int_col(np.asarray([0, 1, 0, 1, 0][:n]))
+        sel = p.make_select(
+            c_sel, [p.ops_for(lambda o: p.lit(o, "zero")),
+                    p.ops_for(lambda o: p.lit(o, "one"))])
+        main = []
+        p.lit(main, '{"i": ')
+        main.append((FJ.OP_INT, c_int, 0))
+        p.lit(main, ', "f": ')
+        main.append((FJ.OP_FLT, c_flt, 0))
+        p.lit(main, ', "s": "')
+        main.append((FJ.OP_STR, c_str, 0))
+        p.lit(main, '", "sel": "')
+        main.append(sel)
+        p.lit(main, '"}')
+        return p, main
+
+    def test_native_matches_python(self, tmp_path):
+        p, main = self._tiny_program()
+        p.emit(main, str(tmp_path / "nat.jsonl"))
+        p.emit(main, str(tmp_path / "py.jsonl"), force_python=True)
+        nat = open(tmp_path / "nat.jsonl").read()
+        py = open(tmp_path / "py.jsonl").read()
+        assert nat == py
+        rows = [json.loads(l) for l in nat.splitlines()]
+        assert rows[1] == {"i": 10, "f": 1.5, "s": "name1", "sel": "one"}
+
+    def test_row_order(self, tmp_path):
+        p, main = self._tiny_program()
+        order = np.asarray([4, 3, 2, 1, 0])
+        p.emit(main, str(tmp_path / "o.jsonl"), row_order=order)
+        rows = [json.loads(l) for l in open(tmp_path / "o.jsonl")]
+        assert [r["i"] for r in rows] == [40, 30, 20, 10, 0]
+
+    def test_escaping(self, tmp_path):
+        p = FJ.EmitProgram(1)
+        c = p.add_str_col(['with "quotes"\nand\tctrl'])
+        main = []
+        p.lit(main, '{"v": "')
+        main.append((FJ.OP_STR, c, 0))
+        p.lit(main, '"}')
+        p.emit(main, str(tmp_path / "e.jsonl"))
+        row = json.loads(open(tmp_path / "e.jsonl").read())
+        assert row["v"] == 'with "quotes"\nand\tctrl'
+
+
+class TestCameraMovementNativeParity:
+    @pytest.fixture(scope="class")
+    def env(self, tmp_path_factory):
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            build_frame_relations,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+        )
+
+        root = tmp_path_factory.mktemp("fj")
+        scene = make_scene(scene_id="fj0000_00", seed=3, n_images=12,
+                           n_background=3000)
+        store = SceneStore.write([scene], str(root / "scenes"))
+        vis = {scene.scene_id: compute_scene_visibility(scene)}
+        rel = build_frame_relations([scene], visibility=vis)
+        return store, rel, root
+
+    @pytest.mark.parametrize("qtype", [
+        "total_distance", "displacement_vector", "x_movement", "yaw_angle"])
+    def test_native_equals_python_assembly(self, env, tmp_path, qtype):
+        from multi_spatialmllm_tpu.core.rng import stream
+        from multi_spatialmllm_tpu.engines import camera_movement as CM
+
+        store, rel, _ = env
+        cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        # identical rng streams for both paths
+        r1 = stream(0, "parity", qtype)
+        r2 = stream(0, "parity", qtype)
+        samples = CM.build_samples_for_question_type(
+            rel, store, qtype, 30, cfg, r1)
+        order = r1.permutation(len(samples))
+        expected = [samples[i] for i in order]
+
+        path = str(tmp_path / f"{qtype}.jsonl")
+        n = CM.generate_to_jsonl(rel, store, qtype, 30, path, cfg, r2)
+        assert n == len(samples)
+        got = [json.loads(l) for l in open(path)]
+        assert len(got) == len(expected)
+        for g, e in zip(got, expected):
+            assert g == e, (g, e)
+
+    def test_native_and_python_emit_identical_bytes(self, env, tmp_path):
+        from multi_spatialmllm_tpu.core.rng import stream
+        from multi_spatialmllm_tpu.engines import camera_movement as CM
+
+        store, rel, _ = env
+        cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        p_nat = str(tmp_path / "nat.jsonl")
+        p_py = str(tmp_path / "py.jsonl")
+        CM.generate_to_jsonl(rel, store, "total_distance", 20, p_nat, cfg,
+                             stream(0, "b"), force_python=False)
+        CM.generate_to_jsonl(rel, store, "total_distance", 20, p_py, cfg,
+                             stream(0, "b"), force_python=True)
+        assert open(p_nat).read() == open(p_py).read()
+
+    def test_eval_mode_schema(self, env, tmp_path):
+        from multi_spatialmllm_tpu.core.rng import stream
+        from multi_spatialmllm_tpu.engines import camera_movement as CM
+        from multi_spatialmllm_tpu.engines.base import validate_eval_sample
+
+        store, rel, _ = env
+        cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        path = str(tmp_path / "eval.jsonl")
+        CM.generate_to_jsonl(rel, store, "yaw_angle", 10, path, cfg,
+                             stream(0, "e"), eval_mode=True)
+        for line in open(path):
+            rec = json.loads(line)
+            assert not validate_eval_sample(rec)
+            assert "conversations" not in rec
+            assert rec["text"].count("\n") >= 1

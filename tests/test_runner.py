@@ -1,0 +1,75 @@
+"""Eval runner tests: padded prefill correctness + end-to-end scoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.models import mllm as M
+from multi_spatialmllm_tpu.models.generate import greedy_generate, pad_to_bucket
+from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+
+class TestPaddedPrefill:
+    def test_padding_does_not_change_generation(self):
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=30)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        plain = greedy_generate(model, params, batch["input_ids"],
+                                batch["tiles"], max_new_tokens=4)
+        padded_ids = pad_to_bucket(np.asarray(batch["input_ids"]), 16, 0)
+        assert padded_ids.shape[1] == 32
+        padded = greedy_generate(model, params, jnp.asarray(padded_ids),
+                                 batch["tiles"], max_new_tokens=4,
+                                 prompt_len=30)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(padded))
+
+
+class TestRunEval:
+    def test_end_to_end_scoring(self, rng):
+        from multi_spatialmllm_tpu.models.runner import (
+            EvalRunConfig,
+            run_eval,
+        )
+        from multi_spatialmllm_tpu.models.data import DataConfig
+        from multi_spatialmllm_tpu.models.preprocess import PreprocessConfig
+
+        tok = SpatialTokenizer()
+        cfg = M.MLLMConfig(
+            vit=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                            num_layers=1, num_heads=2),
+            llm=M.LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                            num_layers=1, num_heads=2, num_kv_heads=2,
+                            ffn_size=64, dtype="float32"),
+            img_context_id=tok.img_context_id,
+        )
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+
+        samples = [
+            {"id": "a", "image": ["s/0.jpg"],
+             "text": "<image>\nHow deep is the point?",
+             "question_type": "depth_estimation_coor", "gt_value": 1000,
+             "height_list": [96], "width_list": [128]},
+            {"id": "b", "image": ["s/1.jpg"],
+             "text": "<image>\nWhich way did the camera move?",
+             "question_type": "x_movement", "gt_value": "left",
+             "height_list": [96], "width_list": [128]},
+        ]
+        run_cfg = EvalRunConfig(
+            max_new_tokens=4, length_bucket=64,
+            data=DataConfig(preprocess=PreprocessConfig(
+                tile_size=56, max_tiles=1, resize_hw=None)))
+        report = run_eval(
+            model, params, tok, samples,
+            lambda p: rng.integers(0, 255, (96, 128, 3), dtype=np.uint8),
+            run_cfg)
+        assert report["count"] == 2
+        assert len(report["predictions"]) == 2
+        assert 0.0 <= report["accuracy"] <= 1.0
+        assert set(report["per_type"]) == {"depth_estimation_coor",
+                                           "x_movement"}
