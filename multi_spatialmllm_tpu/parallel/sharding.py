@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS
 
 # (substring patterns of the flattened param path, spec-builder by ndim)
 _RULES: list[tuple[tuple[str, ...], dict[int, P]]] = [
@@ -46,18 +46,47 @@ def spec_for_path(path: tuple[str, ...], ndim: int) -> P:
     return P()  # replicate
 
 
-def params_shardings(params, mesh: Mesh):
-    """Pytree of NamedShardings matching the params pytree."""
+def _add_fsdp(spec: P, shape: tuple[int, ...], mesh: Mesh,
+              min_size: int) -> P:
+    """Fully-sharded layout: additionally shard the largest free dimension
+    of big parameters over the mesh "data" axis (ZeRO-3 style — XLA
+    inserts the all-gathers before use and reduce-scatters on gradients).
+    """
+    import numpy as np
+
+    if int(np.prod(shape)) < min_size:
+        return spec
+    n_data = mesh.shape[DATA_AXIS]
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    # pick the largest dim not already sharded and divisible by n_data
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if entries[i] is None and shape[i] % n_data == 0:
+            entries[i] = DATA_AXIS
+            return P(*entries)
+    return spec
+
+
+def params_shardings(params, mesh: Mesh, fsdp: bool = False,
+                     fsdp_min_size: int = 2 ** 16):
+    """Pytree of NamedShardings matching the params pytree.
+
+    `fsdp=True` additionally shards every large parameter over the "data"
+    axis (combinable with the tensor-parallel "model" axis specs).
+    """
 
     def assign(path, leaf):
         keys = tuple(
             getattr(k, "key", getattr(k, "name", str(k))) for k in path)
-        return NamedSharding(mesh, spec_for_path(keys, leaf.ndim))
+        spec = spec_for_path(keys, leaf.ndim)
+        if fsdp:
+            spec = _add_fsdp(spec, leaf.shape, mesh, fsdp_min_size)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
     """Device-put params according to the rules."""
     return jax.tree_util.tree_map(
-        jax.device_put, params, params_shardings(params, mesh))
+        jax.device_put, params, params_shardings(params, mesh, fsdp=fsdp))

@@ -32,6 +32,7 @@ class TrainConfig:
     grad_clip: float = 1.0
     warmup_steps: int = 100
     total_steps: int = 10_000
+    fsdp: bool = False  # also shard large params over the data axis
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -52,7 +53,7 @@ def init_train_state(model_cfg: MLLMConfig, train_cfg: TrainConfig,
     model = MultiFrameMLLM(model_cfg)
     params = model.init(jax.random.key(seed), example_batch["input_ids"],
                         example_batch["tiles"])
-    p_shard = params_shardings(params, mesh)
+    p_shard = params_shardings(params, mesh, fsdp=train_cfg.fsdp)
     params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
     tx = make_optimizer(train_cfg)
     opt_state = tx.init(params)

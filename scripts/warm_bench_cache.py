@@ -1,4 +1,6 @@
 """Warm the persistent compilation cache for bench.py's stage shapes."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 import multi_spatialmllm_tpu
 multi_spatialmllm_tpu.enable_compilation_cache()

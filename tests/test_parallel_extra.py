@@ -1,0 +1,73 @@
+"""FSDP sharding + checkpointing tests on the virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.models import mllm as M
+from multi_spatialmllm_tpu.parallel.mesh import make_mesh
+from multi_spatialmllm_tpu.parallel.sharding import params_shardings
+from multi_spatialmllm_tpu.parallel.train import (
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (run scripts/test.sh)")
+
+
+@needs_mesh
+class TestFSDP:
+    def test_fsdp_specs_add_data_axis(self):
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = M.tiny_config()
+        batch = M.make_example_batch(cfg, batch=4, n_tiles=1, seq_len=32)
+        model = M.MultiFrameMLLM(cfg)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        plain = params_shardings(params, mesh, fsdp=False)
+        full = params_shardings(params, mesh, fsdp=True, fsdp_min_size=1024)
+        plain_specs = [str(s.spec) for s in jax.tree_util.tree_leaves(plain)]
+        full_specs = [str(s.spec) for s in jax.tree_util.tree_leaves(full)]
+        assert any("data" in s for s in full_specs)
+        assert not any("data" in s for s in plain_specs)
+        # model-axis TP assignments are preserved under fsdp
+        n_model_plain = sum("model" in s for s in plain_specs)
+        n_model_full = sum("model" in s for s in full_specs)
+        assert n_model_full >= n_model_plain
+
+    def test_fsdp_train_step_runs_and_learns(self):
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = M.tiny_config()
+        batch = M.make_example_batch(cfg, batch=4, n_tiles=1, seq_len=32)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(learning_rate=1e-3, warmup_steps=1, fsdp=True),
+            batch, mesh)
+        step = make_train_step(model, tx, mesh)
+        losses = []
+        for _ in range(4):
+            params, opt_state, metrics = step(params, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+
+@needs_mesh
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        mesh = make_mesh(n_data=8, n_model=1)
+        cfg = M.tiny_config()
+        batch = M.make_example_batch(cfg, batch=8, n_tiles=1, seq_len=32)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(), batch, mesh)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, params, step=7)
+        restored = restore_checkpoint(path, like={"params": params, "step": 7})
+        assert restored["step"] == 7
+        orig = jax.tree_util.tree_leaves(params)
+        back = jax.tree_util.tree_leaves(restored["params"])
+        for a, b in zip(orig, back):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
