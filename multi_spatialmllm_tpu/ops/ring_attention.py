@@ -97,7 +97,7 @@ def ring_attention(
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(spec, spec, spec), out_specs=spec, check_rep=False)
+        in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
     return fn(q, k, v)
 
 
