@@ -51,10 +51,13 @@ def main() -> None:
         t0 = time.perf_counter()
         # 40 scenes x 96 images -> ~182K frame pairs, enough population for
         # the 200K-per-type balanced sample below.
+        # Small depth maps: the dev tunnel's host<->device bandwidth is
+        # ~25 MB/s, so stage wall time here is transfer-bound (real TPU
+        # hosts move these buffers over PCIe at GB/s).
         scenes = [
             make_scene(scene_id=f"bench{i:04d}_00", seed=100 + i,
                        n_images=96, n_background=4000, n_objects=4,
-                       n_invalid_poses=0)
+                       depth_hw=(24, 32), n_invalid_poses=0)
             for i in range(40)
         ]
         store = SceneStore.write(scenes, f"{tmp}/scenes")
