@@ -197,6 +197,59 @@ class Scene:
             categories=np.asarray(self.categories),
         )
 
+    def save_reference_layout(self, root: str) -> dict:
+        """Write this scene in the reference's artifact layout and return
+        its scene-info entry (schema: info_handler.py:7-30).
+
+        Produces `scannet_instance_data/<scene>/*.npy`,
+        `posed_images/<scene>/{NNNNN.jpg,NNNNN.png,NNNNN.txt,intrinsic.txt}`
+        so reference-compatible consumers (or the reference code itself,
+        for parity tests) can read it.
+        """
+        import cv2
+
+        inst_dir = os.path.join(root, "scannet_instance_data", self.scene_id)
+        img_dir = os.path.join(root, "posed_images", self.scene_id)
+        mkdir_or_exist(inst_dir)
+        mkdir_or_exist(img_dir)
+        np.save(os.path.join(inst_dir, "aligned_points.npy"),
+                self.points_aligned)
+        np.save(os.path.join(inst_dir, "unaligned_points.npy"),
+                self.points_unaligned)
+        np.save(os.path.join(inst_dir, "instance_mask.npy"),
+                self.instance_ids)
+        rng = np.random.default_rng(0)
+        h, w = self.image_hw
+        images_info = {}
+        np.savetxt(os.path.join(img_dir, "intrinsic.txt"), self.intrinsic,
+                   fmt="%f")
+        for i, iid in enumerate(self.image_ids):
+            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(img_dir, f"{iid}.jpg"), img)
+            cv2.imwrite(os.path.join(img_dir, f"{iid}.png"),
+                        self.depth_maps[i].astype(np.uint16))
+            np.savetxt(os.path.join(img_dir, f"{iid}.txt"),
+                       self.extrinsics[i], fmt="%f")
+            images_info[iid] = {
+                "image_path": f"posed_images/{self.scene_id}/{iid}.jpg",
+                "depth_image_path": f"posed_images/{self.scene_id}/{iid}.png",
+                "extrinsic_matrix": self.extrinsics[i],
+            }
+        info: dict = {
+            "num_posed_images": len(images_info),
+            "images_info": images_info,
+            "intrinsic_matrix": self.intrinsic,
+            "axis_align_matrix": self.axis_align,
+            "num_objects": self.num_objects,
+        }
+        for oid in range(self.num_objects):
+            info[oid] = {
+                "aligned_bbox": np.asarray(self.aligned_bboxes[oid]),
+                "unaligned_bbox": np.asarray(self.unaligned_bboxes[oid]),
+                "raw_category": self.categories[oid],
+            }
+        return info
+
     @staticmethod
     def load_npz(path: str) -> "Scene":
         z = np.load(path, allow_pickle=False)

@@ -1,0 +1,219 @@
+"""Execute the REFERENCE code itself on a synthetic scene written in its
+artifact layout, and compare its outputs with this framework's stages.
+
+The reference (read-only at /root/reference) is imported via importlib with
+a minimal mmengine stub; nothing is copied. This is the strongest parity
+check available without the real ScanNet download: the reference's own
+`SceneInfoHandler` + visibility/relations `process_scene` run end-to-end
+against our exported artifacts, and every visibility bit and pair relation
+must match exactly (our stages run in float64, like the reference).
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_ROOT), reason="reference not mounted")
+
+
+def _install_mmengine_stub():
+    if "mmengine" in sys.modules:
+        return
+    import pickle
+
+    mm = types.ModuleType("mmengine")
+
+    def load(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def dump(obj, path):
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+
+    def mkdir_or_exist(path):
+        os.makedirs(path, exist_ok=True)
+
+    class TimeCounter:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, fn=None):
+            return fn if fn is not None else self
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    mm.load = load
+    mm.dump = dump
+    mm.mkdir_or_exist = mkdir_or_exist
+    mm.list_from_file = lambda p: [l.strip() for l in open(p) if l.strip()]
+    utils = types.ModuleType("mmengine.utils")
+    dl_utils = types.ModuleType("mmengine.utils.dl_utils")
+    dl_utils.TimeCounter = TimeCounter
+    utils.dl_utils = dl_utils
+    mm.utils = utils
+    sys.modules["mmengine"] = mm
+    sys.modules["mmengine.utils"] = utils
+    sys.modules["mmengine.utils.dl_utils"] = dl_utils
+    if "open3d" not in sys.modules:
+        # only needed by remove_statistical_outliers, which we don't call
+        sys.modules["open3d"] = types.ModuleType("open3d")
+
+
+def _load_reference_module(rel_path, name):
+    _install_mmengine_stub()
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(REFERENCE_ROOT, rel_path))
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+@pytest.fixture(scope="module")
+def ref_info_handler():
+    return _load_reference_module(
+        "spatial_engine/utils/scannet_utils/handler/info_handler.py",
+        "spatial_engine.utils.scannet_utils.handler.info_handler")
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    """Synthetic scene exported to the reference layout + our artifacts."""
+    from multi_spatialmllm_tpu.core.io import dump_pickle
+    from multi_spatialmllm_tpu.core.synthetic import make_scene
+    from multi_spatialmllm_tpu.stages.frame_relations import (
+        compute_scene_relations,
+    )
+    from multi_spatialmllm_tpu.stages.visibility import (
+        compute_scene_visibility,
+    )
+
+    root = str(tmp_path_factory.mktemp("refparity"))
+    scene = make_scene(scene_id="scene0777_00", seed=7, n_images=8,
+                       n_background=2000, n_objects=2, n_invalid_poses=1)
+    info = {scene.scene_id: scene.save_reference_layout(root)}
+    info_path = os.path.join(root, "info.pkl")
+    dump_pickle(info, info_path)
+
+    ours_vis = compute_scene_visibility(scene)  # float64
+    ours_rel = compute_scene_relations(scene, vis=ours_vis)
+    return {"root": root, "scene": scene, "info_path": info_path,
+            "vis": ours_vis, "rel": ours_rel}
+
+
+def _make_handler(ref_info_handler, ref_env):
+    return ref_info_handler.SceneInfoHandler(
+        ref_env["info_path"],
+        posed_images_root=os.path.join(ref_env["root"], "posed_images"),
+        instance_data_root=os.path.join(ref_env["root"],
+                                        "scannet_instance_data"))
+
+
+class TestSceneInfoHandlerParity:
+    def test_accessors_match(self, ref_info_handler, ref_env):
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        sid = scene.scene_id
+        assert handler.get_num_posed_images(sid) == scene.num_images
+        assert handler.get_all_image_ids(sid) == scene.image_ids
+        assert (handler.get_all_extrinsic_valid_image_ids(sid)
+                == scene.valid_image_ids())
+        assert handler.get_num_objects(sid) == scene.num_objects
+        for oid in range(scene.num_objects):
+            assert handler.get_object_height(sid, oid) == \
+                scene.object_height(oid)
+            assert handler.get_object_length(sid, oid) == \
+                scene.object_length(oid)
+            assert handler.get_object_width(sid, oid) == \
+                scene.object_width(oid)
+            assert handler.get_object_width_axis_aligned(sid, oid) == \
+                scene.object_width_axis(oid)
+            np.testing.assert_array_equal(
+                handler.get_object_point_index(sid, oid),
+                scene.object_point_index(oid))
+        np.testing.assert_allclose(
+            handler.get_extrinsic_matrix_align(sid, scene.image_ids[0]),
+            scene.extrinsic_align(0), atol=1e-4)  # savetxt %f round-trip
+
+    def test_visibility_bits_match_reference_pipeline(
+            self, ref_info_handler, ref_env):
+        """Reference online path: project_3d_point_to_image +
+        check_point_visibility over every point/image (the exact loop of
+        make_visibility_info.process_scene :93-113)."""
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        sid = scene.scene_id
+        pts = handler.get_scene_points_align(sid)[:, :3]
+        for image_id in handler.get_all_extrinsic_valid_image_ids(sid):
+            xy, depth = handler.project_3d_point_to_image(sid, image_id, pts)
+            ref_mask = handler.check_point_visibility(sid, image_id, xy,
+                                                      depth)
+            ours = ref_env["vis"][scene.image_index(image_id)]
+            mism = int((ref_mask != ours).sum())
+            assert mism == 0, (image_id, mism)
+
+    def test_relations_match_reference_math(self, ref_info_handler, ref_env):
+        rel_mod = _load_reference_module(
+            "spatial_engine/camera_movement/calculate_frames_relations.py",
+            "ref_calculate_frames_relations")
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        sid = scene.scene_id
+        warning = os.path.join(ref_env["root"], "warn.txt")
+        _, ref_overlap = rel_mod.process_scene(sid, handler, warning)
+        ids = scene.image_ids
+        ours = ref_env["rel"]
+        for (img1, img2), vals in ref_overlap.items():
+            i, j = ids.index(img1), ids.index(img2)
+            np.testing.assert_allclose(
+                ours["overlap"][i, j], vals["overlap"], atol=1e-9)
+            np.testing.assert_allclose(
+                ours["distance"][i, j], vals["distance"], atol=1e-6)
+            np.testing.assert_allclose(
+                ours["yaw"][i, j], vals["yaw"], atol=1e-4)
+            np.testing.assert_allclose(
+                ours["pitch"][i, j], vals["pitch"], atol=1e-4)
+
+    def test_unprojection_matches_reference_ops(self, ref_env):
+        """handler/ops.project_mask_to_3d vs geometry.unproject_pixels on
+        the same depth image."""
+        ops_mod = _load_reference_module(
+            "spatial_engine/utils/scannet_utils/handler/ops.py",
+            "ref_handler_ops")
+        import jax.numpy as jnp
+
+        from multi_spatialmllm_tpu.core.geometry import unproject_pixels
+
+        scene = ref_env["scene"]
+        i = 0
+        depth = scene.depth_maps[i]
+        mask = np.zeros(scene.image_hw, dtype=bool)
+        rng = np.random.default_rng(0)
+        ys = rng.integers(0, scene.image_hw[0], 50)
+        xs = rng.integers(0, scene.image_hw[1], 50)
+        mask[ys, xs] = True
+        ref_pts = ops_mod.project_mask_to_3d(
+            depth, scene.intrinsic, scene.extrinsics[i], mask,
+            scene.axis_align)
+        # ours: the same pixels in (x, y) order; np.where scans row-major
+        my, mx = np.where(mask)
+        pix = np.stack([mx, my], axis=1)
+        pts, valid = unproject_pixels(
+            jnp.asarray(pix), jnp.asarray(depth.astype(np.int64)),
+            jnp.asarray(scene.intrinsic), jnp.asarray(scene.extrinsics[i]),
+            axis_align=jnp.asarray(scene.axis_align),
+            mask_hw=scene.image_hw)
+        ours_pts = np.asarray(pts)[np.asarray(valid)]
+        np.testing.assert_allclose(ours_pts, ref_pts, atol=1e-9)
