@@ -217,3 +217,110 @@ class TestSceneInfoHandlerParity:
             mask_hw=scene.image_hw)
         ours_pts = np.asarray(pts)[np.asarray(valid)]
         np.testing.assert_allclose(ours_pts, ref_pts, atol=1e-9)
+
+
+class TestEngineMathParity:
+    def test_depth_gt_math_matches(self, ref_info_handler, ref_env):
+        """Reference get_point_2d_coordinates_in_image + 0-1000 rounding vs
+        our depth-engine projection (depth_estimation_coor_engine.py
+        :203-218 semantics)."""
+        from multi_spatialmllm_tpu.engines.depth_perception import (
+            _project_point,
+        )
+        from multi_spatialmllm_tpu.engines.base import normalized_coord
+
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        sid = scene.scene_id
+        checked = 0
+        for image_id in handler.get_all_extrinsic_valid_image_ids(sid):
+            row = scene.image_index(image_id)
+            visible = np.where(ref_env["vis"][row])[0][:20]
+            h, w = handler.get_image_shape(sid, image_id)
+            for point in visible:
+                p2d, pdep = handler.get_point_2d_coordinates_in_image(
+                    sid, image_id, int(point), align=True,
+                    check_visible=True, return_depth=True)
+                assert len(p2d) == 1  # index and online check agree
+                ref_x = round((p2d[0][0] / w) * 1000)
+                ref_y = round((p2d[0][1] / h) * 1000)
+                ref_depth = round(pdep[0] * 1000)
+                ours = _project_point(scene, row, int(point))
+                assert ours is not None
+                assert normalized_coord(ours[0], w) == ref_x
+                assert normalized_coord(ours[1], h) == ref_y
+                assert int(np.round(ours[2] * 1000)) == ref_depth
+                checked += 1
+        assert checked > 50
+
+    def _visibility_dict(self, ref_env):
+        import json
+
+        scene = ref_env["scene"]
+        vis = ref_env["vis"]
+        return {
+            f"{scene.scene_id}:image_to_points:{iid}":
+                json.dumps(np.where(vis[i])[0].tolist())
+            for i, iid in enumerate(scene.image_ids)
+        }
+
+    def test_object_visibility_matches(self, ref_info_handler, ref_env):
+        ov_mod = _load_reference_module(
+            "spatial_engine/object_perception/compute_object_visibility.py",
+            "ref_compute_object_visibility")
+        from multi_spatialmllm_tpu.stages.object_visibility import (
+            compute_object_visibility,
+        )
+
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        _, ref_result, _ = ov_mod.process_scene(
+            scene.scene_id, handler, self._visibility_dict(ref_env))
+        ours = compute_object_visibility(scene, ref_env["vis"])
+        assert set(ref_result["object_to_images"].keys()) == \
+            set(ours["object_to_images"].keys())
+        for oid, ref_list in ref_result["object_to_images"].items():
+            our_list = ours["object_to_images"][oid]
+            assert [e["image_id"] for e in ref_list] == \
+                [e["image_id"] for e in our_list]
+            for r, o in zip(ref_list, our_list):
+                assert r["intersection_count"] == o["intersection_count"]
+                np.testing.assert_allclose(r["visibility"], o["visibility"])
+
+    def test_coverage_search_matches(self, ref_info_handler, ref_env):
+        cov_mod = _load_reference_module(
+            "spatial_engine/object_perception/single_object_coverage_finder"
+            ".py", "ref_single_object_coverage_finder")
+        from multi_spatialmllm_tpu.core.rng import stream
+        from multi_spatialmllm_tpu.stages.coverage import (
+            find_minimal_combinations,
+            object_coverage_intervals,
+        )
+
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        sid = scene.scene_id
+        vis_dict = self._visibility_dict(ref_env)
+        mins, maxs, _ = object_coverage_intervals(scene, ref_env["vis"])
+        valid_ids = scene.valid_image_ids()
+        for oid in range(scene.num_objects):
+            obj_idx = handler.get_object_point_index(sid, oid)
+            scene_pts = handler.get_scene_points_align(sid)[:, :3]
+            for dim, axis, target in (
+                ("height", 2, handler.get_object_height(sid, oid)),
+                ("width", handler.get_object_width_axis_aligned(sid, oid),
+                 handler.get_object_width(sid, oid)),
+            ):
+                ref_res = cov_mod.find_minimal_combinations(
+                    sid, scene_pts, obj_idx, valid_ids, vis_dict, axis,
+                    target, 0.1)
+                rows = [scene.image_index(i) for i in valid_ids]
+                lows = mins[rows, axis, oid + 1]
+                highs = maxs[rows, axis, oid + 1]
+                ours = find_minimal_combinations(
+                    valid_ids, lows, highs, target,
+                    stream(0, "parity", oid, dim))
+                assert set(ref_res.keys()) == set(ours.keys()), (oid, dim)
+                for k in ref_res:
+                    assert {tuple(c) for c in ref_res[k]} == set(ours[k]), \
+                        (oid, dim, k)
