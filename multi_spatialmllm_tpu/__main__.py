@@ -58,7 +58,7 @@ def cmd_ingest_scannet(args) -> None:
 
 
 def cmd_ingest_sens(args) -> None:
-    from .core.io import load_pickle
+
     from .core.scene import SceneStore
     from .ingest.posed_images import scene_from_sens
     from .ingest.scannet_export import export_scene_arrays

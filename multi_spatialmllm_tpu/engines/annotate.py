@@ -12,7 +12,7 @@ data, scene packs, or synthetic images alike.
 from __future__ import annotations
 
 import os
-from typing import Callable, Protocol
+from typing import Protocol
 
 import numpy as np
 

@@ -10,7 +10,7 @@ shape so all engines stay byte-compatible.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Iterable, Sequence
+from typing import Any, Sequence
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .llm import DecoderLM, LLMConfig, cross_entropy_loss, init_cache
+from .llm import DecoderLM, LLMConfig, cross_entropy_loss
 from .vit import ViTConfig, VisionTransformer
 
 IMG_CONTEXT_ID_DEFAULT = 3  # reserved token id for vision-token slots
