@@ -63,24 +63,33 @@ class DepthEngineConfig:
     seed: int = ENGINE_SEEDS["depth_perception"]
 
 
-def _project_point(scene: Scene, image_index: int, point_index: int):
-    """Reproject one scene point into one image with the visibility
-    re-check (get_point_2d_coordinates_in_image parity). Returns
-    (x_px, y_px, depth_m) or None if the re-check fails."""
+def _project_many(scene: Scene, image_index: int, point_indices):
+    """Vectorized reprojection of many scene points into one image with the
+    visibility re-check (get_point_2d_coordinates_in_image parity, float64).
+
+    Returns (x_px, y_px, depth_m, ok) arrays over `point_indices`.
+    """
     E = scene.extrinsic_align(image_index)
-    p = scene.points_aligned[point_index: point_index + 1, :3]
-    xy, depth = np_project_points(p, scene.intrinsic, E)
-    x, y, d = float(xy[0, 0]), float(xy[0, 1]), float(depth[0])
+    pts = scene.points_aligned[np.asarray(point_indices, dtype=np.int64), :3]
+    xy, depth = np_project_points(pts, scene.intrinsic, E)
+    x, y = xy[:, 0], xy[:, 1]
     h, w = scene.image_hw
-    if not (0 <= x < w and 0 <= y < h):
-        return None
     hd, wd = scene.depth_hw
-    dx = int(np.clip(np.round(x * wd / w), 0, wd - 1))
-    dy = int(np.clip(np.round(y * hd / h), 0, hd - 1))
+    inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+    dx = np.clip(np.round(x * wd / w), 0, wd - 1).astype(np.int64)
+    dy = np.clip(np.round(y * hd / h), 0, hd - 1).astype(np.int64)
     dv = scene.depth_maps[image_index][dy, dx] * 0.001
-    if not (0 < d < dv):
+    ok = inb & (depth > 0) & (depth < dv)
+    return x, y, depth, ok
+
+
+def _project_point(scene: Scene, image_index: int, point_index: int):
+    """Single-point wrapper over :func:`_project_many`. Returns
+    (x_px, y_px, depth_m) or None if the visibility re-check fails."""
+    x, y, d, ok = _project_many(scene, image_index, [point_index])
+    if not ok[0]:
         return None
-    return x, y, d
+    return float(x[0]), float(y[0]), float(d[0])
 
 
 def _scene_plan(scene_ids: list[str], all_max_samples: int,
@@ -155,13 +164,13 @@ def generate_depth_estimation(
                                     size=config.max_n_points_per_image,
                                     replace=False)]
             img_index = scene.image_index(image_id)
-            for point in picks:
-                proj = _project_point(scene, img_index, point)
-                if proj is None:
+            xs, ys, ds, oks = _project_many(scene, img_index, picks)
+            for j, point in enumerate(picks):
+                if not oks[j]:
                     warn(f"Warning: Point-Id {point} is not visible in "
                          f"image {image_id} in scene {sid}.")
                     continue
-                x_px, y_px, depth_m = proj
+                x_px, y_px, depth_m = float(xs[j]), float(ys[j]), float(ds[j])
                 x = normalized_coord(x_px, w)
                 y = normalized_coord(y_px, h)
                 depth = int(np.round(depth_m * 1000))
@@ -243,6 +252,9 @@ def generate_depth_comparison(
             if len(visible) < 2:
                 continue
             img_index = scene.image_index(image_id)
+            # One vectorized reprojection of every visible point serves all
+            # pair draws/retries for this image.
+            vxs, vys, vds, voks = _project_many(scene, img_index, visible)
 
             for _ in range(config.max_n_points_per_image):
                 max_retries = 10 if variant == "dot" else 1
@@ -253,12 +265,12 @@ def generate_depth_comparison(
                     pick = rng.choice(len(visible), size=2, replace=False)
                     candidate = []
                     for p in pick:
-                        proj = _project_point(scene, img_index, int(visible[p]))
-                        if proj is None:
+                        if not voks[p]:
                             warn(f"Warning: Point-Id {int(visible[p])} is not "
                                  f"visible in image {image_id} in scene {sid}.")
                             continue
-                        x_px, y_px, depth_m = proj
+                        x_px, y_px, depth_m = (float(vxs[p]), float(vys[p]),
+                                               float(vds[p]))
                         candidate.append({
                             "x": normalized_coord(x_px, w),
                             "y": normalized_coord(y_px, h),
