@@ -40,7 +40,7 @@ def main() -> None:
         build_frame_relations,
     )
     from multi_spatialmllm_tpu.stages.visibility import (
-        compute_scene_visibility,
+        compute_visibility_batch,
     )
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
@@ -67,9 +67,10 @@ def main() -> None:
         # throughput; f32 keeps the one-off stage compiles to seconds
         # (production pipelines default to f64 for exact label parity).
         t0 = time.perf_counter()
-        vis = {s.scene_id: compute_scene_visibility(s, dtype=np.float32)
-               for s in scenes}
-        log(f"visibility stage (f32 on device): {time.perf_counter() - t0:.1f}s")
+        vis = compute_visibility_batch(scenes, dtype=np.float32,
+                                       batch_size=10)
+        log(f"visibility stage (f32, batched dispatch): "
+            f"{time.perf_counter() - t0:.1f}s")
 
         t0 = time.perf_counter()
         relations = build_frame_relations(scenes, visibility=vis,

@@ -74,6 +74,64 @@ def compute_scene_visibility(scene: Scene, dtype=np.float64) -> np.ndarray:
     return np.asarray(vis)[: scene.num_images, : scene.num_points]
 
 
+@functools.lru_cache(maxsize=32)
+def _visibility_batch_fn(s: int, i_pad: int, n_pad: int, depth_hw: tuple,
+                         image_hw: tuple, dtype_name: str):
+    @jax.jit
+    def fn(points, K, extrinsics, depth_maps, image_valid, point_valid):
+        return jax.vmap(
+            lambda p, k, e, d, iv, pv: G.visibility_matrix(
+                p, k, e, d, image_hw, iv, pv)
+        )(points, K, extrinsics, depth_maps, image_valid, point_valid)
+
+    return fn
+
+
+def compute_visibility_batch(
+    scenes: "list[Scene]", dtype=np.float64, batch_size: int = 8
+) -> dict[str, np.ndarray]:
+    """Visibility matrices for many scenes with batched device dispatch.
+
+    Scenes are grouped by padded shape and vmapped `batch_size` at a time
+    — one device round-trip per group chunk instead of one per scene
+    (dispatch/transfer latency dominates small scenes on interconnects
+    slower than PCIe). Returns {scene_id: [I, N] bool}.
+    """
+    ensure_x64(dtype)
+    groups: dict[tuple, list[Scene]] = {}
+    out: dict[str, np.ndarray] = {}
+    for scene in scenes:
+        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
+        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
+        key = (i_pad, n_pad, scene.depth_hw, scene.image_hw)
+        groups.setdefault(key, []).append(scene)
+
+    for (i_pad, n_pad, depth_hw, image_hw), members in groups.items():
+        for lo in range(0, len(members), batch_size):
+            chunk = members[lo: lo + batch_size]
+            s = len(chunk)
+            pts = np.empty((s, n_pad, 3), dtype=dtype)
+            pvalid = np.empty((s, n_pad), dtype=bool)
+            Ks = np.empty((s, 4, 4), dtype=dtype)
+            exts = np.empty((s, i_pad, 4, 4), dtype=dtype)
+            depths = np.empty((s, i_pad) + depth_hw, dtype=np.int32)
+            ivalid = np.empty((s, i_pad), dtype=bool)
+            for j, scene in enumerate(chunk):
+                pts[j], pvalid[j] = scene.padded_points(dtype)
+                exts[j], depths[j], ivalid[j] = scene.padded_images(dtype)
+                Ks[j] = scene.intrinsic.astype(dtype)
+            fn = _visibility_batch_fn(
+                s, i_pad, n_pad, depth_hw, image_hw, np.dtype(dtype).name)
+            vis = np.asarray(fn(
+                jnp.asarray(pts), jnp.asarray(Ks), jnp.asarray(exts),
+                jnp.asarray(depths), jnp.asarray(ivalid),
+                jnp.asarray(pvalid)))
+            for j, scene in enumerate(chunk):
+                out[scene.scene_id] = vis[
+                    j, : scene.num_images, : scene.num_points]
+    return out
+
+
 class VisibilityIndex:
     """In-memory visibility index over many scenes.
 

@@ -295,3 +295,23 @@ class TestCoverage:
         b = {"s1": {1: {1: [("b",)]}}, "s2": {0: {}}}
         m = C.merge_coverage_shards([a, b])
         assert set(m["s1"].keys()) == {0, 1} and "s2" in m
+
+
+class TestBatchedVisibility:
+    def test_batch_matches_per_scene(self):
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+            compute_visibility_batch,
+        )
+
+        scenes = [make_scene(scene_id=f"vb{i}_00", seed=50 + i,
+                             n_images=10, n_background=2000, n_objects=2)
+                  for i in range(3)]
+        # a different-shape scene exercises the grouping path
+        scenes.append(make_scene(scene_id="vb_odd_00", seed=60, n_images=6,
+                                 n_background=1500, n_objects=2))
+        batch = compute_visibility_batch(scenes, batch_size=2)
+        assert set(batch) == {s.scene_id for s in scenes}
+        for s in scenes:
+            single = compute_scene_visibility(s)
+            np.testing.assert_array_equal(batch[s.scene_id], single)
