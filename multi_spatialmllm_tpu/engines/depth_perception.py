@@ -122,6 +122,201 @@ def _sample_images(image_ids: list[str], quota: int,
 # Depth estimation (coor + dot)
 # ---------------------------------------------------------------------------
 
+def _depth_estimation_columns(
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    variant: str,
+    config: DepthEngineConfig,
+    rng: np.random.Generator,
+    warn: WarningSink,
+    image_provider: ImageProvider | None = None,
+    image_output_dir: str | None = None,
+) -> dict:
+    """Columnar sample bundle for depth estimation (same loop and rng
+    order as the dict path; dot-variant annotation happens inline)."""
+    banks = ((T.EST_COOR_TASK_DESCRIPTION, T.EST_QUESTIONS_COOR,
+              T.EST_ANSWERS_COOR) if variant == "coor" else
+             (T.EST_DOT_TASK_DESCRIPTION, T.EST_QUESTIONS_DOT,
+              T.EST_ANSWERS_DOT))
+    cols: dict[str, list] = {k: [] for k in (
+        "sid", "image_id", "point", "x", "y", "depth", "ix", "iy",
+        "h", "w", "t_idx", "q_idx", "a_idx")}
+
+    scene_ids, quota = _scene_plan(store.scene_ids(),
+                                   config.all_max_samples, rng)
+    for sid in scene_ids:
+        scene = store.get(sid)
+        h, w = scene.image_hw
+        image_ids = scene.valid_image_ids()
+        if not image_ids:
+            continue
+        for image_id in _sample_images(image_ids, quota, rng, False):
+            visible = vis_index.image_to_points(sid, image_id)
+            if len(visible) == 0:
+                warn(f"Warning: image {image_id} in scene {sid} has no "
+                     f"visible points.")
+                continue
+            if len(visible) < config.max_n_points_per_image:
+                picks = [int(visible[int(i)]) for i in
+                         rng.integers(len(visible),
+                                      size=config.max_n_points_per_image)]
+            else:
+                picks = [int(visible[int(i)]) for i in
+                         rng.choice(len(visible),
+                                    size=config.max_n_points_per_image,
+                                    replace=False)]
+            img_index = scene.image_index(image_id)
+            xs, ys, ds, oks = _project_many(scene, img_index, picks)
+            for j, point in enumerate(picks):
+                if not oks[j]:
+                    warn(f"Warning: Point-Id {point} is not visible in "
+                         f"image {image_id} in scene {sid}.")
+                    continue
+                x_px, y_px, depth_m = float(xs[j]), float(ys[j]), float(ds[j])
+                if variant == "dot" and image_provider is not None \
+                        and image_output_dir:
+                    img = image_provider(sid, image_id).copy()
+                    color = generate_distinct_colors(1, rng)[0]
+                    draw_dot(img, (int(x_px), int(y_px)), color)
+                    save_annotated(
+                        img, image_output_dir,
+                        f"{sid}/{image_id}_p{point}_annotated.jpg")
+                cols["sid"].append(sid)
+                cols["image_id"].append(image_id)
+                cols["point"].append(point)
+                cols["x"].append(normalized_coord(x_px, w))
+                cols["y"].append(normalized_coord(y_px, h))
+                cols["depth"].append(int(np.round(depth_m * 1000)))
+                cols["ix"].append(int(x_px))
+                cols["iy"].append(int(y_px))
+                cols["h"].append(h)
+                cols["w"].append(w)
+                cols["t_idx"].append(int(rng.integers(len(banks[0]))))
+                cols["q_idx"].append(int(rng.integers(len(banks[1]))))
+                cols["a_idx"].append(int(rng.integers(len(banks[2]))))
+    cols["n"] = len(cols["sid"])
+    cols["variant"] = variant
+    return cols
+
+
+def _depth_estimation_program(cols: dict, eval_mode: bool):
+    """fast_jsonl program for depth-estimation records (byte-compatible
+    with json.dumps of the dict path)."""
+    from .fast_jsonl import OP_INT, OP_STR, EmitProgram
+
+    variant = cols["variant"]
+    n = cols["n"]
+    p = EmitProgram(n)
+    sid = p.add_str_col(cols["sid"])
+    img = p.add_str_col(cols["image_id"])
+    c_pt = p.add_int_col(cols["point"])
+    c_x = p.add_int_col(cols["x"])
+    c_y = p.add_int_col(cols["y"])
+    c_d = p.add_int_col(cols["depth"])
+    c_ix = p.add_int_col(cols["ix"])
+    c_iy = p.add_int_col(cols["iy"])
+    c_h = p.add_int_col(cols["h"])
+    c_w = p.add_int_col(cols["w"])
+    c_t = p.add_int_col(cols["t_idx"])
+    c_q = p.add_int_col(cols["q_idx"])
+    c_a = p.add_int_col(cols["a_idx"])
+
+    field_ops = {"x1": [(OP_INT, c_x, 0)], "y1": [(OP_INT, c_y, 0)],
+                 "depth": [(OP_INT, c_d, 0)]}
+    if variant == "coor":
+        tasks, qs, answers = (T.EST_COOR_TASK_DESCRIPTION,
+                              T.EST_QUESTIONS_COOR, T.EST_ANSWERS_COOR)
+    else:
+        tasks, qs, answers = (T.EST_DOT_TASK_DESCRIPTION,
+                              T.EST_QUESTIONS_DOT, T.EST_ANSWERS_DOT)
+    sel_task = p.make_select(
+        c_t, [p.ops_for(lambda o, t=t: p.lit_json(o, t)) for t in tasks])
+    sel_q = p.make_select(
+        c_q, [p.template_subprogram(t, field_ops) for t in qs])
+    sel_a = p.make_select(
+        c_a, [p.template_subprogram(t, field_ops) for t in answers])
+
+    def emit_image(main):
+        main.append((OP_STR, sid, 0)); p.lit(main, "/")
+        main.append((OP_STR, img, 0))
+        if variant == "dot":
+            p.lit(main, "_p"); main.append((OP_INT, c_pt, 0))
+            p.lit(main, "_annotated.jpg")
+        else:
+            p.lit(main, ".jpg")
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": "')
+    main.append((OP_STR, sid, 0)); p.lit(main, "_")
+    main.append((OP_STR, img, 0)); p.lit(main, "_point")
+    main.append((OP_INT, c_pt, 0))
+    p.lit(main, '", "image": ["')
+    emit_image(main)
+    p.lit(main, '"], ')
+    if not eval_mode:
+        p.lit(main, '"conversations": [{"from": "human", "value": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}, {"from": "gpt", "value": "')
+        main.append(sel_a)
+        p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    main.append((OP_INT, c_h, 0))
+    p.lit(main, '], "width_list": [')
+    main.append((OP_INT, c_w, 0))
+    p.lit(main, f'], "question_type": "depth_estimation_{variant}", '
+                f'"gt_value": ')
+    main.append((OP_INT, c_d, 0))
+    p.lit(main, ', "ori_coordinates": [')
+    main.append((OP_INT, c_ix, 0)); p.lit(main, ", ")
+    main.append((OP_INT, c_iy, 0))
+    if eval_mode:
+        p.lit(main, '], "text": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, ']}')
+    return p, main
+
+
+def generate_depth_estimation_to_jsonl(
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    output_path: str,
+    variant: str = "coor",
+    config: DepthEngineConfig | None = None,
+    eval_mode: bool = False,
+    image_provider: ImageProvider | None = None,
+    image_output_dir: str | None = None,
+    warning_path: str | None = None,
+    force_python: bool = False,
+) -> EngineOutputs:
+    """Columnar fast path: same sampling/annotation loop, records emitted
+    by the native template VM (subsample + shuffle folded into row_order).
+    """
+    assert variant in ("coor", "dot")
+    config = config or DepthEngineConfig()
+    warn = WarningSink(warning_path)
+    rng = stream(config.seed, "depth_estimation", variant,
+                 "eval" if eval_mode else "train")
+    cols = _depth_estimation_columns(
+        store, vis_index, variant, config, rng, warn,
+        image_provider, image_output_dir)
+    n = cols["n"]
+    order = np.arange(n)
+    if 0 < config.all_max_samples < n:  # subsample parity (:273-274)
+        order = rng.choice(n, size=config.all_max_samples, replace=False)
+    order = order[rng.permutation(len(order))]
+    program, main = _depth_estimation_program(cols, eval_mode)
+    program.emit(main, output_path, row_order=order,
+                 force_python=force_python)
+    out = EngineOutputs(n_skipped=warn.count)
+    if eval_mode:
+        out.val_path, out.n_val = output_path, len(order)
+    else:
+        out.train_path, out.n_train = output_path, len(order)
+    return out
+
+
 def generate_depth_estimation(
     store: SceneStore,
     vis_index: VisibilityIndex,

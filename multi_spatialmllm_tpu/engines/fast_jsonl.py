@@ -173,7 +173,7 @@ def _emit_native(program: EmitProgram, main_ops: list, out_path: str,
     if not hasattr(lib, "msm_emit_jsonl_configured"):
         lib.msm_emit_jsonl.restype = ctypes.c_int
         lib.msm_emit_jsonl.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -199,8 +199,9 @@ def _emit_native(program: EmitProgram, main_ops: list, out_path: str,
     float_cols = np.ascontiguousarray(float_cols, dtype=np.float64)
     order = (np.ascontiguousarray(row_order, dtype=np.int64)
              if row_order is not None else None)
+    n_out = n if order is None else len(order)
     rc = lib.msm_emit_jsonl(
-        out_path.encode(), n, literals, table,
+        out_path.encode(), n, n_out, literals, table,
         str_idx.ctypes.data_as(ctypes.c_void_p),
         int_cols.ctypes.data_as(ctypes.c_void_p),
         float_cols.ctypes.data_as(ctypes.c_void_p),

@@ -83,8 +83,12 @@ void run(const Ctx& ctx, int64_t offset, int64_t length, int64_t row,
 
 }  // namespace
 
+// n_rows: column stride (rows in the column arrays).
+// n_out: number of lines to write; row_order (length n_out, may be a
+// subsampled permutation) selects which rows, identity when null.
 extern "C" int msm_emit_jsonl(
-    const char* out_path, int64_t n_rows, const char* const* literals,
+    const char* out_path, int64_t n_rows, int64_t n_out,
+    const char* const* literals,
     const char* const* string_table, const int64_t* str_indices,
     const int64_t* int_cols, const double* float_cols,
     const int32_t* program, const int64_t* sub_offsets,
@@ -99,8 +103,12 @@ extern "C" int msm_emit_jsonl(
           float_cols, program,     sub_offsets, sub_lengths, n_rows};
   std::string line;
   line.reserve(4096);
-  for (int64_t i = 0; i < n_rows; ++i) {
+  for (int64_t i = 0; i < n_out; ++i) {
     int64_t row = row_order ? row_order[i] : i;
+    if (row < 0 || row >= n_rows) {
+      fclose(f);
+      return -3;
+    }
     line.clear();
     run(ctx, main_offset, main_length, row, &line);
     line.push_back('\n');

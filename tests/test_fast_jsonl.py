@@ -142,3 +142,66 @@ class TestCameraMovementNativeParity:
             assert not validate_eval_sample(rec)
             assert "conversations" not in rec
             assert rec["text"].count("\n") >= 1
+
+
+class TestDepthEstimationNativeParity:
+    def test_matches_dict_path_bytes(self, tmp_path):
+        import json
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="dj0000_00", seed=11, n_images=10,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        compute_scene_visibility(scene))
+        cfg = DP.DepthEngineConfig(all_max_samples=6)
+
+        dict_path = str(tmp_path / "dict.jsonl")
+        out1 = DP.generate_depth_estimation(store, index, dict_path,
+                                            "coor", cfg)
+        nat_path = str(tmp_path / "native.jsonl")
+        out2 = DP.generate_depth_estimation_to_jsonl(store, index, nat_path,
+                                                     "coor", cfg)
+        py_path = str(tmp_path / "py.jsonl")
+        DP.generate_depth_estimation_to_jsonl(store, index, py_path, "coor",
+                                              cfg, force_python=True)
+        assert out1.n_train == out2.n_train > 0
+        dict_rows = [json.loads(l) for l in open(dict_path)]
+        nat_rows = [json.loads(l) for l in open(nat_path)]
+        assert dict_rows == nat_rows
+        assert open(nat_path).read() == open(py_path).read()
+
+    def test_eval_mode(self, tmp_path):
+        import json
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.engines.base import validate_eval_sample
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="dj0001_00", seed=12, n_images=8,
+                           n_background=2000)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        compute_scene_visibility(scene))
+        path = str(tmp_path / "eval.jsonl")
+        DP.generate_depth_estimation_to_jsonl(
+            store, index, path, "coor",
+            DP.DepthEngineConfig(all_max_samples=5), eval_mode=True)
+        for line in open(path):
+            rec = json.loads(line)
+            assert not validate_eval_sample(rec)
+            assert "conversations" not in rec
