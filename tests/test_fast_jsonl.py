@@ -205,3 +205,44 @@ class TestDepthEstimationNativeParity:
             rec = json.loads(line)
             assert not validate_eval_sample(rec)
             assert "conversations" not in rec
+
+
+class TestAllQuestionTypesNative:
+    def test_generate_all_nine_types(self, tmp_path):
+        """Full generate() across every camera-movement question type via
+        the native path; every record parses and validates."""
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import camera_movement as CM
+        from multi_spatialmllm_tpu.engines.base import (
+            validate_eval_sample,
+            validate_train_sample,
+        )
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            build_frame_relations,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="aq0000_00", seed=21, n_images=12,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        vis = {scene.scene_id: compute_scene_visibility(scene)}
+        rel = build_frame_relations([scene], visibility=vis)
+        cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        outs = CM.generate(
+            rel, rel, store, str(tmp_path / "train"), str(tmp_path / "val"),
+            train_counts={q: 8 for q in CM.QUESTION_TYPES},
+            val_counts={q: 4 for q in CM.QUESTION_TYPES}, config=cfg)
+        assert set(outs) == set(CM.QUESTION_TYPES)
+        for qtype, out in outs.items():
+            assert out.n_train > 0 and out.n_val > 0
+            for line in open(out.train_path):
+                rec = json.loads(line)
+                assert not validate_train_sample(rec), qtype
+                assert rec["question_type"] == qtype
+            for line in open(out.val_path):
+                rec = json.loads(line)
+                assert not validate_eval_sample(rec), qtype
