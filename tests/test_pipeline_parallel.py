@@ -1,0 +1,69 @@
+"""Pipeline-parallel forward vs sequential execution on the CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.parallel.pipeline_parallel import (
+    make_pipe_mesh,
+    pipeline_forward,
+    stack_stage_params,
+)
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (run scripts/test.sh)")
+
+
+def _mlp_layer(params, x):
+    """Simple residual MLP block as the pipelined unit."""
+    h = jnp.tanh(x @ params["w1"] + params["b1"])
+    return x + h @ params["w2"]
+
+
+def _make_layers(n_layers, d, key):
+    layers = []
+    for i in range(n_layers):
+        k1, k2, key = jax.random.split(jax.random.fold_in(key, i), 3)
+        layers.append({
+            "w1": jax.random.normal(k1, (d, 2 * d)) * 0.1,
+            "b1": jnp.zeros((2 * d,)),
+            "w2": jax.random.normal(k2, (2 * d, d)) * 0.1,
+        })
+    return layers
+
+
+@needs_mesh
+class TestPipelineParallel:
+    @pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 4), (8, 3)])
+    def test_matches_sequential(self, n_stages, n_micro):
+        d = 16
+        n_layers = 8
+        layers = _make_layers(n_layers, d, jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (n_micro, 2, d))
+
+        # sequential oracle
+        expect = x
+        for layer in layers:
+            expect = jax.vmap(lambda xb: _mlp_layer(layer, xb))(expect)
+
+        mesh = make_pipe_mesh(n_stages)
+        stacked = stack_stage_params(layers, n_stages)
+        got = pipeline_forward(stacked, x, mesh, _mlp_layer)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=1e-5)
+
+    def test_jit_compatible(self):
+        d, n_layers, n_stages = 8, 4, 4
+        layers = _make_layers(n_layers, d, jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (2, 2, d))
+        mesh = make_pipe_mesh(n_stages)
+        stacked = stack_stage_params(layers, n_stages)
+        fn = jax.jit(
+            lambda p, x_: pipeline_forward(p, x_, mesh, _mlp_layer))
+        out = fn(stacked, x)
+        expect = x
+        for layer in layers:
+            expect = jax.vmap(lambda xb: _mlp_layer(layer, xb))(expect)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                                   atol=1e-5)
