@@ -67,3 +67,36 @@ class TestPipelineParallel:
             expect = jax.vmap(lambda xb: _mlp_layer(layer, xb))(expect)
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=1e-5)
+
+
+@needs_mesh
+class TestPipelinedDecoder:
+    def test_real_decoder_layers_match_sequential(self):
+        """Pipeline the actual DecoderLayer stack across 4 stages."""
+        from multi_spatialmllm_tpu.models.llm import DecoderLayer, LLMConfig
+
+        cfg = LLMConfig(vocab_size=64, hidden_size=32, num_layers=8,
+                        num_heads=4, num_kv_heads=2, ffn_size=64,
+                        dtype="float32")
+        layer = DecoderLayer(cfg)
+        b, t = 2, 8
+        x0 = jax.random.normal(jax.random.key(0), (b, t, cfg.hidden_size))
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        layer_params = []
+        for i in range(cfg.num_layers):
+            p = layer.init(jax.random.key(100 + i), x0, positions)
+            layer_params.append(p["params"])
+
+        def apply_layer(params, x):
+            out, _ = layer.apply({"params": params}, x, positions)
+            return out
+
+        expect = x0
+        for p in layer_params:
+            expect = apply_layer(p, expect)
+
+        mesh = make_pipe_mesh(4)
+        stacked = stack_stage_params(layer_params, 4)
+        got = pipeline_forward(stacked, x0[None], mesh, apply_layer)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=1e-4)
