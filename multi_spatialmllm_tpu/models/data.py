@@ -88,7 +88,8 @@ def encode_sample(
         if role == "human":
             labels.extend([IGNORE_INDEX] * len(toks))
         else:
-            labels.extend(toks)
+            # supervise the answer + eos, not the role-prefix token
+            labels.extend([IGNORE_INDEX] + toks[1:])
             ids.append(tokenizer.eos_id)
             labels.append(tokenizer.eos_id)
     if len(ids) > config.max_seq_len:

@@ -183,12 +183,14 @@ class SpatialEnginePipeline:
         out = {}
         base = os.path.join(self.root, "qa")
         for variant in ("coor", "dot"):
-            out[f"estimation_{variant}"] = DP.generate_depth_estimation(
-                self.store, vis,
-                os.path.join(base, f"depth_estimation_{variant}",
-                             f"depth_estimation_{variant}.jsonl"),
-                variant=variant,
-                config=DP.DepthEngineConfig(all_max_samples=all_max_samples))
+            out[f"estimation_{variant}"] = \
+                DP.generate_depth_estimation_to_jsonl(
+                    self.store, vis,
+                    os.path.join(base, f"depth_estimation_{variant}",
+                                 f"depth_estimation_{variant}.jsonl"),
+                    variant=variant,
+                    config=DP.DepthEngineConfig(
+                        all_max_samples=all_max_samples))
             out[f"comparison_{variant}"] = DP.generate_depth_comparison(
                 self.store, vis,
                 os.path.join(base, f"depth_comparison_{variant}",
