@@ -167,6 +167,135 @@ def generate_coor_to_coor(
     return out
 
 
+def generate_coor_to_coor_to_jsonl(
+    relations,
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    output_path: str,
+    desired_count: int,
+    config: CorrespondenceConfig | None = None,
+    eval_mode: bool = False,
+    warning_path: str | None = None,
+    force_python: bool = False,
+) -> EngineOutputs:
+    """Columnar fast path for the single-round coor->coor engine
+    (max_points_per_pair must be 1): records emitted by the native
+    template VM, byte-identical to json.dumps of the dict path."""
+    from .fast_jsonl import OP_INT, OP_STR, EmitProgram
+
+    config = config or CorrespondenceConfig()
+    assert config.max_points_per_pair == 1
+    warn = WarningSink(warning_path)
+    rng = stream(config.seed, "vc_coor_2_coor",
+                 "eval" if eval_mode else "train")
+    scene_ids, image1s, image2s = _sample_pairs(
+        relations, desired_count, config, rng)
+
+    cols: dict[str, list] = {k: [] for k in (
+        "sid", "img1", "img2", "idx", "x1", "y1", "x2", "y2", "h", "w",
+        "t_idx", "q_idx", "a_idx")}
+    for idx in range(len(scene_ids)):
+        sid = scene_ids[idx]
+        image1, image2 = image1s[idx], image2s[idx]
+        if rng.random() < 0.5:
+            image1, image2 = image2, image1
+        scene = store.get(sid)
+        h, w = scene.image_hw
+        common = vis_index.common_points(sid, image1, image2)
+        if len(common) == 0:
+            warn(f"[build_training_sample] Warning: No common visible "
+                 f"points for scene {sid} {image1}, {image2}")
+            continue
+        pt = int(rng.choice(common, size=1, replace=False)[0])
+        i1, i2 = scene.image_index(image1), scene.image_index(image2)
+        proj1 = _project_point(scene, i1, pt)
+        proj2 = _project_point(scene, i2, pt)
+        if proj1 is None or proj2 is None:
+            warn(f"Warning: Point {pt} reprojection failed for "
+                 f"{sid} {image1}/{image2}.")
+            continue
+        cols["sid"].append(sid)
+        cols["img1"].append(image1)
+        cols["img2"].append(image2)
+        cols["idx"].append(idx)
+        cols["x1"].append(normalized_coord(proj1[0], w))
+        cols["y1"].append(normalized_coord(proj1[1], h))
+        cols["x2"].append(normalized_coord(proj2[0], w))
+        cols["y2"].append(normalized_coord(proj2[1], h))
+        cols["h"].append(h)
+        cols["w"].append(w)
+        cols["t_idx"].append(int(rng.integers(len(T.COOR_TASK_DESCRIPTION))))
+        cols["q_idx"].append(int(rng.integers(len(T.COOR_QUESTIONS))))
+        cols["a_idx"].append(int(rng.integers(len(T.COOR_ANSWERS))))
+
+    n = len(cols["sid"])
+    p = EmitProgram(n)
+    sid_c = p.add_str_col(cols["sid"])
+    i1_c = p.add_str_col(cols["img1"])
+    i2_c = p.add_str_col(cols["img2"])
+    ints = {k: p.add_int_col(cols[k]) for k in
+            ("idx", "x1", "y1", "x2", "y2", "h", "w", "t_idx", "q_idx",
+             "a_idx")}
+    field_ops = {k: [(OP_INT, ints[k], 0)] for k in ("x1", "y1", "x2", "y2")}
+    sel_task = p.make_select(ints["t_idx"], [
+        p.ops_for(lambda o, t=t: p.lit_json(o, t))
+        for t in T.COOR_TASK_DESCRIPTION])
+    sel_q = p.make_select(ints["q_idx"], [
+        p.template_subprogram(t, field_ops) for t in T.COOR_QUESTIONS])
+    sel_a = p.make_select(ints["a_idx"], [
+        p.template_subprogram(t, field_ops) for t in T.COOR_ANSWERS])
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": "')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "_")
+    main.append((OP_STR, i1_c, 0)); p.lit(main, "_")
+    main.append((OP_STR, i2_c, 0)); p.lit(main, "_")
+    main.append((OP_INT, ints["idx"], 0))
+    p.lit(main, '", "image": ["')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
+    main.append((OP_STR, i1_c, 0)); p.lit(main, '.jpg", "')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
+    main.append((OP_STR, i2_c, 0)); p.lit(main, '.jpg"], ')
+    if not eval_mode:
+        p.lit(main, '"conversations": [{"from": "human", "value": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}, {"from": "gpt", "value": "')
+        main.append(sel_a)
+        p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    main.append((OP_INT, ints["h"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["h"], 0))
+    p.lit(main, '], "width_list": [')
+    main.append((OP_INT, ints["w"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["w"], 0))
+    p.lit(main,
+          '], "question_type": "visual_correspondence_coor_2_coor", '
+          '"p1_list": [[')
+    main.append((OP_INT, ints["x1"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["y1"], 0))
+    p.lit(main, ']], "p2_list": [[')
+    main.append((OP_INT, ints["x2"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["y2"], 0))
+    p.lit(main, ']], "gt_value": [')
+    main.append((OP_INT, ints["x2"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["y2"], 0))
+    if eval_mode:
+        p.lit(main, '], "text": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, ']}')
+
+    order = rng.permutation(n)
+    p.emit(main, output_path, row_order=order, force_python=force_python)
+    out = EngineOutputs(n_skipped=warn.count)
+    if eval_mode:
+        out.val_path, out.n_val = output_path, n
+    else:
+        out.train_path, out.n_train = output_path, n
+    return out
+
+
 def generate_dot_to_multichoice(
     relations,
     store: SceneStore,

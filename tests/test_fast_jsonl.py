@@ -246,3 +246,45 @@ class TestAllQuestionTypesNative:
             for line in open(out.val_path):
                 rec = json.loads(line)
                 assert not validate_eval_sample(rec), qtype
+
+
+class TestCorrespondenceNativeParity:
+    def test_matches_dict_path(self, tmp_path):
+        from multi_spatialmllm_tpu.core.rng import stream
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import visual_correspondence as VC
+        from multi_spatialmllm_tpu.engines.base import shuffle_and_write
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            build_frame_relations,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="vcj0000_00", seed=31, n_images=12,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        vis = compute_scene_visibility(scene)
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids, vis)
+        rel = build_frame_relations(
+            [scene], visibility={scene.scene_id: vis})
+        cfg = VC.CorrespondenceConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+
+        dict_path = str(tmp_path / "dict.jsonl")
+        out1 = VC.generate_coor_to_coor(rel, store, index, dict_path, 20,
+                                        cfg)
+        nat_path = str(tmp_path / "nat.jsonl")
+        out2 = VC.generate_coor_to_coor_to_jsonl(rel, store, index,
+                                                 nat_path, 20, cfg)
+        assert out1.n_train == out2.n_train > 0
+        d = [json.loads(l) for l in open(dict_path)]
+        nat = [json.loads(l) for l in open(nat_path)]
+        assert d == nat
+        py_path = str(tmp_path / "py.jsonl")
+        VC.generate_coor_to_coor_to_jsonl(rel, store, index, py_path, 20,
+                                          cfg, force_python=True)
+        assert open(nat_path).read() == open(py_path).read()
