@@ -43,16 +43,23 @@ class ObjectPerceptionConfig:
     seed: int = ENGINE_SEEDS["object_perception"]
 
 
-def build_dimension_samples(
+def build_dimension_columns(
     store: SceneStore,
     coverage: dict,
     dimension: str,
     rng: np.random.Generator,
     max_k: int = 6,
-) -> dict[int, list[dict]]:
-    """{K: [train samples]} for one dimension from a coverage dict
-    `{scene_id: {object_id: {k: [image-tuples]}}}`."""
-    samples_by_k: dict[int, list[dict]] = {k: [] for k in range(1, max_k + 1)}
+) -> dict[int, dict]:
+    """{K: columnar bundle} for one dimension from a coverage dict
+    `{scene_id: {object_id: {k: [image-tuples]}}}`. The bundle feeds both
+    the Python dict assembly and the native emit program (same rng order).
+    """
+    cols_by_k: dict[int, dict] = {
+        k: {"sid": [], "oid": [], "combo_idx": [], "images": [],
+            "category": [], "val_mm": [], "h": [], "w": [],
+            "t_idx": [], "q_idx": [], "a_idx": []}
+        for k in range(1, max_k + 1)
+    }
     for scene_id in sorted(coverage.keys()):
         scene = store.get(scene_id)
         h, w = scene.image_hw
@@ -72,32 +79,141 @@ def build_dimension_samples(
                     continue
                 if not 1 <= k_val <= max_k:
                     continue
+                cols = cols_by_k[k_val]
                 for combo_idx, combo in enumerate(combos):
                     if not combo:
                         continue
                     combo = list(combo)
                     rng.shuffle(combo)
-                    prefix = "\n".join(
-                        f"Image-{i}: <image>" for i in range(1, len(combo) + 1)
-                    )
-                    task = choice(rng, T.TASK_DESCRIPTION)
-                    question = choice(rng, T.QUESTION_TEMPLATES).format(
-                        dimension=dimension, object_category=category)
-                    answer = choice(rng, T.ANSWER_TEMPLATES).format(
-                        dimension=dimension, value_mm=val_mm,
-                        object_category=category)
-                    samples_by_k[k_val].append({
-                        "id": f"{scene_id}_{object_id}_{k_val}_{combo_idx}",
-                        "image": [f"{scene_id}/{img}.jpg" for img in combo],
-                        "conversations": make_conversation(
-                            f"{prefix}\n{task}\n{question}", answer),
-                        "height_list": [h] * len(combo),
-                        "width_list": [w] * len(combo),
-                        "question_type":
-                            f"object_perception_{dimension}_estimation",
-                        "gt_value": val_mm,
-                    })
-    return samples_by_k
+                    cols["sid"].append(scene_id)
+                    cols["oid"].append(object_id)
+                    cols["combo_idx"].append(combo_idx)
+                    cols["images"].append(combo)
+                    cols["category"].append(category)
+                    cols["val_mm"].append(val_mm)
+                    cols["h"].append(h)
+                    cols["w"].append(w)
+                    cols["t_idx"].append(
+                        int(rng.integers(len(T.TASK_DESCRIPTION))))
+                    cols["q_idx"].append(
+                        int(rng.integers(len(T.QUESTION_TEMPLATES))))
+                    cols["a_idx"].append(
+                        int(rng.integers(len(T.ANSWER_TEMPLATES))))
+    return cols_by_k
+
+
+def assemble_dimension_samples(cols: dict, dimension: str, k: int
+                               ) -> list[dict]:
+    """Python dict assembly of one K group (reference schema)."""
+    prefix = "\n".join(f"Image-{i}: <image>" for i in range(1, k + 1))
+    samples = []
+    for r in range(len(cols["sid"])):
+        category = cols["category"][r]
+        val_mm = cols["val_mm"][r]
+        task = T.TASK_DESCRIPTION[cols["t_idx"][r]]
+        question = T.QUESTION_TEMPLATES[cols["q_idx"][r]].format(
+            dimension=dimension, object_category=category)
+        answer = T.ANSWER_TEMPLATES[cols["a_idx"][r]].format(
+            dimension=dimension, value_mm=val_mm, object_category=category)
+        sid = cols["sid"][r]
+        samples.append({
+            "id": f"{sid}_{cols['oid'][r]}_{k}_{cols['combo_idx'][r]}",
+            "image": [f"{sid}/{img}.jpg" for img in cols["images"][r]],
+            "conversations": make_conversation(
+                f"{prefix}\n{task}\n{question}", answer),
+            "height_list": [cols["h"][r]] * k,
+            "width_list": [cols["w"][r]] * k,
+            "question_type": f"object_perception_{dimension}_estimation",
+            "gt_value": val_mm,
+        })
+    return samples
+
+
+def build_dimension_samples(
+    store: SceneStore,
+    coverage: dict,
+    dimension: str,
+    rng: np.random.Generator,
+    max_k: int = 6,
+) -> dict[int, list[dict]]:
+    """{K: [train samples]} for one dimension (dict-assembly path)."""
+    cols_by_k = build_dimension_columns(store, coverage, dimension, rng,
+                                        max_k)
+    return {k: assemble_dimension_samples(cols, dimension, k)
+            for k, cols in cols_by_k.items()}
+
+
+def _dimension_program(cols: dict, dimension: str, k: int, eval_mode: bool):
+    """fast_jsonl emit program for one (dimension, K) group."""
+    from .fast_jsonl import OP_INT, OP_STR, EmitProgram
+
+    n = len(cols["sid"])
+    p = EmitProgram(n)
+    sid = p.add_str_col(cols["sid"])
+    cat = p.add_str_col(cols["category"])
+    img_cols = [p.add_str_col([c[i] for c in cols["images"]])
+                for i in range(k)]
+    ints = {key: p.add_int_col(cols[key]) for key in
+            ("oid", "combo_idx", "val_mm", "h", "w", "t_idx", "q_idx",
+             "a_idx")}
+    field_ops = {
+        "dimension": [(0, p._lit_id(dimension), 0)],
+        "object_category": [(OP_STR, cat, 0)],
+        "value_mm": [(OP_INT, ints["val_mm"], 0)],
+    }
+    sel_task = p.make_select(ints["t_idx"], [
+        p.ops_for(lambda o, t=t: p.lit_json(o, t))
+        for t in T.TASK_DESCRIPTION])
+    sel_q = p.make_select(ints["q_idx"], [
+        p.template_subprogram(t, field_ops) for t in T.QUESTION_TEMPLATES])
+    sel_a = p.make_select(ints["a_idx"], [
+        p.template_subprogram(t, field_ops) for t in T.ANSWER_TEMPLATES])
+    prefix = "\n".join(f"Image-{i}: <image>" for i in range(1, k + 1))
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": "')
+    main.append((OP_STR, sid, 0)); p.lit(main, "_")
+    main.append((OP_INT, ints["oid"], 0)); p.lit(main, f"_{k}_")
+    main.append((OP_INT, ints["combo_idx"], 0))
+    p.lit(main, '", "image": [')
+    for i in range(k):
+        p.lit(main, '"' if i == 0 else ', "')
+        main.append((OP_STR, sid, 0)); p.lit(main, "/")
+        main.append((OP_STR, img_cols[i], 0)); p.lit(main, '.jpg"')
+    p.lit(main, '], ')
+
+    def emit_text(ops):
+        p.lit_json(ops, prefix + "\n")
+        ops.append(sel_task)
+        p.lit(ops, "\\n")
+        ops.append(sel_q)
+
+    if not eval_mode:
+        p.lit(main, '"conversations": [{"from": "human", "value": "')
+        emit_text(main)
+        p.lit(main, '"}, {"from": "gpt", "value": "')
+        main.append(sel_a)
+        p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    for i in range(k):
+        if i:
+            p.lit(main, ", ")
+        main.append((OP_INT, ints["h"], 0))
+    p.lit(main, '], "width_list": [')
+    for i in range(k):
+        if i:
+            p.lit(main, ", ")
+        main.append((OP_INT, ints["w"], 0))
+    p.lit(main, f'], "question_type": '
+                f'"object_perception_{dimension}_estimation", "gt_value": ')
+    main.append((OP_INT, ints["val_mm"], 0))
+    if eval_mode:
+        p.lit(main, ', "text": "')
+        emit_text(main)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, '}')
+    return p, main
 
 
 def generate(
@@ -107,8 +223,14 @@ def generate(
     split: str,
     config: ObjectPerceptionConfig | None = None,
     eval_mode: bool = False,
+    use_native: bool = True,
+    force_python: bool = False,
 ) -> dict[str, EngineOutputs]:
-    """Write per-dimension, per-K JSONL files; returns outputs per dim."""
+    """Write per-dimension, per-K JSONL files; returns outputs per dim.
+
+    `use_native=True` (default) emits each (dimension, K) group through
+    the columnar template VM; output records are identical to the
+    dict-assembly path."""
     config = config or ObjectPerceptionConfig()
     max_samples = (config.max_val_samples if eval_mode
                    else config.max_train_samples)
@@ -117,21 +239,31 @@ def generate(
         if dimension not in coverage_by_dim:
             continue
         rng = stream(config.seed, "object_perception", dimension, split)
-        by_k = build_dimension_samples(
+        cols_by_k = build_dimension_columns(
             store, coverage_by_dim[dimension], dimension, rng, config.max_k)
         out = EngineOutputs()
         for k in range(1, config.max_k + 1):
-            samples = by_k[k]
-            if not samples:
+            cols = cols_by_k[k]
+            n_rows = len(cols["sid"])
+            if n_rows == 0:
                 continue
-            if 0 < max_samples < len(samples):
-                idx = rng.choice(len(samples), size=max_samples, replace=False)
-                samples = [samples[int(i)] for i in idx]
-            if eval_mode:
-                samples = [to_eval_sample(s) for s in samples]
+            order = np.arange(n_rows)
+            if 0 < max_samples < n_rows:
+                order = rng.choice(n_rows, size=max_samples, replace=False)
             path = (f"{output_dir}/object_perception_{dimension}_k{k}_"
                     f"{split}_{max_samples}.jsonl")
-            n = write_jsonl(samples, path)
+            if use_native:
+                program, main = _dimension_program(cols, dimension, k,
+                                                   eval_mode)
+                program.emit(main, path, row_order=order,
+                             force_python=force_python)
+                n = len(order)
+            else:
+                samples = assemble_dimension_samples(cols, dimension, k)
+                samples = [samples[int(i)] for i in order]
+                if eval_mode:
+                    samples = [to_eval_sample(s) for s in samples]
+                n = write_jsonl(samples, path)
             if eval_mode:
                 out.n_val += n
                 out.val_path = path

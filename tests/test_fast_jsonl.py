@@ -288,3 +288,59 @@ class TestCorrespondenceNativeParity:
         VC.generate_coor_to_coor_to_jsonl(rel, store, index, py_path, 20,
                                           cfg, force_python=True)
         assert open(nat_path).read() == open(py_path).read()
+
+
+class TestObjectPerceptionNativeParity:
+    def test_native_equals_dict_path(self, tmp_path):
+        import os
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import object_perception as OP
+        from multi_spatialmllm_tpu.stages.coverage import (
+            build_object_coverage,
+        )
+        from multi_spatialmllm_tpu.stages.object_visibility import (
+            build_object_visibility,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="opj0000_00", seed=41, n_images=10,
+                           n_background=2500, n_objects=3)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        vis = {scene.scene_id: compute_scene_visibility(scene)}
+        ov = build_object_visibility([scene], visibility=vis)
+        h, l, w = build_object_coverage([scene], ov, visibility=vis)
+        cov = {"height": h, "length": l, "width": w}
+
+        nat_dir = str(tmp_path / "nat")
+        dict_dir = str(tmp_path / "dict")
+        o1 = OP.generate(store, cov, nat_dir, "train", use_native=True)
+        o2 = OP.generate(store, cov, dict_dir, "train", use_native=False)
+        files1 = sorted(os.listdir(nat_dir))
+        files2 = sorted(os.listdir(dict_dir))
+        assert files1 == files2 and files1
+        total = 0
+        for f in files1:
+            a = [json.loads(x) for x in open(os.path.join(nat_dir, f))]
+            b = [json.loads(x) for x in open(os.path.join(dict_dir, f))]
+            assert a == b, f
+            total += len(a)
+        assert total > 0
+        assert sum(o.n_train for o in o1.values()) == \
+            sum(o.n_train for o in o2.values())
+
+        # eval mode: text appended, conversations removed
+        ev_dir = str(tmp_path / "ev")
+        OP.generate(store, cov, ev_dir, "val", eval_mode=True,
+                    use_native=True)
+        from multi_spatialmllm_tpu.engines.base import validate_eval_sample
+
+        for f in os.listdir(ev_dir):
+            for line in open(os.path.join(ev_dir, f)):
+                rec = json.loads(line)
+                assert not validate_eval_sample(rec)
+                k = int(f.split("_k")[1].split("_")[0])
+                assert rec["text"].count("<image>") == k
