@@ -101,9 +101,7 @@ class EmitProgram:
 
     def select(self, ops: list, selector_col: int,
                subprograms: list[list[tuple]]) -> None:
-        base = len(self.subprograms)
-        self.subprograms.extend(subprograms)
-        ops.append((OP_SEL, selector_col, base))
+        ops.append(self.make_select(selector_col, subprograms))
 
     def template_subprogram(self, template: str, field_ops: dict) -> list:
         """Split a `{placeholder}` template into a subprogram; field_ops
