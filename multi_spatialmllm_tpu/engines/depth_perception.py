@@ -415,6 +415,192 @@ def generate_depth_estimation(
 # Depth comparison (coor + dot)
 # ---------------------------------------------------------------------------
 
+def generate_depth_comparison_to_jsonl(
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    output_path: str,
+    config: DepthEngineConfig | None = None,
+    eval_mode: bool = False,
+    warning_path: str | None = None,
+    force_python: bool = False,
+) -> EngineOutputs:
+    """Columnar fast path for the coor comparison variant (records
+    byte-compatible with json.dumps of the dict path, same rng order)."""
+    from .fast_jsonl import OP_INT, OP_STR, EmitProgram
+
+    config = config or DepthEngineConfig()
+    warn = WarningSink(warning_path)
+    rng = stream(config.seed, "depth_comparison", "coor",
+                 "eval" if eval_mode else "train")
+
+    keys = ("sid", "image_id", "pid0", "pid1", "gt_x", "gt_y", "h", "w",
+            "is_closer", "t_idx", "qa_idx", "aa_idx",
+            "p1x", "p1y", "p1d", "p1cx", "p1cy", "p1l",
+            "p2x", "p2y", "p2d", "p2cx", "p2cy", "p2l")
+    cols: dict[str, list] = {k: [] for k in keys}
+
+    scene_ids, quota = _scene_plan(store.scene_ids(),
+                                   config.all_max_samples, rng)
+    for sid in scene_ids:
+        scene = store.get(sid)
+        h, w = scene.image_hw
+        image_ids = scene.valid_image_ids()
+        if not image_ids:
+            continue
+        for image_id in _sample_images(image_ids, quota, rng, True):
+            visible = vis_index.image_to_points(sid, image_id)
+            if len(visible) < 2:
+                continue
+            img_index = scene.image_index(image_id)
+            vxs, vys, vds, voks = _project_many(scene, img_index, visible)
+            for _ in range(config.max_n_points_per_image):
+                pick = rng.choice(len(visible), size=2, replace=False)
+                candidate = []
+                for p in pick:
+                    if not voks[p]:
+                        warn(f"Warning: Point-Id {int(visible[p])} is not "
+                             f"visible in image {image_id} in scene {sid}.")
+                        continue
+                    candidate.append({
+                        "x": normalized_coord(float(vxs[p]), w),
+                        "y": normalized_coord(float(vys[p]), h),
+                        "depth": int(np.round(float(vds[p]) * 1000)),
+                        "cx": int(float(vxs[p])), "cy": int(float(vys[p])),
+                        "pid": int(visible[p]),
+                    })
+                if len(candidate) != 2 or \
+                        candidate[0]["depth"] == candidate[1]["depth"]:
+                    warn(f"Warning: no valid unequal-depth pair in image "
+                         f"{image_id} in scene {sid}.")
+                    continue
+                letters = ["A", "B"]
+                rng.shuffle(letters)
+                order = rng.permutation(2)
+                shuffled = [candidate[int(i)] for i in order]
+                p1, p2 = shuffled
+                l1, l2 = letters
+                closer = p1 if p1["depth"] <= p2["depth"] else p2
+                farther = p2 if p1["depth"] <= p2["depth"] else p1
+                is_closer = bool(rng.integers(2))
+                target = closer if is_closer else farther
+                t_idx = int(rng.integers(len(T.COMP_COOR_TASK_DESCRIPTION)))
+                qbank = (T.COMP_CLOSER_QUESTIONS_COOR if is_closer
+                         else T.COMP_FARTHER_QUESTIONS_COOR)
+                abank = (T.COMP_CLOSER_ANSWERS_COOR if is_closer
+                         else T.COMP_FARTHER_ANSWERS_COOR)
+                q_local = int(rng.integers(len(qbank)))
+                a_local = int(rng.integers(len(abank)))
+                off_q = 0 if is_closer else len(T.COMP_CLOSER_QUESTIONS_COOR)
+                off_a = 0 if is_closer else len(T.COMP_CLOSER_ANSWERS_COOR)
+                row = {
+                    "sid": sid, "image_id": image_id,
+                    "pid0": candidate[0]["pid"], "pid1": candidate[1]["pid"],
+                    "gt_x": target["x"], "gt_y": target["y"],
+                    "h": h, "w": w, "is_closer": int(is_closer),
+                    "t_idx": t_idx, "qa_idx": off_q + q_local,
+                    "aa_idx": off_a + a_local,
+                    "p1x": p1["x"], "p1y": p1["y"], "p1d": p1["depth"],
+                    "p1cx": p1["cx"], "p1cy": p1["cy"],
+                    "p1l": 0 if l1 == "A" else 1,
+                    "p2x": p2["x"], "p2y": p2["y"], "p2d": p2["depth"],
+                    "p2cx": p2["cx"], "p2cy": p2["cy"],
+                    "p2l": 0 if l2 == "A" else 1,
+                }
+                for k in keys:
+                    cols[k].append(row[k])
+
+    n = len(cols["sid"])
+    p = EmitProgram(n)
+    sid_c = p.add_str_col(cols["sid"])
+    img_c = p.add_str_col(cols["image_id"])
+    ints = {k: p.add_int_col(cols[k]) for k in keys
+            if k not in ("sid", "image_id")}
+    field_ops = {
+        "x1": [(OP_INT, ints["p1x"], 0)], "y1": [(OP_INT, ints["p1y"], 0)],
+        "x2": [(OP_INT, ints["p2x"], 0)], "y2": [(OP_INT, ints["p2y"], 0)],
+        "correct_x": [(OP_INT, ints["gt_x"], 0)],
+        "correct_y": [(OP_INT, ints["gt_y"], 0)],
+    }
+    sel_task = p.make_select(ints["t_idx"], [
+        p.ops_for(lambda o, t=t: p.lit_json(o, t))
+        for t in T.COMP_COOR_TASK_DESCRIPTION])
+    sel_q = p.make_select(ints["qa_idx"], [
+        p.template_subprogram(t, field_ops)
+        for t in (T.COMP_CLOSER_QUESTIONS_COOR
+                  + T.COMP_FARTHER_QUESTIONS_COOR)])
+    sel_a = p.make_select(ints["aa_idx"], [
+        p.template_subprogram(t, field_ops)
+        for t in (T.COMP_CLOSER_ANSWERS_COOR + T.COMP_FARTHER_ANSWERS_COOR)])
+    letter_sub = [p.ops_for(lambda o: p.lit(o, "A")),
+                  p.ops_for(lambda o: p.lit(o, "B"))]
+    sel_l1 = p.make_select(ints["p1l"], letter_sub)
+    sel_l2 = p.make_select(ints["p2l"],
+                           [list(s) for s in letter_sub])
+    sel_bool = p.make_select(ints["is_closer"], [
+        p.ops_for(lambda o: p.lit(o, "false")),
+        p.ops_for(lambda o: p.lit(o, "true"))])
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": "')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "_")
+    main.append((OP_STR, img_c, 0)); p.lit(main, "_p")
+    main.append((OP_INT, ints["pid0"], 0)); p.lit(main, "_p")
+    main.append((OP_INT, ints["pid1"], 0))
+    p.lit(main, '", "image": ["')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
+    main.append((OP_STR, img_c, 0)); p.lit(main, '.jpg"], ')
+    if not eval_mode:
+        p.lit(main, '"conversations": [{"from": "human", "value": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}, {"from": "gpt", "value": "')
+        main.append(sel_a)
+        p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    main.append((OP_INT, ints["h"], 0))
+    p.lit(main, '], "width_list": [')
+    main.append((OP_INT, ints["w"], 0))
+    p.lit(main, '], "question_type": "depth_comparison_coordinate", '
+                '"gt_value": [')
+    main.append((OP_INT, ints["gt_x"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["gt_y"], 0))
+    p.lit(main, '], "points_info": [')
+    for tag, sel_l in (("p1", sel_l1), ("p2", sel_l2)):
+        if tag == "p2":
+            p.lit(main, ", ")
+        p.lit(main, '{"x": ')
+        main.append((OP_INT, ints[f"{tag}x"], 0))
+        p.lit(main, ', "y": ')
+        main.append((OP_INT, ints[f"{tag}y"], 0))
+        p.lit(main, ', "depth": ')
+        main.append((OP_INT, ints[f"{tag}d"], 0))
+        p.lit(main, ', "coords": [')
+        main.append((OP_INT, ints[f"{tag}cx"], 0)); p.lit(main, ", ")
+        main.append((OP_INT, ints[f"{tag}cy"], 0))
+        p.lit(main, '], "letter": "')
+        main.append(sel_l)
+        p.lit(main, '"}')
+    p.lit(main, '], "is_closer_question": ')
+    main.append(sel_bool)
+    if eval_mode:
+        p.lit(main, ', "text": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, '}')
+
+    order = np.arange(n)
+    if 0 < config.all_max_samples < n:
+        order = rng.choice(n, size=config.all_max_samples, replace=False)
+    order = order[rng.permutation(len(order))]
+    p.emit(main, output_path, row_order=order, force_python=force_python)
+    out = EngineOutputs(n_skipped=warn.count)
+    if eval_mode:
+        out.val_path, out.n_val = output_path, len(order)
+    else:
+        out.train_path, out.n_train = output_path, len(order)
+    return out
+
+
 def generate_depth_comparison(
     store: SceneStore,
     vis_index: VisibilityIndex,

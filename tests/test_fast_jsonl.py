@@ -344,3 +344,64 @@ class TestObjectPerceptionNativeParity:
                 assert not validate_eval_sample(rec)
                 k = int(f.split("_k")[1].split("_")[0])
                 assert rec["text"].count("<image>") == k
+
+
+class TestDepthComparisonNativeParity:
+    def test_matches_dict_path(self, tmp_path):
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="dcj0000_00", seed=51, n_images=10,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        compute_scene_visibility(scene))
+        cfg = DP.DepthEngineConfig(all_max_samples=8)
+
+        dict_path = str(tmp_path / "dict.jsonl")
+        o1 = DP.generate_depth_comparison(store, index, dict_path, "coor",
+                                          cfg)
+        nat_path = str(tmp_path / "nat.jsonl")
+        o2 = DP.generate_depth_comparison_to_jsonl(store, index, nat_path,
+                                                   cfg)
+        assert o1.n_train == o2.n_train > 0
+        d = [json.loads(l) for l in open(dict_path)]
+        nat = [json.loads(l) for l in open(nat_path)]
+        assert d == nat
+        py_path = str(tmp_path / "py.jsonl")
+        DP.generate_depth_comparison_to_jsonl(store, index, py_path, cfg,
+                                              force_python=True)
+        assert open(nat_path).read() == open(py_path).read()
+
+    def test_eval_mode(self, tmp_path):
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.engines.base import validate_eval_sample
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="dcj0001_00", seed=52, n_images=8,
+                           n_background=2000)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        compute_scene_visibility(scene))
+        path = str(tmp_path / "eval.jsonl")
+        DP.generate_depth_comparison_to_jsonl(
+            store, index, path, DP.DepthEngineConfig(all_max_samples=5),
+            eval_mode=True)
+        for line in open(path):
+            rec = json.loads(line)
+            assert not validate_eval_sample(rec)
+            assert isinstance(rec["is_closer_question"], bool)
+            p1, p2 = rec["points_info"]
+            assert {p1["letter"], p2["letter"]} == {"A", "B"}
