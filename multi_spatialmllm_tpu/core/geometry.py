@@ -352,15 +352,19 @@ def overlap_percentage_matrix(vis: Array, image_valid: Array | None = None) -> A
     via inclusion-exclusion. Parity: calculate_frames_relations.py:102-137
     (`calculate_camera_overlap`), which computes one pair per call in NumPy.
 
-    Pairs with an empty union return 0 (the reference emits NaN and logs a
-    warning; callers that need that semantic can re-mask with `union == 0`).
+    Pairs with an empty union return NaN, matching the reference's 0/0
+    division (calculate_frames_relations.py:135-136); the relations stage
+    logs them via its warning sink and the samplers exclude NaN from both
+    the binned and the zero-overlap pools.
     """
     v = vis.astype(jnp.float32)
     # Counts are integers; float32 accumulation is exact below 2^24 points.
     inter = (v @ v.T).astype(jnp.result_type(float))  # [I, I] MXU matmul
     counts = jnp.sum(v, axis=1).astype(inter.dtype)
     union = counts[:, None] + counts[None, :] - inter
-    pct = jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0) * 100.0, 0.0)
+    pct = jnp.where(union > 0,
+                    inter / jnp.where(union > 0, union, 1.0) * 100.0,
+                    jnp.nan)
     if image_valid is not None:
         m = image_valid[:, None] & image_valid[None, :]
         pct = jnp.where(m, pct, 0.0)

@@ -35,11 +35,20 @@ def make_conversation(human: str, gpt: str) -> list[dict]:
     ]
 
 
-def to_eval_sample(train_sample: dict) -> dict:
-    """Lift conversations[0] into `text` (reference parity: the train dict
-    is mutated, `conversations` removed)."""
+def to_eval_sample(train_sample: dict, keep_conversations: bool = False) -> dict:
+    """Lift conversations[0] into `text`.
+
+    Reference parity: camera-movement/object-perception/correspondence
+    engines pop `conversations` (camera_movement_engine_train_val.py:266),
+    while the four depth engines and object movement keep it
+    (depth_estimation_coor_engine.py:289-292,
+    single_object_movement_engine_dot.py:655-658) — pass
+    keep_conversations=True for those."""
     sample = dict(train_sample)
-    conversation = sample.pop("conversations")
+    if keep_conversations:
+        conversation = sample["conversations"]
+    else:
+        conversation = sample.pop("conversations")
     sample["text"] = conversation[0]["value"]
     return sample
 

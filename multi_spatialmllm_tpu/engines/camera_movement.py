@@ -118,8 +118,18 @@ def _gather_pair_extrinsics(store: SceneStore, scene_ids, image1, image2):
         scene = store.get(str(sid))
         ext = scene.extrinsics_align()
         ids = np.asarray(scene.image_ids, dtype=str)  # sorted by contract
-        i1 = np.searchsorted(ids, img1[rows])
-        i2 = np.searchsorted(ids, img2[rows])
+        i1 = np.clip(np.searchsorted(ids, img1[rows]), 0, len(ids) - 1)
+        i2 = np.clip(np.searchsorted(ids, img2[rows]), 0, len(ids) - 1)
+        # searchsorted returns an insertion point even for ids absent from
+        # the scene (stale/foreign relations table); fail loudly instead of
+        # gathering the wrong extrinsic.
+        if not (np.array_equal(ids[i1], img1[rows])
+                and np.array_equal(ids[i2], img2[rows])):
+            missing = sorted(set(img1[rows][ids[i1] != img1[rows]])
+                             | set(img2[rows][ids[i2] != img2[rows]]))
+            raise KeyError(
+                f"relations rows reference image ids absent from scene "
+                f"{sid}: {missing[:5]}{'...' if len(missing) > 5 else ''}")
         E1[rows] = ext[i1]
         E2[rows] = ext[i2]
         hw[rows] = scene.image_hw

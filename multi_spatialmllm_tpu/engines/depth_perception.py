@@ -173,6 +173,14 @@ def _depth_estimation_columns(
                          f"image {image_id} in scene {sid}.")
                     continue
                 x_px, y_px, depth_m = float(xs[j]), float(ys[j]), float(ds[j])
+                # rng discipline: template indices are drawn BEFORE the
+                # annotation color, matching the dict path's draw order
+                # (task/question/answer via choice(), then
+                # generate_distinct_colors) so both paths consume the
+                # stream identically.
+                t_idx = int(rng.integers(len(banks[0])))
+                q_idx = int(rng.integers(len(banks[1])))
+                a_idx = int(rng.integers(len(banks[2])))
                 if variant == "dot" and image_provider is not None \
                         and image_output_dir:
                     img = image_provider(sid, image_id).copy()
@@ -191,9 +199,9 @@ def _depth_estimation_columns(
                 cols["iy"].append(int(y_px))
                 cols["h"].append(h)
                 cols["w"].append(w)
-                cols["t_idx"].append(int(rng.integers(len(banks[0]))))
-                cols["q_idx"].append(int(rng.integers(len(banks[1]))))
-                cols["a_idx"].append(int(rng.integers(len(banks[2]))))
+                cols["t_idx"].append(t_idx)
+                cols["q_idx"].append(q_idx)
+                cols["a_idx"].append(a_idx)
     cols["n"] = len(cols["sid"])
     cols["variant"] = variant
     return cols
@@ -253,12 +261,14 @@ def _depth_estimation_program(cols: dict, eval_mode: bool):
     p.lit(main, '", "image": ["')
     emit_image(main)
     p.lit(main, '"], ')
-    if not eval_mode:
-        p.lit(main, '"conversations": [{"from": "human", "value": "')
-        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
-        p.lit(main, '"}, {"from": "gpt", "value": "')
-        main.append(sel_a)
-        p.lit(main, '"}], ')
+    # Reference depth engines KEEP conversations in eval records
+    # (depth_estimation_coor_engine.py:289-292 does not pop), so emit it
+    # in both modes; eval appends `text` last.
+    p.lit(main, '"conversations": [{"from": "human", "value": "')
+    main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+    p.lit(main, '"}, {"from": "gpt", "value": "')
+    main.append(sel_a)
+    p.lit(main, '"}], ')
     p.lit(main, '"height_list": [')
     main.append((OP_INT, c_h, 0))
     p.lit(main, '], "width_list": [')
@@ -401,7 +411,8 @@ def generate_depth_estimation(
 
     samples = subsample(samples, config.all_max_samples, rng)
     if eval_mode:
-        samples = [to_eval_sample(s) for s in samples]
+        samples = [to_eval_sample(s, keep_conversations=True)
+                   for s in samples]
     out = EngineOutputs(n_skipped=warn.count)
     n = shuffle_and_write(samples, output_path, rng)
     if eval_mode:
@@ -549,12 +560,13 @@ def generate_depth_comparison_to_jsonl(
     p.lit(main, '", "image": ["')
     main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
     main.append((OP_STR, img_c, 0)); p.lit(main, '.jpg"], ')
-    if not eval_mode:
-        p.lit(main, '"conversations": [{"from": "human", "value": "')
-        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
-        p.lit(main, '"}, {"from": "gpt", "value": "')
-        main.append(sel_a)
-        p.lit(main, '"}], ')
+    # conversations kept in eval too (depth_comparison_coor_engine.py
+    # :381-384 does not pop); eval appends `text` last.
+    p.lit(main, '"conversations": [{"from": "human", "value": "')
+    main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+    p.lit(main, '"}, {"from": "gpt", "value": "')
+    main.append(sel_a)
+    p.lit(main, '"}], ')
     p.lit(main, '"height_list": [')
     main.append((OP_INT, ints["h"], 0))
     p.lit(main, '], "width_list": [')
@@ -732,7 +744,8 @@ def generate_depth_comparison(
 
     samples = subsample(samples, config.all_max_samples, rng)
     if eval_mode:
-        samples = [to_eval_sample(s) for s in samples]
+        samples = [to_eval_sample(s, keep_conversations=True)
+                   for s in samples]
     out = EngineOutputs(n_skipped=warn.count)
     n = shuffle_and_write(samples, output_path, rng)
     if eval_mode:

@@ -213,8 +213,15 @@ def _emit_native(program: EmitProgram, main_ops: list, out_path: str,
 
 
 def _format_float(v: float) -> str:
-    s = f"{v:.15g}"
-    return s if float(s) == v else f"{v:.17g}"
+    """Exactly json.dumps' float spelling: repr() (shortest round-trip,
+    '2.0' not '2') for finite values, NaN/Infinity spellings otherwise."""
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    return repr(v)
 
 
 def _emit_python(program: EmitProgram, main_ops: list, out_path: str,

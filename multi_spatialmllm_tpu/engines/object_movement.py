@@ -354,7 +354,8 @@ def generate(
     order = rng.permutation(len(all_samples))
     all_samples = [all_samples[i] for i in order]
     if eval_mode:
-        all_samples = [to_eval_sample(s) for s in all_samples]
+        all_samples = [to_eval_sample(s, keep_conversations=True)
+                       for s in all_samples]
     n = write_jsonl(all_samples, output_file)
     out = EngineOutputs()
     if eval_mode:

@@ -17,6 +17,7 @@
 
 #include <cinttypes>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -24,6 +25,72 @@
 namespace {
 
 enum Op { OP_LIT = 0, OP_STR = 1, OP_INT = 2, OP_FLT = 3, OP_SEL = 4 };
+
+// Format v exactly as CPython repr(float) / json.dumps: the shortest
+// decimal digit string that round-trips, fixed notation when the decimal
+// point lands in (-4, 16], else exponential with a signed >=2-digit
+// exponent. Returns the length written to out (capacity >= 40).
+int format_double_pyrepr(double v, char* out) {
+  if (v != v) return snprintf(out, 8, "NaN");            // json.dumps spelling
+  if (v > 1.7976931348623157e308) return snprintf(out, 12, "Infinity");
+  if (v < -1.7976931348623157e308) return snprintf(out, 12, "-Infinity");
+
+  char ebuf[40];
+  int prec = 16;  // %.*e digits after the point; 17 sig digits round-trip
+  for (int p = 0; p <= 16; ++p) {
+    snprintf(ebuf, sizeof(ebuf), "%.*e", p, v);
+    double back;
+    sscanf(ebuf, "%lf", &back);
+    if (back == v) { prec = p; break; }
+  }
+  snprintf(ebuf, sizeof(ebuf), "%.*e", prec, v);
+
+  // Parse [-]d[.ddd]e(+|-)XX into sign + digit string + exponent.
+  const char* s = ebuf;
+  bool neg = (*s == '-');
+  if (neg) ++s;
+  char digits[20];
+  int ndig = 0;
+  digits[ndig++] = *s++;
+  if (*s == '.') {
+    ++s;
+    while (*s != 'e' && *s != 'E') digits[ndig++] = *s++;
+  }
+  int exp10 = atoi(strchr(s, 'e') ? strchr(s, 'e') + 1 : s + 1);
+  while (ndig > 1 && digits[ndig - 1] == '0') --ndig;  // shortest digits
+
+  char* w = out;
+  if (neg) *w++ = '-';
+  if (exp10 >= -4 && exp10 <= 15) {  // fixed: CPython threshold
+    int dp = exp10 + 1;  // decimal point position in the digit string
+    if (dp <= 0) {
+      *w++ = '0'; *w++ = '.';
+      for (int i = 0; i < -dp; ++i) *w++ = '0';
+      memcpy(w, digits, ndig); w += ndig;
+    } else if (dp >= ndig) {
+      memcpy(w, digits, ndig); w += ndig;
+      for (int i = 0; i < dp - ndig; ++i) *w++ = '0';
+      *w++ = '.'; *w++ = '0';
+    } else {
+      memcpy(w, digits, dp); w += dp;
+      *w++ = '.';
+      memcpy(w, digits + dp, ndig - dp); w += ndig - dp;
+    }
+  } else {  // exponential: 1.5e-05 / 1e+16 style
+    *w++ = digits[0];
+    if (ndig > 1) {
+      *w++ = '.';
+      memcpy(w, digits + 1, ndig - 1); w += ndig - 1;
+    }
+    *w++ = 'e';
+    *w++ = exp10 < 0 ? '-' : '+';
+    int ae = exp10 < 0 ? -exp10 : exp10;
+    char eb[8];
+    int el = snprintf(eb, sizeof(eb), "%02d", ae);
+    memcpy(w, eb, el); w += el;
+  }
+  return (int)(w - out);
+}
 
 struct Ctx {
   const char* const* literals;
@@ -58,14 +125,9 @@ void run(const Ctx& ctx, int64_t offset, int64_t length, int64_t row,
         break;
       }
       case OP_FLT: {
-        char buf[32];
+        char buf[40];
         double v = ctx.float_cols[(int64_t)a * ctx.n_rows + row];
-        // shortest representation that round-trips (try increasing
-        // precision; %.17g always round-trips)
-        int len = snprintf(buf, sizeof(buf), "%.15g", v);
-        double back;
-        sscanf(buf, "%lf", &back);
-        if (back != v) len = snprintf(buf, sizeof(buf), "%.17g", v);
+        int len = format_double_pyrepr(v, buf);
         out->append(buf, len);
         break;
       }

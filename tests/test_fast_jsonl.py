@@ -54,6 +54,29 @@ class TestEmitVM:
         rows = [json.loads(l) for l in open(tmp_path / "o.jsonl")]
         assert [r["i"] for r in rows] == [40, 30, 20, 10, 0]
 
+    def test_float_formatting_matches_json_dumps_bytes(self, tmp_path):
+        """OP_FLT must spell floats exactly like json.dumps (repr):
+        integral floats keep '.0', 16/17-digit values use shortest
+        round-trip, fixed/exponential switch at CPython's thresholds."""
+        vals = [2.0, -3.0, 0.0, 0.1, 0.30000000000000004, 1.5e-05,
+                0.0001, 1e15, 1e16, -1.2345678901234567e-300,
+                8.98846567431158e+307, 123456789.123456, 2.5, -0.5,
+                1e-4, 9.999999999999999e15, 1.7976931348623157e308]
+        n = len(vals)
+        p = FJ.EmitProgram(n)
+        c = p.add_float_col(np.asarray(vals, dtype=np.float64))
+        main = []
+        p.lit(main, '{"v": ')
+        main.append((FJ.OP_FLT, c, 0))
+        p.lit(main, '}')
+        p.emit(main, str(tmp_path / "nat.jsonl"))
+        p.emit(main, str(tmp_path / "py.jsonl"), force_python=True)
+        nat = open(tmp_path / "nat.jsonl").read()
+        assert nat == open(tmp_path / "py.jsonl").read()
+        expected = "".join(json.dumps({"v": v}, separators=(", ", ": "))
+                           + "\n" for v in vals)
+        assert nat == expected
+
     def test_escaping(self, tmp_path):
         p = FJ.EmitProgram(1)
         c = p.add_str_col(['with "quotes"\nand\tctrl'])
@@ -179,6 +202,59 @@ class TestDepthEstimationNativeParity:
         assert dict_rows == nat_rows
         assert open(nat_path).read() == open(py_path).read()
 
+    def test_dot_variant_with_provider_matches_dict_path(self, tmp_path):
+        """rng discipline across dict vs fast path for the dot variant WITH
+        an image provider: template indices must be drawn before the
+        annotation color in both paths (ADVICE r1 medium), so records —
+        and the annotated JPEGs — come out identical."""
+        import json
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.engines.annotate import (
+            SyntheticImageProvider,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="dj0002_00", seed=13, n_images=10,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        compute_scene_visibility(scene))
+        cfg = DP.DepthEngineConfig(all_max_samples=6)
+        provider = SyntheticImageProvider(scene.image_hw)
+
+        dict_path = str(tmp_path / "dict.jsonl")
+        out1 = DP.generate_depth_estimation(
+            store, index, dict_path, "dot", cfg,
+            image_provider=provider,
+            image_output_dir=str(tmp_path / "img_dict"))
+        fast_path = str(tmp_path / "fast.jsonl")
+        out2 = DP.generate_depth_estimation_to_jsonl(
+            store, index, fast_path, "dot", cfg,
+            image_provider=provider,
+            image_output_dir=str(tmp_path / "img_fast"))
+        assert out1.n_train == out2.n_train > 0
+        dict_rows = [json.loads(l) for l in open(dict_path)]
+        fast_rows = [json.loads(l) for l in open(fast_path)]
+        assert dict_rows == fast_rows
+        # Annotated outputs: same filenames and same bytes (same colors →
+        # rng stream consumed in the same order).
+        import pathlib
+        d_imgs = sorted(p.relative_to(tmp_path / "img_dict")
+                        for p in (tmp_path / "img_dict").rglob("*.jpg"))
+        f_imgs = sorted(p.relative_to(tmp_path / "img_fast")
+                        for p in (tmp_path / "img_fast").rglob("*.jpg"))
+        assert d_imgs == f_imgs and len(d_imgs) > 0
+        for rel in d_imgs:
+            assert (tmp_path / "img_dict" / rel).read_bytes() == \
+                   (tmp_path / "img_fast" / rel).read_bytes()
+
     def test_eval_mode(self, tmp_path):
         import json
 
@@ -201,10 +277,19 @@ class TestDepthEstimationNativeParity:
         DP.generate_depth_estimation_to_jsonl(
             store, index, path, "coor",
             DP.DepthEngineConfig(all_max_samples=5), eval_mode=True)
+        dict_path = str(tmp_path / "eval_dict.jsonl")
+        DP.generate_depth_estimation(
+            store, index, dict_path, "coor",
+            DP.DepthEngineConfig(all_max_samples=5), eval_mode=True)
+        assert [json.loads(l) for l in open(path)] == \
+               [json.loads(l) for l in open(dict_path)]
         for line in open(path):
             rec = json.loads(line)
             assert not validate_eval_sample(rec)
-            assert "conversations" not in rec
+            # reference depth engines keep conversations in eval records
+            # (depth_estimation_coor_engine.py:289-292)
+            assert "conversations" in rec
+            assert rec["text"] == rec["conversations"][0]["value"]
 
 
 class TestAllQuestionTypesNative:
