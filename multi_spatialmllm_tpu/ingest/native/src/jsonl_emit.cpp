@@ -26,6 +26,12 @@ namespace {
 
 enum Op { OP_LIT = 0, OP_STR = 1, OP_INT = 2, OP_FLT = 3, OP_SEL = 4 };
 
+// True iff D significant digits round-trip v through decimal.
+inline bool roundtrips(double v, int D, char* buf, size_t cap) {
+  snprintf(buf, cap, "%.*e", D - 1, v);
+  return strtod(buf, nullptr) == v;
+}
+
 // Format v exactly as CPython repr(float) / json.dumps: the shortest
 // decimal digit string that round-trips, fixed notation when the decimal
 // point lands in (-4, 16], else exponential with a signed >=2-digit
@@ -35,15 +41,46 @@ int format_double_pyrepr(double v, char* out) {
   if (v > 1.7976931348623157e308) return snprintf(out, 12, "Infinity");
   if (v < -1.7976931348623157e308) return snprintf(out, 12, "-Infinity");
 
-  char ebuf[40];
-  int prec = 16;  // %.*e digits after the point; 17 sig digits round-trip
-  for (int p = 0; p <= 16; ++p) {
-    snprintf(ebuf, sizeof(ebuf), "%.*e", p, v);
-    double back;
-    sscanf(ebuf, "%lf", &back);
-    if (back == v) { prec = p; break; }
+  // Integral fast path: every exact integral double in (-1e16, 1e16)
+  // reprs as "<int>.0" (fixed notation reconstructs the integer from the
+  // shortest digit string by zero-padding, so the strings coincide).
+  if (v > -1e16 && v < 1e16 && v == (double)(int64_t)v) {
+    int64_t iv = (int64_t)v;
+    if (iv == 0) {
+      const char* z = (1.0 / v < 0) ? "-0.0" : "0.0";  // signed zero
+      size_t n = strlen(z);
+      memcpy(out, z, n);
+      return (int)n;
+    }
+    int len = snprintf(out, 24, "%" PRId64, iv);
+    out[len++] = '.';
+    out[len++] = '0';
+    return len;
   }
-  snprintf(ebuf, sizeof(ebuf), "%.*e", prec, v);
+
+  // Shortest round-trip digit count D. Real-valued engine data almost
+  // always needs 16-17 digits, so probe downward from 17 (free) and fall
+  // back to binary search for the rare short values.
+  char ebuf[40];
+  int D = 17;
+  if (roundtrips(v, 16, ebuf, sizeof(ebuf))) {
+    if (roundtrips(v, 15, ebuf, sizeof(ebuf))) {
+      int lo = 1, hi = 14;
+      D = 15;
+      while (lo <= hi) {  // monotone: if D digits round-trip, D+1 do too
+        int mid = (lo + hi) / 2;
+        if (roundtrips(v, mid, ebuf, sizeof(ebuf))) {
+          D = mid;
+          hi = mid - 1;
+        } else {
+          lo = mid + 1;
+        }
+      }
+    } else {
+      D = 16;
+    }
+  }
+  snprintf(ebuf, sizeof(ebuf), "%.*e", D - 1, v);
 
   // Parse [-]d[.ddd]e(+|-)XX into sign + digit string + exponent.
   const char* s = ebuf;

@@ -57,13 +57,60 @@ def ensure_x64(dtype) -> None:
         jax.config.update("jax_enable_x64", True)
 
 
-def compute_scene_visibility(scene: Scene, dtype=np.float64) -> np.ndarray:
-    """Dense `[num_images, num_points]` bool visibility for one scene."""
+# Image-chunking threshold: the fused program materializes several
+# [I, N]-shaped f64 intermediates (projected xy, depths, gather indices);
+# past ~24M point-image pairs the single-program footprint stops fitting
+# comfortably in one v5e's HBM, so real-scale scenes (ScanNet val D5:
+# ~300 images x ~200K vertices = 60M pairs) dispatch in image chunks.
+_PAIR_BUDGET_F64 = 24_000_000
+_PAIR_BUDGET_F32 = 48_000_000
+
+
+def compute_scene_visibility(
+    scene: Scene, dtype=np.float64, image_chunk: int | None = None
+) -> np.ndarray:
+    """Dense `[num_images, num_points]` bool visibility for one scene.
+
+    Large scenes are processed `image_chunk` images per dispatch (chosen
+    automatically from the pair budget when not given); the point cloud is
+    transferred once and reused across chunks.
+    """
     ensure_x64(dtype)
     pts, pvalid = scene.padded_points(dtype)
     ext, depth, ivalid = scene.padded_images(dtype)
+    i_pad, n_pad = ext.shape[0], pts.shape[0]
+    budget = (_PAIR_BUDGET_F64 if np.dtype(dtype) == np.float64
+              else _PAIR_BUDGET_F32)
+    if image_chunk is None and i_pad * n_pad > budget:
+        image_chunk = max(8, (budget // n_pad) // 8 * 8)
+    if image_chunk and image_chunk < i_pad:
+        n_chunks = -(-i_pad // image_chunk)
+        tot = n_chunks * image_chunk
+        if tot > i_pad:  # pad the image axis up to a chunk multiple
+            ext = np.concatenate(
+                [ext, np.tile(np.eye(4, dtype=ext.dtype),
+                              (tot - i_pad, 1, 1))])
+            depth = np.concatenate(
+                [depth, np.zeros((tot - i_pad,) + depth.shape[1:],
+                                 dtype=depth.dtype)])
+            ivalid = np.concatenate(
+                [ivalid, np.zeros(tot - i_pad, dtype=bool)])
+        fn = _visibility_fn(image_chunk, n_pad, scene.depth_hw,
+                            scene.image_hw, np.dtype(dtype).name)
+        pts_d = jnp.asarray(pts)  # one transfer, reused per chunk
+        K_d = jnp.asarray(scene.intrinsic.astype(dtype))
+        pv_d = jnp.asarray(pvalid)
+        rows = [
+            np.asarray(fn(pts_d, K_d,
+                          jnp.asarray(ext[lo: lo + image_chunk]),
+                          jnp.asarray(depth[lo: lo + image_chunk]),
+                          jnp.asarray(ivalid[lo: lo + image_chunk]), pv_d))
+            for lo in range(0, tot, image_chunk)
+        ]
+        vis = np.concatenate(rows)
+        return vis[: scene.num_images, : scene.num_points]
     fn = _visibility_fn(
-        ext.shape[0], pts.shape[0], scene.depth_hw, scene.image_hw,
+        i_pad, n_pad, scene.depth_hw, scene.image_hw,
         np.dtype(dtype).name,
     )
     vis = fn(

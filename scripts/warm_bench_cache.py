@@ -1,4 +1,10 @@
-"""Warm the persistent compilation cache for bench.py's stage shapes."""
+"""Warm the persistent compilation cache for bench.py's stage shapes.
+
+Covers every device program the bench dispatches: the 40-scene bench
+corpus (f32 batched visibility + relations), the real-scale f64
+visibility scene (296 x 202K, chunked dispatch), the annotated-engine
+scenes, and the f64 single-scene path used by tests.
+"""
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
@@ -6,18 +12,46 @@ import multi_spatialmllm_tpu
 multi_spatialmllm_tpu.enable_compilation_cache()
 import numpy as np
 from multi_spatialmllm_tpu.core.synthetic import make_scene
-from multi_spatialmllm_tpu.stages.visibility import compute_scene_visibility
+from multi_spatialmllm_tpu.stages.visibility import (
+    compute_scene_visibility,
+    compute_visibility_batch,
+)
 from multi_spatialmllm_tpu.stages.frame_relations import compute_scene_relations
 
 t0 = time.time()
 s = make_scene(scene_id="warm0000_00", seed=1, n_images=96,
-               n_background=4000, n_objects=4, n_invalid_poses=0)
+               n_background=4000, n_objects=4, depth_hw=(24, 32),
+               n_invalid_poses=0)
 print("scene", round(time.time() - t0, 1), flush=True)
 vis = compute_scene_visibility(s, dtype=np.float32)
 print("visibility f32 cached", round(time.time() - t0, 1), flush=True)
+# bench batch shape: 10 scenes per dispatch
+batch = [make_scene(scene_id=f"warm{i:04d}_00", seed=1 + i, n_images=96,
+                    n_background=4000, n_objects=4, depth_hw=(24, 32),
+                    n_invalid_poses=0) for i in range(10)]
+compute_visibility_batch(batch, dtype=np.float32, batch_size=10)
+print("visibility f32 batch-10 cached", round(time.time() - t0, 1), flush=True)
 rel = compute_scene_relations(s, vis=vis, dtype=np.float32)
 print("relations f32 cached", round(time.time() - t0, 1), flush=True)
 vis64 = compute_scene_visibility(s, dtype=np.float64)
 print("visibility f64 cached", round(time.time() - t0, 1), flush=True)
 rel64 = compute_scene_relations(s, vis=vis64, dtype=np.float64)
 print("relations f64 cached", round(time.time() - t0, 1), flush=True)
+# real-scale f64 scene (bench stage metric): chunked dispatch shape
+real = make_scene(scene_id="warmreal_00", seed=7, n_images=296,
+                  n_background=200_000, n_objects=8, image_hw=(968, 1296),
+                  depth_hw=(480, 640), n_invalid_poses=0)
+compute_scene_visibility(real, dtype=np.float64)
+print("visibility f64 real-scale cached", round(time.time() - t0, 1),
+      flush=True)
+compute_scene_relations(real, dtype=np.float64,
+                        vis=np.zeros((296, 202400), dtype=bool))
+print("relations f64 real-scale cached", round(time.time() - t0, 1),
+      flush=True)
+# annotated-engine scenes (480x640 color, 120x160 depth, batch 2)
+ann = [make_scene(scene_id=f"warmann{i:02d}_00", seed=300 + i, n_images=48,
+                  n_background=4000, n_objects=4, image_hw=(480, 640),
+                  depth_hw=(120, 160), n_invalid_poses=0) for i in range(2)]
+compute_visibility_batch(ann, dtype=np.float32, batch_size=2)
+print("visibility f32 annotated-scenes cached", round(time.time() - t0, 1),
+      flush=True)

@@ -315,3 +315,18 @@ class TestBatchedVisibility:
         for s in scenes:
             single = compute_scene_visibility(s)
             np.testing.assert_array_equal(batch[s.scene_id], single)
+
+    def test_image_chunked_matches_fused(self):
+        """Large scenes dispatch in image chunks (HBM pair budget); the
+        chunked result must equal the single fused program bit-for-bit,
+        including when the image axis needs padding to a chunk multiple."""
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+        )
+
+        s = make_scene(scene_id="vchunk_00", seed=77, n_images=14,
+                       n_background=3000, n_objects=2)
+        fused = compute_scene_visibility(s)
+        for chunk in (4, 8, 16):  # 16 pads the image axis
+            chunked = compute_scene_visibility(s, image_chunk=chunk)
+            np.testing.assert_array_equal(chunked, fused)
