@@ -1,14 +1,28 @@
-"""Pallas TPU flash attention (blockwise online-softmax), forward pass.
+"""Pallas TPU flash attention: forward + fused backward kernels.
 
-Used by the MLLM decode/eval path; the training path uses the XLA attention
-in models/llm.py (differentiable; XLA already fuses it well at the
-sequence lengths this model targets — max_seq_length 8192, README.md:198).
+Used by the MLLM train/decode paths (models/llm.py). Design:
 
-Kernel structure: grid over (batch*heads, q blocks); the kv loop runs
-inside the kernel with `jax.lax.fori_loop`, maintaining running max /
-normalizer / accumulator in VMEM scratch (standard flash-attention
-recurrence). Causal masking skips fully-masked kv blocks via the loop upper
-bound.
+* Forward: grid over (batch*heads, q blocks); the kv loop runs inside the
+  kernel with `jax.lax.fori_loop`, maintaining running max / normalizer /
+  accumulator in registers (standard flash-attention online softmax).
+  K/V block specs are indexed by batch*head only, so the Pallas pipeline
+  keeps them resident in VMEM across consecutive q-block steps (one HBM
+  fetch per batch*head row, not per q block). Causal masking skips
+  fully-masked kv blocks via the loop upper bound. The forward also emits
+  the per-row logsumexp needed by the backward.
+
+* Backward (FlashAttention-2 style, no recomputation of the forward):
+  dq kernel over (batch*heads, q blocks) and a fused dk/dv kernel over
+  (batch*heads, k blocks), each re-materializing the probability block
+  from q, k and the saved logsumexp: p = exp(s - lse). The softmax
+  Jacobian contraction uses delta = rowsum(dO * O) (one cheap XLA
+  elementwise pass), giving ds = p * (dp - delta) without ever forming
+  the full [S, S] matrix.
+
+VMEM budget: the resident-KV (forward, dq) and resident-Q/dO (dk/dv)
+layouts need ~2 * S * D * itemsize bytes; `_kernel_ok` gates on
+S * D <= 2^20 (8K seq x 128 head dim in f32 = 8 MB of 16 MB VMEM) and
+falls back to the XLA path beyond.
 """
 
 from __future__ import annotations
@@ -24,7 +38,7 @@ NEG_INF = -1e30
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref,
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
 ):
     qi = pl.program_id(1)
@@ -60,7 +74,51 @@ def _flash_fwd_kernel(
         return m_cur, l_cur, acc_cur
 
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    # lse rides in a [1, 1, S] full-row block (TPU tiling forbids
+    # (1, block_q) blocks); each q step writes its slice.
+    lse_ref[0, 0, pl.ds(qi * block_q, block_q)] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
+    """Shared forward: returns (o, lse) with lse = logsumexp of the scaled
+    scores per query row, shape [b*h, s], f32."""
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+
+    qf = q.reshape(b * h, s, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+
+    kernel = functools.partial(
+        _flash_fwd_kernel, block_q=block_q, block_k=block_k, seq_len=s,
+        causal=causal, sm_scale=sm_scale)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, s // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, s), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    return o.reshape(b, h, s, d), lse
 
 
 @functools.partial(
@@ -82,22 +140,109 @@ def flash_attention(
     Returns:
       `[batch, heads, seq, head_dim]`.
     """
-    b, h, s, d = q.shape
     if sm_scale is None:
-        sm_scale = d ** -0.5
+        sm_scale = q.shape[-1] ** -0.5
+    o, _ = _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k)
+    return o
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (FlashAttention-2)
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
+):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)                      # [block_q, d]
+    do = do_ref[0].astype(jnp.float32)                    # [block_q, d]
+    lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+    delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+
+    acc = jnp.zeros((block_q, q.shape[-1]), dtype=jnp.float32)
+    num_k_blocks = pl.cdiv(seq_len, block_k)
+    if causal:
+        num_k_blocks = jnp.minimum(
+            num_k_blocks, (qi * block_q + block_q + block_k - 1) // block_k
+        )
+
+    def body(ki, acc_prev):
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = (q @ k.T) * sm_scale                          # [block_q, block_k]
+        if causal:
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = jnp.exp(s - lse)                              # exact softmax block
+        dp = do @ v.T                                     # [block_q, block_k]
+        ds = p * (dp - delta) * sm_scale
+        return acc_prev + ds @ k
+
+    acc = jax.lax.fori_loop(0, num_k_blocks, body, acc)
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
+):
+    ki = pl.program_id(1)
+    k = k_ref[0].astype(jnp.float32)                      # [block_k, d]
+    v = v_ref[0].astype(jnp.float32)                      # [block_k, d]
+
+    dk = jnp.zeros((block_k, k.shape[-1]), dtype=jnp.float32)
+    dv = jnp.zeros((block_k, k.shape[-1]), dtype=jnp.float32)
+    num_q_blocks = pl.cdiv(seq_len, block_q)
+    # causal: query blocks strictly before this kv block see none of it.
+    q_start = (ki * block_k) // block_q if causal else 0
+
+    def body(qj, carry):
+        dk_prev, dv_prev = carry
+        q = q_ref[0, pl.ds(qj * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qj * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
+        s = (q @ k.T) * sm_scale                          # [block_q, block_k]
+        if causal:
+            q_ids = qj * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_cur = dv_prev + p.T @ do
+        dp = do @ v.T
+        ds = p * (dp - delta) * sm_scale
+        dk_cur = dk_prev + ds.T @ q
+        return dk_cur, dv_cur
+
+    dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, (dk, dv))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
+    b, h, s, d = q.shape
     block_q = min(block_q, s)
     block_k = min(block_k, s)
-    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
 
     qf = q.reshape(b * h, s, d)
     kf = k.reshape(b * h, s, d)
     vf = v.reshape(b * h, s, d)
+    dof = g.reshape(b * h, s, d)
+    # delta = rowsum(dO * O): one fused XLA elementwise pass, [b*h, s].
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1).reshape(b * h, 1, s)
 
-    kernel = functools.partial(
-        _flash_fwd_kernel, block_q=block_q, block_k=block_k, seq_len=s,
-        causal=causal, sm_scale=sm_scale)
-    out = pl.pallas_call(
-        kernel,
+    common = dict(block_q=block_q, block_k=block_k, seq_len=s,
+                  causal=causal, sm_scale=sm_scale)
+    dq_kernel = functools.partial(_flash_bwd_dq_kernel, **common)
+    dq = pl.pallas_call(
+        dq_kernel,
         grid=(b * h, s // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
@@ -106,12 +251,50 @@ def flash_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-    )(qf, kf, vf)
-    return out.reshape(b, h, s, d)
+    )(qf, kf, vf, dof, lse, delta)
+
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, **common)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, s // block_k),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+        ],
+    )(qf, kf, vf, dof, lse, delta)
+
+    return (dq.reshape(b, h, s, d), dk.reshape(b, h, s, d),
+            dv.reshape(b, h, s, d))
 
 
 def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
@@ -134,15 +317,15 @@ def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
 
 
 # ---------------------------------------------------------------------------
-# Trainable wrapper: Pallas forward, XLA-recompute backward
+# Trainable wrapper: Pallas forward + Pallas fused backward
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def trainable_flash_attention(q, k, v, causal=True):
-    """Flash-attention forward (Pallas kernel) with a recompute backward
-    through the XLA reference path — same gradients, fast forward. Falls
-    through to the kernel only when shapes satisfy its block constraints;
-    otherwise uses the XLA path outright."""
+    """Flash attention with Pallas kernels on both passes (dq and fused
+    dk/dv backward; no forward recompute — the probability blocks are
+    re-materialized from the saved logsumexp). Falls through to the XLA
+    path when shapes don't satisfy the kernel's block/VMEM constraints."""
     if _kernel_ok(q):
         return flash_attention(q, k, v, causal=causal)
     return reference_attention(q, k, v, causal=causal)
@@ -150,20 +333,30 @@ def trainable_flash_attention(q, k, v, causal=True):
 
 def _kernel_ok(q) -> bool:
     s, d = q.shape[2], q.shape[3]
-    return s >= 128 and s % 128 == 0 and d % 8 == 0 and \
-        jax.default_backend() == "tpu"
+    # resident K/V (and Q/dO in the dkv kernel) must fit VMEM: see module
+    # docstring. 2^20 = 8K seq x 128 head dim.
+    return s >= 128 and s % 128 == 0 and d % 8 == 0 and s * d <= 2 ** 20 \
+        and jax.default_backend() == "tpu"
 
 
 def _tfa_fwd(q, k, v, causal):
-    return trainable_flash_attention(q, k, v, causal), (q, k, v)
+    if not _kernel_ok(q):
+        out, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
+            q, k, v)
+        return out, (vjp, None)
+    sm_scale = q.shape[-1] ** -0.5
+    o, lse = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
+    return o, (None, (q, k, v, o, lse))
 
 
 def _tfa_bwd(causal, residuals, g):
-    q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
-        q, k, v)
-    return vjp(g)
+    vjp, saved = residuals
+    if vjp is not None:
+        return vjp(g)
+    q, k, v, o, lse = saved
+    sm_scale = q.shape[-1] ** -0.5
+    return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, 128, 128)
 
 
 trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)

@@ -113,6 +113,36 @@ class TestAttentionKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=2e-3)
 
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_flash_backward_matches_reference_grads(self, causal):
+        """Fused Pallas dq and dk/dv kernels vs the XLA VJP (interpreter
+        mode on CPU; the same kernels run compiled on TPU)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops import attention as A
+
+        q = jax.random.normal(jax.random.key(0), (2, 3, 256, 64),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.key(1), (2, 3, 256, 64),
+                              dtype=jnp.float32)
+        v = jax.random.normal(jax.random.key(2), (2, 3, 256, 64),
+                              dtype=jnp.float32)
+        g = jax.random.normal(jax.random.key(3), (2, 3, 256, 64),
+                              dtype=jnp.float32)
+        sm = 64 ** -0.5
+        with pltpu.force_tpu_interpret_mode():
+            o, lse = A._flash_fwd(q, k, v, causal, sm, 128, 128)
+            dq, dk, dv = A._flash_bwd(q, k, v, o, lse, g, causal, sm,
+                                      128, 128)
+        ref, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(q_, k_, v_,
+                                                   causal=causal), q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=2e-4)
+
 
 class TestMLLM:
     def test_forward_and_loss(self):
