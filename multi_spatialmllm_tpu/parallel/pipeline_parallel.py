@@ -1,4 +1,4 @@
-"""Pipeline parallelism: GPipe-style microbatched layer execution.
+"""Pipeline parallelism: microbatched layer execution + 1F1B training.
 
 The reference has no pipeline parallelism (SURVEY.md §2.5: "optional for
 InternVL-scale LLM; not required for parity"); this provides the optional
@@ -6,12 +6,21 @@ InternVL-scale LLM; not required for parity"); this provides the optional
 
 Design: the layer stack is split into `P` contiguous stages; stage
 parameters live sharded on the "pipe" axis (leading stage dimension).
-Inside `shard_map`, every device runs the classic GPipe schedule: at tick
-`t` it processes one microbatch (or a bubble), then `ppermute`s the
-activations to the next stage over ICI. After `M + P - 1` ticks the last
-stage holds every microbatch's output; a `psum` broadcast returns them
-replicated. Forward-only (inference / activation serving); the training
-step uses data/tensor/FSDP sharding (parallel/train.py).
+Inside `shard_map`, every device runs a lockstep tick schedule and
+`ppermute`s activations to the next stage (and, when training, gradients
+to the previous stage) over ICI.
+
+* `pipeline_forward`: GPipe forward for inference — after `M + P - 1`
+  ticks the last stage holds every microbatch's output.
+* `pipeline_train_grads`: interleaved 1F1B training. Stage `s` forwards
+  microbatch `m` at tick `m + s` and backwards it at tick
+  `m + 2P - 1 - s`; in steady state every device does one forward and
+  one backward per tick (the last stage strictly alternates). Backward
+  recomputes the stage forward from the stashed stage *input* via
+  `jax.vjp` (rematerialized backward — only inputs are stashed, the
+  Megatron memory recipe), accumulates per-stage parameter grads locally
+  (they stay pipe-sharded, exactly the layout the optimizer wants), and
+  seeds the chain at the last stage with the loss VJP.
 """
 
 from __future__ import annotations
@@ -117,3 +126,116 @@ def pipeline_forward(
         local, mesh=mesh,
         in_specs=(param_specs, P()), out_specs=P(), check_vma=False)
     return fn(stage_params, x)
+
+
+def pipeline_train_grads(
+    stage_params,
+    x: jax.Array,
+    y: jax.Array,
+    mesh: Mesh,
+    apply_layer: Callable,
+    loss_fn: Callable,
+):
+    """Interleaved 1F1B pipeline training step: loss + parameter grads.
+
+    Args:
+      stage_params: pytree, leading dims `[P, layers_per_stage, ...]`.
+      x: `[M, mb, ...]` microbatched inputs (replicated).
+      y: `[M, ...]` microbatched targets for `loss_fn` (replicated).
+      mesh: 1-D mesh over the "pipe" axis.
+      apply_layer: `(layer_params, activation) -> activation` for ONE layer.
+      loss_fn: `(last_stage_output_mb, y_mb) -> scalar` mean loss for one
+        microbatch; the step returns the mean over microbatches.
+
+    Returns `(loss, grads)`: scalar loss (replicated) and grads with the
+    same pipe-sharded layout as `stage_params`.
+
+    Schedule (P stages, M microbatches, tick t):
+      forward  slot: stage s runs microbatch f = t - s      (GPipe wave)
+      backward slot: stage s runs microbatch b = t - (2P - 1 - s)
+    The backward wave trails the forward wave by 2(P - s) - 1 ticks, so
+    grads of microbatch m leave stage s exactly one tick before stage s-1
+    consumes them, and the last stage alternates F(m)/B(m) every tick —
+    the 1F1B steady state. Total ticks: M + 2(P - 1) + 1.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    n_micro = x.shape[0]
+    ticks = n_micro + 2 * (n_stages - 1) + 1
+    perm_fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    perm_bwd = [(i, (i - 1) % n_stages) for i in range(n_stages)]
+
+    param_specs = jax.tree_util.tree_map(
+        lambda _: P(PIPE_AXIS), stage_params)
+
+    def local(params_stage, x_all, y_all):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        params = jax.tree_util.tree_map(lambda l: l[0], params_stage)
+        is_last = stage == n_stages - 1
+
+        def run_stage(p, act):
+            def body(carry, layer_params):
+                return apply_layer(layer_params, carry), None
+
+            out, _ = jax.lax.scan(body, act, p)
+            return out
+
+        # Last-stage backward seed: d(mean_m loss_m)/d(out_m).
+        def stage_loss(p, act, tgt):
+            return loss_fn(run_stage(p, act), tgt) / n_micro
+
+        stash = jnp.zeros_like(x_all)  # stage inputs per microbatch
+        fwd_buf = jnp.zeros_like(x_all[0])
+        bwd_buf = jnp.zeros_like(x_all[0])
+        grads0 = jax.tree_util.tree_map(
+            lambda l: jnp.zeros(l.shape, jnp.float32), params)
+        loss0 = jnp.zeros((), jnp.float32)
+
+        def tick(t, carry):
+            stash, fwd_buf, bwd_buf, grads, loss_sum = carry
+
+            # ---- forward slot: microbatch f = t - stage ----------------
+            f = t - stage
+            do_f = (f >= 0) & (f < n_micro)
+            f_safe = jnp.clip(f, 0, n_micro - 1)
+            x_in = jnp.where(stage == 0, x_all[f_safe], fwd_buf)
+            stash = jnp.where(do_f, stash.at[f_safe].set(x_in), stash)
+            y_out = run_stage(params, x_in)
+
+            # ---- backward slot: microbatch b = t - (2P - 1 - stage) ----
+            b = t - (2 * n_stages - 1 - stage)
+            do_b = (b >= 0) & (b < n_micro)
+            b_safe = jnp.clip(b, 0, n_micro - 1)
+            x_b = stash[b_safe]
+            # rematerialize the stage forward and pull grads through it
+            _, vjp = jax.vjp(run_stage, params, x_b)
+            dp_chain, dx_chain = vjp(bwd_buf)
+            loss_b, grad_seed = jax.value_and_grad(
+                stage_loss, argnums=(0, 1))(params, x_b, y_all[b_safe])
+            dp_seed, dx_seed = grad_seed
+            dp = jax.tree_util.tree_map(
+                lambda a, c: jnp.where(is_last, a, c), dp_seed, dp_chain)
+            dx = jnp.where(is_last, dx_seed, dx_chain)
+            grads = jax.tree_util.tree_map(
+                lambda g, d: g + jnp.where(do_b, d.astype(jnp.float32), 0.0),
+                grads, dp)
+            loss_sum = loss_sum + jnp.where(
+                do_b & is_last, loss_b.astype(jnp.float32), 0.0)
+
+            # ---- communications ----------------------------------------
+            fwd_buf = jax.lax.ppermute(y_out, PIPE_AXIS, perm_fwd)
+            dx_masked = jnp.where(do_b, dx, jnp.zeros_like(dx))
+            bwd_buf = jax.lax.ppermute(dx_masked, PIPE_AXIS, perm_bwd)
+            return stash, fwd_buf, bwd_buf, grads, loss_sum
+
+        carry = (stash, fwd_buf, bwd_buf, grads0, loss0)
+        _, _, _, grads, loss_sum = jax.lax.fori_loop(0, ticks, tick, carry)
+        # loss lives on the last stage; replicate. Grads stay pipe-sharded.
+        loss = jax.lax.psum(loss_sum, PIPE_AXIS)
+        grads = jax.tree_util.tree_map(lambda g: g[None], grads)
+        return loss, grads
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(param_specs, P(), P()),
+        out_specs=(P(), param_specs), check_vma=False)
+    return fn(stage_params, x, y)

@@ -70,6 +70,59 @@ class TestPipelineParallel:
 
 
 @needs_mesh
+class TestPipeline1F1B:
+    @pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 6), (8, 3)])
+    def test_loss_and_grads_match_single_device(self, n_stages, n_micro):
+        """1F1B training step vs the unpipelined oracle: identical loss
+        and parameter gradients (grads compared in stage layout)."""
+        from multi_spatialmllm_tpu.parallel.pipeline_parallel import (
+            pipeline_train_grads,
+        )
+
+        d, mb = 16, 2
+        n_layers = 8
+        layers = _make_layers(n_layers, d, jax.random.key(0))
+        x = jax.random.normal(jax.random.key(1), (n_micro, mb, d))
+        y = jax.random.normal(jax.random.key(2), (n_micro, mb, d))
+
+        def loss_fn(out, tgt):
+            return jnp.mean((out - tgt) ** 2)
+
+        # oracle: mean microbatch loss through the full stack
+        def oracle_loss(stacked_flat):
+            def full(xb):
+                h = xb
+                for i in range(n_layers):
+                    p = jax.tree_util.tree_map(lambda l: l[i], stacked_flat)
+                    h = _mlp_layer(p, h)
+                return h
+            losses = jax.vmap(lambda xm, ym: loss_fn(full(xm), ym))(x, y)
+            return jnp.mean(losses)
+
+        flat_layers = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *layers)  # [L, ...]
+        want_loss, want_grads = jax.value_and_grad(oracle_loss)(flat_layers)
+
+        mesh = make_pipe_mesh(n_stages)
+        stacked = stack_stage_params(layers, n_stages)
+        got_loss, got_grads = jax.jit(
+            lambda p, x_, y_: pipeline_train_grads(
+                p, x_, y_, mesh, _mlp_layer, loss_fn))(stacked, x, y)
+
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        # reshape oracle grads [L, ...] -> [P, L/P, ...] stage layout
+        per_stage = n_layers // n_stages
+        want_staged = jax.tree_util.tree_map(
+            lambda l: l.reshape((n_stages, per_stage) + l.shape[1:]),
+            want_grads)
+        for got, want in zip(jax.tree_util.tree_leaves(got_grads),
+                             jax.tree_util.tree_leaves(want_staged)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
+
+
+@needs_mesh
 class TestPipelinedDecoder:
     def test_real_decoder_layers_match_sequential(self):
         """Pipeline the actual DecoderLayer stack across 4 stages."""
