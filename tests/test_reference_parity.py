@@ -471,3 +471,166 @@ class TestObjectMovementParity:
             assert out[0]["gt_value"] == int(
                 np.linalg.norm(disp_world) * 1000) or \
                 out[0]["gt_value"] == 0
+
+
+def _make_interchange_sens(path, n_frames=8, color_hw=(32, 48),
+                           depth_hw=(16, 24)):
+    """Synthetic .sens with smooth gradient colors (JPEG-friendly so the
+    reference's decode->re-encode stays close to our raw-byte passthrough)."""
+    import zlib
+
+    import cv2
+
+    from multi_spatialmllm_tpu.ingest import sens as S
+
+    frames = []
+    h, w = color_hw
+    yy, xx = np.mgrid[0:h, 0:w]
+    dyy, dxx = np.mgrid[0:depth_hw[0], 0:depth_hw[1]]
+    for i in range(n_frames):
+        img = np.stack([
+            (xx * 255 / w).astype(np.uint8),
+            (yy * 255 / h).astype(np.uint8),
+            np.full((h, w), (i * 29) % 256, np.uint8),
+        ], axis=-1)
+        ok, jpeg = cv2.imencode(".jpg", img)
+        assert ok
+        depth = ((dyy * 100 + dxx * 7 + i * 13) % 4000).astype(np.uint16)
+        pose = np.eye(4)
+        pose[:3, 3] = [i * 0.25, -i * 0.125, 1.0 + 0.0625 * i]
+        frames.append(S.SensFrame(
+            index=i, camera_to_world=pose, timestamp_color=i,
+            timestamp_depth=i, color_jpeg=jpeg.tobytes(),
+            depth_zlib=zlib.compress(depth.tobytes())))
+    K = np.eye(4)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 40.0, 40.0, w / 2, h / 2
+    header = S.SensHeader(
+        sensor_name="interchange", intrinsic_color=K,
+        extrinsic_color=np.eye(4), intrinsic_depth=K,
+        extrinsic_depth=np.eye(4), color_compression="jpeg",
+        depth_compression="zlib_ushort", color_hw=color_hw,
+        depth_hw=depth_hw, depth_shift=1000.0, num_frames=n_frames)
+    S.write_sens(str(path), header, frames)
+    return header, frames
+
+
+class TestL1SensInterchange:
+    """Byte-level L1 interchange: the REFERENCE's own SensorData extractor
+    (extract_posed_images.py:31-158) runs on a .sens file WRITTEN BY THIS
+    REPO (ingest/sens.write_sens), and its posed_images output is diffed
+    against ingest/sens.export_posed_images on the same bytes."""
+
+    @pytest.fixture(scope="class")
+    def extracted(self, tmp_path_factory):
+        import imageio.v2 as imageio
+
+        root = tmp_path_factory.mktemp("l1x")
+        sens_path = root / "scene0901_00.sens"
+        _make_interchange_sens(sens_path)
+
+        ref_mod = _load_reference_module(
+            "spatial_engine/utils/scannet_utils/extract_posed_images.py",
+            "spatial_engine.utils.scannet_utils.extract_posed_images")
+        data = ref_mod.SensorData(str(sens_path), frame_skip=2)
+        ref_out = str(root / "ref_out")
+        data.export_color_images(ref_out)
+        data.export_intrinsics(ref_out)
+        data.export_poses(ref_out)
+        data.export_depth_images(ref_out)
+
+        from multi_spatialmllm_tpu.ingest.sens import export_posed_images
+
+        our_out = str(root / "our_out")
+        n = export_posed_images(str(sens_path), our_out, frame_skip=2)
+        assert n == 4
+        return {"root": str(root), "ref": ref_out, "ours": our_out,
+                "sens": str(sens_path)}
+
+    def test_file_layout_identical(self, extracted):
+        ref_files = sorted(os.listdir(extracted["ref"]))
+        our_files = sorted(os.listdir(extracted["ours"]))
+        assert ref_files == our_files
+        assert "intrinsic.txt" in ref_files
+        assert "00000.jpg" in ref_files and "00003.png" in ref_files
+
+    def test_poses_and_intrinsic_byte_identical(self, extracted):
+        for name in ["intrinsic.txt"] + [f"{i:05d}.txt" for i in range(4)]:
+            ref = open(os.path.join(extracted["ref"], name), "rb").read()
+            ours = open(os.path.join(extracted["ours"], name), "rb").read()
+            assert ref == ours, name
+
+    def test_depth_pngs_decode_identical(self, extracted):
+        import cv2
+
+        for i in range(4):
+            ref = cv2.imread(os.path.join(extracted["ref"], f"{i:05d}.png"),
+                             cv2.IMREAD_UNCHANGED)
+            ours = cv2.imread(os.path.join(extracted["ours"], f"{i:05d}.png"),
+                              cv2.IMREAD_UNCHANGED)
+            assert ref.dtype == ours.dtype == np.uint16
+            np.testing.assert_array_equal(ref, ours)
+
+    def test_color_jpgs_decode_close(self, extracted):
+        # the reference decodes and RE-encodes (imageio.imwrite), ours
+        # passes the original JPEG bytes through; pixel content must agree
+        # to re-encode tolerance on smooth images.
+        import imageio.v2 as imageio
+
+        for i in range(4):
+            ref = imageio.imread(
+                os.path.join(extracted["ref"], f"{i:05d}.jpg")).astype(int)
+            ours = imageio.imread(
+                os.path.join(extracted["ours"], f"{i:05d}.jpg")).astype(int)
+            assert ref.shape == ours.shape
+            assert np.abs(ref - ours).mean() < 4.0
+
+    def test_reference_info_updater_on_our_layout(self, extracted,
+                                                  tmp_path, monkeypatch):
+        """Execute the reference's update_info_file_with_images.py script
+        (module-level code) against OUR posed_images layout and diff the
+        resulting *_i_D5.pkl against ingest/posed_images.update_info_with_
+        images on the same inputs."""
+        import pickle
+        import runpy
+        import shutil
+
+        from multi_spatialmllm_tpu.ingest.posed_images import (
+            update_info_with_images,
+        )
+
+        _install_mmengine_stub()
+        sid = "scene0901_00"
+        data_root = tmp_path / "data" / "scannet"
+        posed = data_root / "posed_images" / sid
+        posed.parent.mkdir(parents=True)
+        shutil.copytree(extracted["ours"], posed)
+        inst = data_root / "scannet_instance_data"
+        inst.mkdir()
+        base_info = {sid: {"base_key": 1}}
+        with open(inst / "scenes_train_val_info.pkl", "wb") as f:
+            pickle.dump(base_info, f)
+
+        monkeypatch.chdir(tmp_path)
+        runpy.run_path(os.path.join(
+            REFERENCE_ROOT,
+            "spatial_engine/utils/scannet_utils/update_info_file_with_images.py"))
+        with open(inst / "scenes_train_val_info_i_D5.pkl", "rb") as f:
+            ref_updated = pickle.load(f)
+
+        ours_updated = update_info_with_images(
+            {sid: {"base_key": 1}},
+            str(data_root / "posed_images"), frame_skip=5)
+
+        assert set(ref_updated) == set(ours_updated) == {sid}
+        r, o = ref_updated[sid], ours_updated[sid]
+        assert set(r.keys()) == set(o.keys())
+        assert r["num_posed_images"] == o["num_posed_images"] == 1
+        np.testing.assert_array_equal(r["intrinsic_matrix"],
+                                      o["intrinsic_matrix"])
+        assert set(r["images_info"]) == set(o["images_info"])
+        for iid in r["images_info"]:
+            ri, oi = r["images_info"][iid], o["images_info"][iid]
+            assert ri["image_path"] == oi["image_path"]
+            assert ri["depth_image_path"] == oi["depth_image_path"]
+            np.testing.assert_array_equal(ri["extrinsic_matrix"],
+                                          oi["extrinsic_matrix"])
