@@ -22,7 +22,7 @@ import sys
 
 def cmd_demo(args) -> None:
     from .core.scene import SceneStore
-    from .core.synthetic import make_scene
+    from .core.synthetic import make_scene, make_tapvid_npz
     from .pipeline import PipelineConfig, SpatialEnginePipeline
 
     scenes = [
@@ -35,9 +35,17 @@ def cmd_demo(args) -> None:
     pipe = SpatialEnginePipeline(
         store, args.output,
         PipelineConfig(overlap_min=0.1, overlap_max=100.0, interval=5.0))
-    results = pipe.run_all()
+    tapvid = {f"demo_seq{i}": make_tapvid_npz(seed=args.seed + 50 + i)
+              for i in range(2)}
+    results = pipe.run_all(tapvid_records=tapvid)
+
+    def count(v):
+        if isinstance(v, dict):
+            return sum(count(x) for x in v.values())
+        return v.n_train + v.n_val
+
     summary = {
-        engine: {k: v.n_train + v.n_val for k, v in outs.items()}
+        engine: {k: count(v) for k, v in outs.items()}
         if isinstance(outs, dict) else outs
         for engine, outs in results.items()
     }

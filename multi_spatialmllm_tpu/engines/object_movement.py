@@ -348,18 +348,30 @@ def generate(
         all_samples.extend(
             process_sequence(scene_id, scene_records[scene_id], config,
                              srng, img_output_dir))
+    out = EngineOutputs()
+    if eval_mode:
+        # Reference eval flow (single_object_movement_engine_dot.py
+        # :671-686): convert to eval format, dump the FULL set to
+        # `*_orig.jsonl`, then subsample to max_samples for the eval file
+        # (no shuffle; the reference keeps eval_data when under the cap —
+        # its unconditional `subsampled_eval_data` write is a latent
+        # NameError there, evident intent implemented).
+        all_samples = [to_eval_sample(s, keep_conversations=True)
+                       for s in all_samples]
+        write_jsonl(all_samples, output_file.replace(".jsonl",
+                                                     "_orig.jsonl"))
+        if 0 < max_samples < len(all_samples):
+            idx = rng.choice(len(all_samples), size=max_samples,
+                             replace=False)
+            all_samples = [all_samples[int(i)] for i in idx]
+        n = write_jsonl(all_samples, output_file)
+        out.val_path, out.n_val = output_file, n
+        return out
     if 0 < max_samples < len(all_samples):
         idx = rng.choice(len(all_samples), size=max_samples, replace=False)
         all_samples = [all_samples[int(i)] for i in idx]
     order = rng.permutation(len(all_samples))
     all_samples = [all_samples[i] for i in order]
-    if eval_mode:
-        all_samples = [to_eval_sample(s, keep_conversations=True)
-                       for s in all_samples]
     n = write_jsonl(all_samples, output_file)
-    out = EngineOutputs()
-    if eval_mode:
-        out.val_path, out.n_val = output_file, n
-    else:
-        out.train_path, out.n_train = output_file, n
+    out.train_path, out.n_train = output_file, n
     return out

@@ -162,6 +162,17 @@ class SpatialEnginePipeline:
     # L4 engines
     # ------------------------------------------------------------------
 
+    # Every engine writes the reference's split layout under qa/:
+    #   qa/training_data/<engine>/...    qa/evaluation_data/<engine>/...
+    # (e.g. depth_estimation_coor_engine.py:318-322,
+    # camera_movement_engine_train_val.py:406-407).
+
+    def _train_dir(self, engine: str) -> str:
+        return os.path.join(self.root, "qa", "training_data", engine)
+
+    def _eval_dir(self, engine: str) -> str:
+        return os.path.join(self.root, "qa", "evaluation_data", engine)
+
     def run_camera_movement(self, train_counts=None, val_counts=None):
         from .engines import camera_movement as CM
 
@@ -172,34 +183,54 @@ class SpatialEnginePipeline:
             interval=self.config.interval)
         return CM.generate(
             rel, rel, self.store,
-            os.path.join(self.root, "qa", "camera_movement", "train"),
-            os.path.join(self.root, "qa", "camera_movement", "val"),
+            self._train_dir("camera_movement"),
+            self._eval_dir("camera_movement"),
             train_counts=train_counts, val_counts=val_counts, config=cfg)
 
-    def run_depth_perception(self, all_max_samples=1000):
+    def run_depth_perception(self, all_max_samples=1000,
+                             eval_max_samples=None):
+        """All four depth engines, train + eval files each (the reference
+        runs every engine twice: generate_qa_training_data then
+        generate_qa_eval_data, e.g. depth_estimation_coor_engine.py
+        :355-364)."""
         from .engines import depth_perception as DP
 
         vis = self.visibility()
+        if eval_max_samples is None:
+            eval_max_samples = max(all_max_samples // 4, 1)
         out = {}
-        base = os.path.join(self.root, "qa")
         for variant in ("coor", "dot"):
+            task = f"depth_estimation_{variant}"
             out[f"estimation_{variant}"] = \
                 DP.generate_depth_estimation_to_jsonl(
                     self.store, vis,
-                    os.path.join(base, f"depth_estimation_{variant}",
-                                 f"depth_estimation_{variant}.jsonl"),
+                    os.path.join(self._train_dir(task), f"{task}.jsonl"),
                     variant=variant,
                     config=DP.DepthEngineConfig(
                         all_max_samples=all_max_samples))
+            out[f"estimation_{variant}_eval"] = \
+                DP.generate_depth_estimation_to_jsonl(
+                    self.store, vis,
+                    os.path.join(self._eval_dir(task), f"{task}.jsonl"),
+                    variant=variant, eval_mode=True,
+                    config=DP.DepthEngineConfig(
+                        all_max_samples=eval_max_samples))
+            task = f"depth_comparison_{variant}"
             out[f"comparison_{variant}"] = DP.generate_depth_comparison(
                 self.store, vis,
-                os.path.join(base, f"depth_comparison_{variant}",
-                             f"depth_comparison_{variant}.jsonl"),
+                os.path.join(self._train_dir(task), f"{task}.jsonl"),
                 variant=variant,
                 config=DP.DepthEngineConfig(all_max_samples=all_max_samples))
+            out[f"comparison_{variant}_eval"] = DP.generate_depth_comparison(
+                self.store, vis,
+                os.path.join(self._eval_dir(task), f"{task}.jsonl"),
+                variant=variant, eval_mode=True,
+                config=DP.DepthEngineConfig(
+                    all_max_samples=eval_max_samples))
         return out
 
-    def run_visual_correspondence(self, desired_count=1000):
+    def run_visual_correspondence(self, desired_count=1000,
+                                  eval_count=None):
         from .engines import visual_correspondence as VC
         from .engines.annotate import SyntheticImageProvider
 
@@ -209,36 +240,80 @@ class SpatialEnginePipeline:
             overlap_min=self.config.overlap_min,
             overlap_max=self.config.overlap_max,
             interval=self.config.interval)
-        base = os.path.join(self.root, "qa")
+        if eval_count is None:
+            eval_count = max(desired_count // 4, 1)
+        first = self.store.get(self.store.scene_ids()[0])
+        provider = SyntheticImageProvider(first.image_hw)
         out = {}
+        task = "visual_correspondence_coor_2_coor"
         out["coor_2_coor"] = VC.generate_coor_to_coor(
             rel, self.store, vis,
-            os.path.join(base, "visual_correspondence_coor_2_coor",
-                         "train_visual_correspondence_coor_2_coor.jsonl"),
+            os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
             desired_count, cfg)
-        first = self.store.get(self.store.scene_ids()[0])
+        out["coor_2_coor_eval"] = VC.generate_coor_to_coor(
+            rel, self.store, vis,
+            os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
+            eval_count, cfg, eval_mode=True)
+        task = "visual_correspondence_dot_2_multichoice"
         out["dot_2_multichoice"] = VC.generate_dot_to_multichoice(
             rel, self.store, vis,
-            os.path.join(base, "visual_correspondence_dot_2_multichoice",
-                         "train_visual_correspondence_dot_2_multichoice.jsonl"),
+            os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
             desired_count,
-            os.path.join(base, "visual_correspondence_dot_2_multichoice",
-                         "images"),
-            image_provider=SyntheticImageProvider(first.image_hw),
-            config=cfg)
+            os.path.join(self._train_dir(task), "images"),
+            image_provider=provider, config=cfg)
+        out["dot_2_multichoice_eval"] = VC.generate_dot_to_multichoice(
+            rel, self.store, vis,
+            os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
+            eval_count,
+            os.path.join(self._eval_dir(task), "images"),
+            image_provider=provider, config=cfg, eval_mode=True)
         return out
 
-    def run_object_perception(self, split="train", eval_mode=False):
+    def run_object_perception(self):
         from .engines import object_perception as OP
 
         coverage = self.coverage()
-        return OP.generate(
-            self.store, coverage,
-            os.path.join(self.root, "qa", "object_perception"),
-            split, eval_mode=eval_mode)
+        out = {}
+        out["train"] = OP.generate(
+            self.store, coverage, self._train_dir("object_perception"),
+            "train")
+        out["val"] = OP.generate(
+            self.store, coverage, self._eval_dir("object_perception"),
+            "val", eval_mode=True)
+        return out
 
-    def run_all(self) -> dict:
-        """Demo-scale full run (all stages + engines)."""
+    def run_object_movement(self, scene_records: dict,
+                            max_eval_samples: int = 300):
+        """TAPVid object-movement engines, coord + dot, train + eval (the
+        eval run writes the full `*_orig.jsonl` dump before subsampling,
+        single_object_movement_engine_dot.py:676-686)."""
+        from .engines import object_movement as OM
+
+        out = {}
+        for qtype, dot in (("tapvid3d_total_distance", False),
+                           ("tapvid3d_displacement_vector", True)):
+            tag = "dot" if dot else "coord"
+            engine = f"object_movement_{tag}"
+            cfg = OM.ObjectMovementConfig(question_type=qtype,
+                                          dot_variant=dot)
+            img_dir = (os.path.join(self._train_dir(engine), "images")
+                       if dot else None)
+            out[f"{tag}_train"] = OM.generate(
+                scene_records,
+                os.path.join(self._train_dir(engine), f"{engine}.jsonl"),
+                cfg, img_output_dir=img_dir)
+            img_dir_val = (os.path.join(self._eval_dir(engine), "images")
+                           if dot else None)
+            out[f"{tag}_eval"] = OM.generate(
+                scene_records,
+                os.path.join(self._eval_dir(engine), f"{engine}.jsonl"),
+                cfg, img_output_dir=img_dir_val,
+                max_samples=max_eval_samples, eval_mode=True)
+        return out
+
+    def run_all(self, tapvid_records: dict | None = None) -> dict:
+        """Demo-scale full run: all stages + engines, train AND eval
+        outputs per engine (full reference directory shape)."""
         results = {}
         results["camera_movement"] = self.run_camera_movement(
             train_counts={"total_distance": 500},
@@ -246,4 +321,7 @@ class SpatialEnginePipeline:
         results["depth_perception"] = self.run_depth_perception(200)
         results["visual_correspondence"] = self.run_visual_correspondence(200)
         results["object_perception"] = self.run_object_perception()
+        if tapvid_records:
+            results["object_movement"] = self.run_object_movement(
+                tapvid_records)
         return results

@@ -68,10 +68,13 @@ class TestPipeline:
             vis.matrix(pipe.store.scene_ids()[0]))
 
     def test_run_all_engines(self, pipe):
-        results = pipe.run_all()
+        from multi_spatialmllm_tpu.core.synthetic import make_tapvid_npz
+
+        tapvid = {"pipeseq0": make_tapvid_npz(seed=9)}
+        results = pipe.run_all(tapvid_records=tapvid)
         assert set(results.keys()) == {
             "camera_movement", "depth_perception", "visual_correspondence",
-            "object_perception"}
+            "object_perception", "object_movement"}
         cm = results["camera_movement"]["total_distance"]
         assert cm.n_train > 0 and cm.n_val > 0
         # every produced jsonl parses and has the schema
@@ -88,3 +91,47 @@ class TestPipeline:
                         rec = json.loads(first)
                         assert "image" in rec and "gt_value" in rec
         assert n_files >= 6
+
+    def test_run_all_reference_directory_shape(self, pipe):
+        """Every engine emits BOTH training_data/ and evaluation_data/
+        like the reference (depth_estimation_coor_engine.py:318-322), and
+        the object-movement eval keeps the full _orig.jsonl dump
+        (single_object_movement_engine_dot.py:676-686)."""
+        qa = os.path.join(pipe.root, "qa")
+        engines_both = [
+            "camera_movement",
+            "depth_estimation_coor", "depth_estimation_dot",
+            "depth_comparison_coor", "depth_comparison_dot",
+            "visual_correspondence_coor_2_coor",
+            "visual_correspondence_dot_2_multichoice",
+            "object_perception",
+            "object_movement_coord", "object_movement_dot",
+        ]
+        for engine in engines_both:
+            for split in ("training_data", "evaluation_data"):
+                d = os.path.join(qa, split, engine)
+                assert os.path.isdir(d), (split, engine)
+                assert any(f.endswith(".jsonl") for _, _, fs in os.walk(d)
+                           for f in fs), (split, engine)
+        # eval records carry `text`; depth/object-movement keep
+        # conversations, the others pop it (reference per-engine split)
+        for engine, keeps in (("depth_estimation_coor", True),
+                              ("object_movement_coord", True),
+                              ("visual_correspondence_coor_2_coor", False)):
+            d = os.path.join(qa, "evaluation_data", engine)
+            fname = next(f for _, _, fs in os.walk(d) for f in fs
+                         if f.endswith(".jsonl") and "_orig" not in f)
+            path = next(os.path.join(dp, f) for dp, _, fs in os.walk(d)
+                        for f in fs if f == fname)
+            rec = json.loads(open(path).readline())
+            assert "text" in rec
+            assert ("conversations" in rec) == keeps, engine
+        # object movement _orig full dump exists and is a superset
+        d = os.path.join(qa, "evaluation_data", "object_movement_coord")
+        files = {f for _, _, fs in os.walk(d) for f in fs}
+        assert "object_movement_coord_orig.jsonl" in files
+        n_orig = sum(1 for _ in open(os.path.join(
+            d, "object_movement_coord_orig.jsonl")))
+        n_eval = sum(1 for _ in open(os.path.join(
+            d, "object_movement_coord.jsonl")))
+        assert n_orig >= n_eval > 0
