@@ -127,6 +127,34 @@ def cmd_bench(args) -> None:
                    run_name="__main__")
 
 
+def cmd_import_checkpoint(args) -> None:
+    """HF InternVL-2 safetensors -> orbax checkpoint in this repo's
+    parameter layout (ready for parallel/train.py restore)."""
+    import numpy as np
+
+    from .models import checkpoint_import as CI
+    from .models import mllm as M
+
+    cfg = M.flagship_config() if args.config == "flagship" else \
+        M.tiny_config()
+    dtype = {"float32": np.float32, "bfloat16": None}[args.dtype]
+    if dtype is None:
+        import ml_dtypes
+
+        dtype = ml_dtypes.bfloat16
+    params = CI.load_internvl2_checkpoint(args.checkpoint, cfg,
+                                          param_dtype=dtype)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.output), params)
+    ckptr.wait_until_finished()
+    n = sum(int(np.prod(l.shape)) for l in
+            __import__("jax").tree_util.tree_leaves(params))
+    print(json.dumps({"output": args.output, "parameters": n,
+                      "dtype": args.dtype}))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(prog="multi_spatialmllm_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -169,6 +197,17 @@ def main() -> None:
 
     p = sub.add_parser("bench", help="run the benchmark")
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("import-checkpoint",
+                       help="HF InternVL-2 safetensors -> orbax params")
+    p.add_argument("--checkpoint", required=True,
+                   help=".safetensors file or directory of shards")
+    p.add_argument("--output", required=True, help="orbax output dir")
+    p.add_argument("--config", choices=("flagship", "tiny"),
+                   default="flagship")
+    p.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16")
+    p.set_defaults(fn=cmd_import_checkpoint)
 
     args = parser.parse_args()
     args.fn(args)
