@@ -97,13 +97,22 @@ class Attention(nn.Module):
 
         new_cache = None
         if cache is not None:
-            # decode: append at cache["index"].
+            # decode: append at cache["index"] — a scalar (all rows share a
+            # position) or a [B] array (batched serving with per-row
+            # prompt lengths; each row writes at its own slot).
             idx = jnp.asarray(cache["index"], dtype=jnp.int32)
             zero = jnp.zeros((), dtype=jnp.int32)
-            ck = jax.lax.dynamic_update_slice(
-                cache["k"], k, (zero, zero, idx, zero))
-            cv = jax.lax.dynamic_update_slice(
-                cache["v"], v, (zero, zero, idx, zero))
+            if idx.ndim == 0:
+                ck = jax.lax.dynamic_update_slice(
+                    cache["k"], k, (zero, zero, idx, zero))
+                cv = jax.lax.dynamic_update_slice(
+                    cache["v"], v, (zero, zero, idx, zero))
+            else:
+                row_update = jax.vmap(
+                    lambda c, new, i: jax.lax.dynamic_update_slice(
+                        c, new, (zero, i, zero)))
+                ck = row_update(cache["k"], k, idx)
+                cv = row_update(cache["v"], v, idx)
             new_cache = {"k": ck, "v": cv, "index": idx + t}
             k, v = ck, cv
 
@@ -121,12 +130,20 @@ class Attention(nn.Module):
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid)
         else:
-            # decode: attend over the filled prefix only.
+            # decode: attend over the filled prefix only (per row when the
+            # cache index is a [B] array).
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
             s = s * (hd ** -0.5)
             kv_len = k.shape[2]
-            key_pos = jnp.arange(kv_len)[None, None, None, :]
-            valid = key_pos <= (cache["index"] + jnp.arange(t))[None, None, :, None]
+            key_pos = jnp.arange(kv_len)
+            idx = jnp.asarray(cache["index"], dtype=jnp.int32)
+            if idx.ndim == 0:
+                valid = key_pos[None, None, None, :] <= \
+                    (idx + jnp.arange(t))[None, None, :, None]
+            else:
+                cur = idx[:, None] + jnp.arange(t)              # [B, t]
+                valid = key_pos[None, None, None, :] <= \
+                    cur[:, None, :, None]
             s = jnp.where(valid, s, -1e30)
             p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", p, v)

@@ -103,18 +103,21 @@ class MultiFrameMLLM(nn.Module):
                 true_length=None):
         """Prompt prefill: fills the KV caches and returns (logits, caches).
 
-        `true_length` (scalar) marks the real prompt length inside a
-        padded `input_ids` block: pad keys are masked out of attention and
-        the cache index is rewound to `true_length` so decoding overwrites
-        the pad slots. All rows of a batch must share one true length.
+        `true_length` marks the real prompt length inside a padded
+        `input_ids` block: pad keys are masked out of attention and the
+        cache index is rewound to `true_length` so decoding overwrites the
+        pad slots. A scalar shares one length across rows; a `[B]` array
+        gives each row its own prompt length (batched serving).
         """
         embeds = self.spliced_embeds(input_ids, tiles)
         b, t, _ = embeds.shape
         positions = jnp.broadcast_to(jnp.arange(t), (b, t))
         attn_valid = None
         if true_length is not None:
+            lens = jnp.asarray(true_length)
+            lens_col = lens[:, None] if lens.ndim else lens
             attn_valid = jnp.broadcast_to(
-                jnp.arange(t)[None, :] < true_length, (b, t))
+                jnp.arange(t)[None, :] < lens_col, (b, t))
         logits, caches = self.llm(input_embeds=embeds, positions=positions,
                                   attn_valid=attn_valid, caches=caches)
         if true_length is not None:

@@ -80,6 +80,62 @@ def predict_sample(
     return tokenizer.decode(gen)
 
 
+def _decode_row(gen: np.ndarray, eos_id: int) -> np.ndarray:
+    if eos_id in gen:
+        gen = gen[: int(np.where(gen == eos_id)[0][0])]
+    return gen
+
+
+def predict_batch(
+    model: MultiFrameMLLM,
+    params,
+    tokenizer: SpatialTokenizer,
+    samples: list[dict],
+    image_loader: Callable[[str], np.ndarray],
+    config: EvalRunConfig,
+) -> list[str]:
+    """Batched greedy decoding with per-row prompt lengths.
+
+    Rows are grouped by tile-stack shape (samples with different image /
+    tile counts cannot share a `tiles` tensor) and padded to a shared
+    length bucket; within a group one prefill + decode serves every row.
+    Per-sample outputs are identical to `predict_sample` (test-asserted).
+    """
+    from .generate import greedy_generate_batched
+
+    prepped = []
+    for s in samples:
+        stacks = [tile_image(image_loader(p), config.data.preprocess)
+                  for p in s["image"]]
+        tiles_per_image = [st.shape[0] for st in stacks]
+        tiles = np.concatenate(stacks, axis=0)
+        ids = build_prompt_ids(s, tokenizer, model.cfg, tiles_per_image)
+        prepped.append((tiles, ids))
+
+    predictions: list[str | None] = [None] * len(samples)
+    groups: dict[tuple, list[int]] = {}
+    for i, (tiles, ids) in enumerate(prepped):
+        bucket_len = ((len(ids) + config.length_bucket - 1)
+                      // config.length_bucket) * config.length_bucket
+        groups.setdefault((tiles.shape, bucket_len), []).append(i)
+
+    for (_, bucket_len), rows in groups.items():
+        lens = np.asarray([len(prepped[i][1]) for i in rows], np.int32)
+        prompt = np.full((len(rows), bucket_len), tokenizer.pad_id,
+                         dtype=np.int32)
+        for r, i in enumerate(rows):
+            prompt[r, : lens[r]] = prepped[i][1]
+        tiles = np.stack([prepped[i][0] for i in rows])
+        out = np.asarray(greedy_generate_batched(
+            model, params, prompt, tiles, lens,
+            max_new_tokens=config.max_new_tokens,
+            eos_id=tokenizer.eos_id))
+        for r, i in enumerate(rows):
+            predictions[i] = tokenizer.decode(
+                _decode_row(out[r], tokenizer.eos_id))
+    return predictions
+
+
 def run_eval(
     model: MultiFrameMLLM,
     params,
@@ -88,15 +144,25 @@ def run_eval(
     image_loader: Callable[[str], np.ndarray],
     config: EvalRunConfig | None = None,
     score_config: ScoreConfig | None = None,
+    batch_size: int = 1,
 ) -> dict:
     """Greedy-decode every sample and return eval_harness aggregates,
-    plus the raw predictions under "predictions"."""
+    plus the raw predictions under "predictions". `batch_size > 1` uses
+    the batched serving path (per-row prompt lengths) in chunks."""
     config = config or EvalRunConfig()
     samples = list(samples)
-    predictions = [
-        predict_sample(model, params, tokenizer, s, image_loader, config)
-        for s in samples
-    ]
+    if batch_size <= 1:
+        predictions = [
+            predict_sample(model, params, tokenizer, s, image_loader,
+                           config)
+            for s in samples
+        ]
+    else:
+        predictions = []
+        for lo in range(0, len(samples), batch_size):
+            predictions.extend(predict_batch(
+                model, params, tokenizer, samples[lo: lo + batch_size],
+                image_loader, config))
     report = evaluate(samples, predictions, score_config)
     report["predictions"] = predictions
     return report
