@@ -94,9 +94,15 @@ def cmd_ingest_sens(args) -> None:
 def cmd_pipeline(args) -> None:
     from .core.scene import SceneStore
     from .pipeline import PipelineConfig, SpatialEnginePipeline
+    from .utils.profiling import device_trace
 
     store = SceneStore(args.scenes)
     pipe = SpatialEnginePipeline(store, args.output, PipelineConfig())
+    # --trace-dir wraps the device-heavy L3 stages in a jax.profiler
+    # trace (view with tensorboard / xprof); engines run untraced.
+    with device_trace(args.trace_dir):
+        pipe.visibility()
+        pipe.frame_relations()
     results = pipe.run_all()
     print(json.dumps({k: str(v) for k, v in results.items()}, indent=2))
 
@@ -125,6 +131,53 @@ def cmd_bench(args) -> None:
     sys.argv = ["bench.py"]
     runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
                    run_name="__main__")
+
+
+def cmd_coverage(args) -> None:
+    """Resumable sharded coverage runs (find_object_coverage.sh:24-48
+    parity): each invocation processes its round-robin slice of scenes and
+    writes per-dimension shard pkls; --merge combines shards into the
+    reference's merged_{split}_object_coverage_{dim}.pkl files."""
+    from .core.io import dump_pickle, load_pickle
+    from .core.scene import SceneStore
+    from .parallel.distributed import host_shard
+    from .stages.coverage import build_object_coverage, merge_coverage_shards
+    from .stages.object_visibility import build_object_visibility
+    from .utils.profiling import device_trace
+
+    os.makedirs(args.output, exist_ok=True)
+    dims = ("height", "length", "width")
+    if args.merge:
+        for dim in dims:
+            shards = sorted(glob.glob(os.path.join(
+                args.output, f"{args.split}_object_coverage_{dim}_shard*.pkl")))
+            merged = merge_coverage_shards(load_pickle(p) for p in shards)
+            out = os.path.join(
+                args.output,
+                f"merged_{args.split}_object_coverage_{dim}.pkl")
+            dump_pickle(merged, out)
+            print(json.dumps({"dim": dim, "shards": len(shards),
+                              "scenes": len(merged), "output": out}))
+        return
+
+    store = SceneStore(args.scenes)
+    scene_ids = host_shard(store.scene_ids(), args.shard_index,
+                           args.num_shards)
+    shard_tag = f"shard{args.shard_index:03d}of{args.num_shards:03d}"
+    paths = {dim: os.path.join(
+        args.output, f"{args.split}_object_coverage_{dim}_{shard_tag}.pkl")
+        for dim in dims}
+    if all(os.path.exists(p) for p in paths.values()) and not args.force:
+        print(json.dumps({"shard": shard_tag, "status": "already done"}))
+        return
+    scenes = [store.get(sid) for sid in scene_ids]
+    with device_trace(args.trace_dir):
+        ov = build_object_visibility(scenes)
+        h, l, w = build_object_coverage(scenes, ov, seed=args.seed)
+    for dim, result in zip(dims, (h, l, w)):
+        dump_pickle(result, paths[dim])
+    print(json.dumps({"shard": shard_tag, "scenes": len(scenes),
+                      "outputs": list(paths.values())}))
 
 
 def cmd_import_checkpoint(args) -> None:
@@ -184,7 +237,23 @@ def main() -> None:
     p = sub.add_parser("pipeline", help="run stages+engines over a store")
     p.add_argument("--scenes", required=True)
     p.add_argument("--output", required=True)
+    p.add_argument("--trace-dir", default=None,
+                   help="jax.profiler trace dir for the L3 stages")
     p.set_defaults(fn=cmd_pipeline)
+
+    p = sub.add_parser("coverage",
+                       help="sharded object-coverage runs + merge")
+    p.add_argument("--scenes", help="scene store (shard mode)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--shard-index", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--merge", action="store_true",
+                   help="merge existing shard pkls instead of computing")
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--trace-dir", default=None)
+    p.set_defaults(fn=cmd_coverage)
 
     p = sub.add_parser("tapvid", help="object-movement engines over npz")
     p.add_argument("--data", required=True)
