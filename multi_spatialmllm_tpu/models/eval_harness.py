@@ -108,8 +108,11 @@ def score_sample(sample: dict, prediction, config: ScoreConfig | None = None
         pred = np.asarray(prediction, dtype=np.float64)
         if pred.shape != gt_arr.shape:
             return False
-        # displacement vectors are stored in meters but answered in mm
-        # (camera_movement engine gt parity); rescale when magnitudes say so
+        # Displacement-vector gt_value is stored in METERS (engine record
+        # parity: camera_movement.py emits the raw disp floats,
+        # object_movement.py ":393 vector stored in meters") while the
+        # answer templates always phrase the vector in integer mm — so the
+        # gt is rescaled unconditionally for these two question types.
         if sample["question_type"] in ("displacement_vector",
                                        "tapvid3d_displacement_vector"):
             gt_arr = gt_arr * 1000.0

@@ -138,3 +138,63 @@ class SpatialTokenizer:
             parts.append(tok)
         flush()
         return "".join(parts)
+
+
+class HFTokenizer:
+    """Adapter over a HuggingFace `tokenizers` JSON file (the format the
+    InternVL-2 checkpoints ship as `tokenizer.json`) exposing the same
+    interface as :class:`SpatialTokenizer`, so pretrained vocabularies
+    drop into the runner/data paths unchanged.
+
+    Special tokens are resolved by name; any missing from the vocabulary
+    (e.g. `<IMG_CONTEXT>` on a base checkpoint) are added — mirroring how
+    the reference's InternVL-2 stack extends the tokenizer before
+    training (README.md:194-200).
+    """
+
+    def __init__(self, tokenizer_file: str):
+        from tokenizers import Tokenizer
+
+        self._tk = Tokenizer.from_file(tokenizer_file)
+        missing = [t for t in SPECIAL_TOKENS
+                   if self._tk.token_to_id(t) is None]
+        if missing:
+            from tokenizers import AddedToken
+
+            self._tk.add_special_tokens(
+                [AddedToken(t, special=True) for t in missing])
+        self.pad_id = self._tk.token_to_id(PAD)
+        self.bos_id = self._tk.token_to_id(BOS)
+        self.eos_id = self._tk.token_to_id(EOS)
+        self.img_context_id = self._tk.token_to_id(IMG_CONTEXT)
+
+    @property
+    def vocab_size(self) -> int:
+        return self._tk.get_vocab_size(with_added_tokens=True)
+
+    def encode(self, text: str, add_bos: bool = False,
+               add_eos: bool = False) -> list[int]:
+        ids = self._tk.encode(text, add_special_tokens=False).ids
+        if add_bos:
+            ids = [self.bos_id] + ids
+        if add_eos:
+            ids = ids + [self.eos_id]
+        return ids
+
+    def decode(self, ids) -> str:
+        keep = [int(i) for i in ids
+                if int(i) not in (self.pad_id, self.bos_id, self.eos_id)]
+        return self._tk.decode(keep, skip_special_tokens=False)
+
+
+def load_tokenizer(path: str | None = None):
+    """`tokenizer.json` path (or a checkpoint dir containing one) ->
+    :class:`HFTokenizer`; None -> the self-contained
+    :class:`SpatialTokenizer`."""
+    import os
+
+    if path is None:
+        return SpatialTokenizer()
+    if os.path.isdir(path):
+        path = os.path.join(path, "tokenizer.json")
+    return HFTokenizer(path)

@@ -204,3 +204,50 @@ class TestParallel:
             losses.append(float(metrics["loss"]))
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]  # AdamW on a fixed batch reduces loss
+
+
+class TestHFTokenizerAdapter:
+    def _train_tiny_bpe(self, path):
+        """Build a real BPE tokenizer.json in-test (stands in for the
+        InternVL-2 checkpoint's tokenizer file; no download needed)."""
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+        from tokenizers import decoders
+
+        tk = Tokenizer(models.BPE(unk_token="<unk>"))
+        tk.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tk.decoder = decoders.ByteLevel()
+        trainer = trainers.BpeTrainer(
+            vocab_size=600,
+            special_tokens=["<unk>", "<pad>", "<s>", "</s>"])
+        corpus = ["How far is the camera from the point at (500, 400)?",
+                  "The camera moved 123 millimeters to the left.",
+                  "Which point is closer, A or B?"] * 20
+        tk.train_from_iterator(corpus, trainer)
+        tk.save(path)
+
+    def test_roundtrip_and_special_ids(self, tmp_path):
+        from multi_spatialmllm_tpu.models.tokenizer import (
+            IMG_CONTEXT,
+            load_tokenizer,
+        )
+
+        path = str(tmp_path / "tokenizer.json")
+        self._train_tiny_bpe(path)
+        tok = load_tokenizer(path)
+        assert tok.pad_id is not None and tok.bos_id != tok.eos_id
+        assert tok.img_context_id is not None
+        text = "The camera moved 123 millimeters to the left."
+        ids = tok.encode(text, add_bos=True, add_eos=True)
+        assert ids[0] == tok.bos_id and ids[-1] == tok.eos_id
+        assert tok.decode(ids) == text
+        # vision placeholder tokens survive encode->decode
+        ctx = tok.encode(IMG_CONTEXT * 3)
+        assert ctx == [tok.img_context_id] * 3
+
+    def test_factory_default_is_self_contained(self):
+        from multi_spatialmllm_tpu.models.tokenizer import (
+            SpatialTokenizer,
+            load_tokenizer,
+        )
+
+        assert isinstance(load_tokenizer(None), SpatialTokenizer)
