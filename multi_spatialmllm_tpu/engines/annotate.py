@@ -76,34 +76,63 @@ class ImageProvider(Protocol):
     def __call__(self, scene_id: str, image_id: str) -> np.ndarray: ...
 
 
+class _BoundedImageCache:
+    """FIFO-bounded decoded-image cache. Annotated engines sample the same
+    source image many times (max_n_points_per_image / per-pair draws);
+    caching the decode amortizes it. Callers must .copy() before drawing
+    (every engine already does)."""
+
+    def __init__(self, max_entries: int):
+        self.max_entries = max_entries
+        self._cache: dict[tuple[str, str], np.ndarray] = {}
+
+    def get_or_load(self, key: tuple[str, str], load) -> np.ndarray:
+        img = self._cache.get(key)
+        if img is None:
+            img = load()
+            if len(self._cache) >= self.max_entries:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = img
+        return img
+
+
 class DirImageProvider:
     """Reads `{root}/{scene_id}/{image_id}.jpg` (reference posed_images
-    layout, info_handler.py:126-131)."""
+    layout, info_handler.py:126-131), with a bounded decode cache
+    (default 256 entries ~ 230 MB of 480x640 frames)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, cache_entries: int = 256):
         self.root = root
+        self._cache = _BoundedImageCache(cache_entries)
 
     def __call__(self, scene_id: str, image_id: str) -> np.ndarray:
-        import cv2
+        def load():
+            import cv2
 
-        path = os.path.join(self.root, scene_id, f"{image_id}.jpg")
-        img = cv2.imread(path)
-        if img is None:
-            raise FileNotFoundError(path)
-        return img
+            path = os.path.join(self.root, scene_id, f"{image_id}.jpg")
+            img = cv2.imread(path)
+            if img is None:
+                raise FileNotFoundError(path)
+            return img
+
+        return self._cache.get_or_load((scene_id, image_id), load)
 
 
 class SyntheticImageProvider:
     """Deterministic pseudo-images for tests/benchmarks (no dataset)."""
 
-    def __init__(self, image_hw: tuple[int, int]):
+    def __init__(self, image_hw: tuple[int, int], cache_entries: int = 256):
         self.image_hw = image_hw
+        self._cache = _BoundedImageCache(cache_entries)
 
     def __call__(self, scene_id: str, image_id: str) -> np.ndarray:
-        h, w = self.image_hw
-        seed = abs(hash((scene_id, image_id))) % (2**32)
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        def load():
+            h, w = self.image_hw
+            seed = abs(hash((scene_id, image_id))) % (2**32)
+            rng = np.random.default_rng(seed)
+            return rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+
+        return self._cache.get_or_load((scene_id, image_id), load)
 
 
 def save_annotated(image: np.ndarray, image_output_dir: str,

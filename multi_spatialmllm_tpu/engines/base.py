@@ -110,13 +110,14 @@ def choice(rng: np.random.Generator, seq: Sequence[Any]) -> Any:
 def normalized_coord(value: float, extent: int) -> int:
     """Pixel -> 0-1000 normalized coordinate with banker's rounding
     (reference: `round(px / W * 1000)`, depth_estimation_coor_engine.py
-    :216-217 — Python round() is round-half-to-even, same as np.round)."""
-    return int(np.round(value / extent * 1000))
+    :216-217). Python round() is round-half-to-even, identical to
+    np.round on scalars and ~8x faster in the per-row engine loops."""
+    return round(float(value) / extent * 1000)
 
 
 def mm(value_m: float) -> int:
     """Meters -> rounded millimeters (`round(d * 1000)`)."""
-    return int(np.round(value_m * 1000))
+    return round(float(value_m) * 1000)
 
 
 @dataclasses.dataclass

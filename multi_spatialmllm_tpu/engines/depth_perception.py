@@ -92,6 +92,35 @@ def _project_point(scene: Scene, image_index: int, point_index: int):
     return float(x[0]), float(y[0]), float(d[0])
 
 
+class ProjectionCache:
+    """Whole-point-cloud projection memo per (scene, image).
+
+    Engines that look points up one at a time in row order (correspondence,
+    multi-round comparison) would otherwise pay a full 4x4-inverse +
+    projection per LOOKUP; caching the vectorized all-points projection per
+    image turns O(rows) tiny calls into O(unique images) batched ones while
+    leaving the callers' rng-draw order untouched (lookups consume no rng).
+    """
+
+    def __init__(self):
+        self._memo: dict[tuple[str, int], tuple] = {}
+
+    def project(self, scene: Scene, image_index: int, point_index: int):
+        """(x_px, y_px, depth_m) or None — same contract as
+        :func:`_project_point`."""
+        key = (scene.scene_id, image_index)
+        arrays = self._memo.get(key)
+        if arrays is None:
+            arrays = _project_many(scene, image_index,
+                                   np.arange(scene.num_points))
+            self._memo[key] = arrays
+        x, y, d, ok = arrays
+        if not ok[point_index]:
+            return None
+        return (float(x[point_index]), float(y[point_index]),
+                float(d[point_index]))
+
+
 def _scene_plan(scene_ids: list[str], all_max_samples: int,
                 rng: np.random.Generator) -> tuple[list[str], int]:
     """Per-scene quota rule (:260-267)."""

@@ -50,7 +50,7 @@ from .base import (
     shuffle_and_write,
     to_eval_sample,
 )
-from .depth_perception import _project_point
+from .depth_perception import ProjectionCache, _project_point
 from .sampling import sample_overlap_balanced
 from .templates import correspondence as T
 
@@ -95,6 +95,7 @@ def generate_coor_to_coor(
         relations, desired_count, config, rng)
 
     samples = []
+    proj_cache = ProjectionCache()
     for idx in range(len(scene_ids)):
         sid = scene_ids[idx]
         image1, image2 = image1s[idx], image2s[idx]
@@ -119,8 +120,8 @@ def generate_coor_to_coor(
         p1_list, p2_list = [], []
         i1, i2 = scene.image_index(image1), scene.image_index(image2)
         for pt in picks:
-            proj1 = _project_point(scene, i1, int(pt))
-            proj2 = _project_point(scene, i2, int(pt))
+            proj1 = proj_cache.project(scene, i1, int(pt))
+            proj2 = proj_cache.project(scene, i2, int(pt))
             if proj1 is None or proj2 is None:
                 warn(f"Warning: Point {int(pt)} reprojection failed for "
                      f"{sid} {image1}/{image2}.")
@@ -194,6 +195,7 @@ def generate_coor_to_coor_to_jsonl(
     cols: dict[str, list] = {k: [] for k in (
         "sid", "img1", "img2", "idx", "x1", "y1", "x2", "y2", "h", "w",
         "t_idx", "q_idx", "a_idx")}
+    proj_cache = ProjectionCache()
     for idx in range(len(scene_ids)):
         sid = scene_ids[idx]
         image1, image2 = image1s[idx], image2s[idx]
@@ -208,8 +210,8 @@ def generate_coor_to_coor_to_jsonl(
             continue
         pt = int(rng.choice(common, size=1, replace=False)[0])
         i1, i2 = scene.image_index(image1), scene.image_index(image2)
-        proj1 = _project_point(scene, i1, pt)
-        proj2 = _project_point(scene, i2, pt)
+        proj1 = proj_cache.project(scene, i1, pt)
+        proj2 = proj_cache.project(scene, i2, pt)
         if proj1 is None or proj2 is None:
             warn(f"Warning: Point {pt} reprojection failed for "
                  f"{sid} {image1}/{image2}.")
@@ -317,6 +319,7 @@ def generate_dot_to_multichoice(
         relations, desired_count, config, rng)
 
     samples = []
+    proj_cache = ProjectionCache()
     for idx in range(len(scene_ids)):
         sid = scene_ids[idx]
         image1, image2 = image1s[idx], image2s[idx]
@@ -331,8 +334,8 @@ def generate_dot_to_multichoice(
             continue
         pt = int(common[int(rng.integers(len(common)))])
         i1, i2 = scene.image_index(image1), scene.image_index(image2)
-        proj1 = _project_point(scene, i1, pt)
-        proj2 = _project_point(scene, i2, pt)
+        proj1 = proj_cache.project(scene, i1, pt)
+        proj2 = proj_cache.project(scene, i2, pt)
         if proj1 is None or proj2 is None:
             warn(f"Warning: Point {pt} reprojection failed for {sid} "
                  f"{image1}/{image2}.")

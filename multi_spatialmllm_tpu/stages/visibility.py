@@ -189,12 +189,14 @@ class VisibilityIndex:
     def __init__(self):
         self._matrices: dict[str, np.ndarray] = {}
         self._image_ids: dict[str, list[str]] = {}
+        self._id_rows: dict[str, dict[str, int]] = {}
 
     # -- construction ---------------------------------------------------
 
     def add_scene(self, scene_id: str, image_ids: list[str], vis: np.ndarray):
         self._matrices[scene_id] = vis.astype(bool)
         self._image_ids[scene_id] = list(image_ids)
+        self._id_rows[scene_id] = {iid: i for i, iid in enumerate(image_ids)}
 
     @staticmethod
     def build(
@@ -228,7 +230,7 @@ class VisibilityIndex:
 
     def image_to_points(self, scene_id: str, image_id: str) -> np.ndarray:
         """Point indices visible in an image (info_handler.py:502-519)."""
-        row = self._image_ids[scene_id].index(f"{int(image_id):05d}")
+        row = self._id_rows[scene_id][f"{int(image_id):05d}"]
         return np.where(self._matrices[scene_id][row])[0]
 
     def point_to_images(self, scene_id: str, point_index: int) -> list[str]:
@@ -239,10 +241,10 @@ class VisibilityIndex:
     def common_points(self, scene_id: str, image_id1: str, image_id2: str) -> np.ndarray:
         """Intersection of two images' visible-point sets (replaces
         np.intersect1d over JSON lists, coor_2_coor engine :300-306)."""
-        ids = self._image_ids[scene_id]
+        rows = self._id_rows[scene_id]
         m = self._matrices[scene_id]
-        r1 = ids.index(f"{int(image_id1):05d}")
-        r2 = ids.index(f"{int(image_id2):05d}")
+        r1 = rows[f"{int(image_id1):05d}"]
+        r2 = rows[f"{int(image_id2):05d}"]
         return np.where(m[r1] & m[r2])[0]
 
     # -- persistence ----------------------------------------------------
