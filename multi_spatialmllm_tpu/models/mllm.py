@@ -166,10 +166,15 @@ def tiny_config(**overrides) -> MLLMConfig:
 
 
 def flagship_config() -> MLLMConfig:
-    """InternVL2-8B-like shape (InternViT-300M + 7-8B decoder)."""
+    """InternVL2-8B-like shape (InternViT-300M + 7-8B decoder).
+
+    Trains through the Pallas flash kernels (fused forward + dq/dkv
+    backward, ops/attention.py) on TPU; the flag falls back to the XLA
+    path automatically off-TPU or when shapes exceed the kernel's VMEM
+    budget (8K seq x 128 head dim is exactly at it)."""
     vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
                     num_layers=24, num_heads=16)
     llm = LLMConfig(vocab_size=92544, hidden_size=4096, num_layers=32,
                     num_heads=32, num_kv_heads=8, ffn_size=14336,
-                    max_seq_len=8192)
+                    max_seq_len=8192, use_flash_attention=True)
     return MLLMConfig(vit=vit, llm=llm)
