@@ -237,6 +237,28 @@ def main() -> None:
             "vs_baseline": round(rate / REF_CORR_COOR, 1),
         }
 
+        # -- engine: object movement (TAPVid, coord) -----------------------
+        # (no reference rate exists in BASELINE.md -> vs_baseline null)
+        from multi_spatialmllm_tpu.core.synthetic import make_tapvid_npz
+        from multi_spatialmllm_tpu.engines import object_movement as OM
+
+        records = {f"seq{i}": make_tapvid_npz(seed=i, n_frames=24,
+                                              n_groups=4,
+                                              points_per_group=10,
+                                              n_static=20)
+                   for i in range(8)}
+        om_cfg = OM.ObjectMovementConfig(
+            question_type="tapvid3d_total_distance", npoints_per_group=15,
+            npairs_per_bin=2)
+        OM.generate(records, f"{tmp}/om_warm.jsonl", om_cfg)
+        n, rate = best_of_2(lambda: OM.generate(
+            records, f"{tmp}/om.jsonl", om_cfg).n_train)
+        log(f"object movement coord: {n} samples -> {rate:,.0f}/s")
+        stages["object_movement_coord"] = {
+            "value": round(rate, 1), "unit": "samples/s",
+            "vs_baseline": None,
+        }
+
     print(json.dumps({
         "metric": "camera_movement_qa_samples_per_sec",
         "value": round(best_rate, 1),

@@ -55,3 +55,16 @@ ann = [make_scene(scene_id=f"warmann{i:02d}_00", seed=300 + i, n_images=48,
 compute_visibility_batch(ann, dtype=np.float32, batch_size=2)
 print("visibility f32 annotated-scenes cached", round(time.time() - t0, 1),
       flush=True)
+# object-movement engine shapes (rigid segmentation programs)
+from multi_spatialmllm_tpu.core.synthetic import make_tapvid_npz
+from multi_spatialmllm_tpu.engines import object_movement as OM
+import tempfile
+with tempfile.TemporaryDirectory() as _tmp:
+    OM.generate({"warmseq": make_tapvid_npz(seed=0, n_frames=24, n_groups=4,
+                                            points_per_group=10, n_static=20)},
+                f"{_tmp}/om.jsonl",
+                OM.ObjectMovementConfig(
+                    question_type="tapvid3d_total_distance",
+                    npoints_per_group=15, npairs_per_bin=2))
+print("object-movement programs cached", round(time.time() - t0, 1),
+      flush=True)
