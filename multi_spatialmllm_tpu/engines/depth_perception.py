@@ -38,6 +38,7 @@ from ..core.scene import Scene, SceneStore
 from ..core.synthetic import np_project_points
 from ..stages.visibility import VisibilityIndex
 from .annotate import (
+    AnnotationPool,
     ImageProvider,
     draw_dot,
     draw_lettered_dot,
@@ -173,6 +174,7 @@ def _depth_estimation_columns(
 
     scene_ids, quota = _scene_plan(store.scene_ids(),
                                    config.all_max_samples, rng)
+    pool = AnnotationPool()
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -212,12 +214,17 @@ def _depth_estimation_columns(
                 a_idx = int(rng.integers(len(banks[2])))
                 if variant == "dot" and image_provider is not None \
                         and image_output_dir:
-                    img = image_provider(sid, image_id).copy()
                     color = generate_distinct_colors(1, rng)[0]
-                    draw_dot(img, (int(x_px), int(y_px)), color)
-                    save_annotated(
-                        img, image_output_dir,
-                        f"{sid}/{image_id}_p{point}_annotated.jpg")
+
+                    def task(sid=sid, image_id=image_id, x=int(x_px),
+                             y=int(y_px), point=point, color=color):
+                        img = image_provider(sid, image_id).copy()
+                        draw_dot(img, (x, y), color)
+                        save_annotated(
+                            img, image_output_dir,
+                            f"{sid}/{image_id}_p{point}_annotated.jpg")
+
+                    pool.submit(task)
                 cols["sid"].append(sid)
                 cols["image_id"].append(image_id)
                 cols["point"].append(point)
@@ -231,6 +238,7 @@ def _depth_estimation_columns(
                 cols["t_idx"].append(t_idx)
                 cols["q_idx"].append(q_idx)
                 cols["a_idx"].append(a_idx)
+    pool.close()
     cols["n"] = len(cols["sid"])
     cols["variant"] = variant
     return cols
@@ -376,6 +384,7 @@ def generate_depth_estimation(
 
     scene_ids, quota = _scene_plan(store.scene_ids(), config.all_max_samples, rng)
     samples: list[dict] = []
+    pool = AnnotationPool()
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -421,10 +430,16 @@ def generate_depth_estimation(
                     answer = choice(rng, T.EST_ANSWERS_DOT).format(depth=depth)
                     image_rel = f"{sid}/{image_id}_p{point}_annotated.jpg"
                     if image_provider is not None and image_output_dir:
-                        img = image_provider(sid, image_id).copy()
                         color = generate_distinct_colors(1, rng)[0]
-                        draw_dot(img, (int(x_px), int(y_px)), color)
-                        save_annotated(img, image_output_dir, image_rel)
+
+                        def task_fn(sid=sid, image_id=image_id,
+                                    x=int(x_px), y=int(y_px),
+                                    color=color, image_rel=image_rel):
+                            img = image_provider(sid, image_id).copy()
+                            draw_dot(img, (x, y), color)
+                            save_annotated(img, image_output_dir, image_rel)
+
+                        pool.submit(task_fn)
 
                 samples.append({
                     "id": f"{sid}_{image_id}_point{point}",
@@ -438,6 +453,7 @@ def generate_depth_estimation(
                     "ori_coordinates": [int(x_px), int(y_px)],
                 })
 
+    pool.close()
     samples = subsample(samples, config.all_max_samples, rng)
     if eval_mode:
         samples = [to_eval_sample(s, keep_conversations=True)
@@ -663,6 +679,7 @@ def generate_depth_comparison(
 
     scene_ids, quota = _scene_plan(store.scene_ids(), config.all_max_samples, rng)
     samples: list[dict] = []
+    pool = AnnotationPool()
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -747,12 +764,20 @@ def generate_depth_comparison(
                     pid0, pid1 = pair[0]["point_id"], pair[1]["point_id"]
                     image_rel = f"{sid}/{image_id}_p{pid0}_p{pid1}_annotated.jpg"
                     if image_provider is not None and image_output_dir:
-                        img = image_provider(sid, image_id).copy()
-                        for info in shuffled:
-                            color = tuple(int(c) for c in rng.integers(0, 256, 3))
-                            draw_lettered_dot(img, info["coords"],
-                                              info["letter"], color)
-                        save_annotated(img, image_output_dir, image_rel)
+                        draws = [
+                            (info["coords"], info["letter"],
+                             tuple(int(c) for c in rng.integers(0, 256, 3)))
+                            for info in shuffled
+                        ]
+
+                        def task_fn(sid=sid, image_id=image_id,
+                                    draws=draws, image_rel=image_rel):
+                            img = image_provider(sid, image_id).copy()
+                            for coords, letter, color in draws:
+                                draw_lettered_dot(img, coords, letter, color)
+                            save_annotated(img, image_output_dir, image_rel)
+
+                        pool.submit(task_fn)
 
                 pid0, pid1 = pair[0]["point_id"], pair[1]["point_id"]
                 samples.append({
@@ -771,6 +796,7 @@ def generate_depth_comparison(
                     "is_closer_question": is_closer,
                 })
 
+    pool.close()
     samples = subsample(samples, config.all_max_samples, rng)
     if eval_mode:
         samples = [to_eval_sample(s, keep_conversations=True)

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.io import mkdir_or_exist, write_jsonl
+from .annotate import AnnotationPool
 from ..core.rng import ENGINE_SEEDS, stream
 from .base import EngineOutputs, choice, make_conversation, to_eval_sample
 from .templates import object_movement as T
@@ -270,6 +271,7 @@ def process_sequence(
     config: ObjectMovementConfig,
     rng: np.random.Generator,
     img_output_dir: str | None = None,
+    pool: AnnotationPool | None = None,
 ) -> list[dict]:
     """One npz record -> train samples. Decodes/caches frames when
     `img_output_dir` is given (:415-432); the dot variant annotates the
@@ -298,33 +300,48 @@ def process_sequence(
         scene_id, record, pairs, tracks_world, image_hw, config, rng)
 
     if img_output_dir is not None:
+        own_pool = pool is None
+        if own_pool:
+            pool = AnnotationPool()
         scene_dir = os.path.join(img_output_dir, scene_id)
         mkdir_or_exist(scene_dir)
         needed_frames = {s["frame1"] for s in pairs} | {s["frame2"] for s in pairs}
         for f in sorted(needed_frames):
             path = os.path.join(scene_dir, f"{f:05d}.jpg")
             if not os.path.exists(path):
-                img = cv2.imdecode(
-                    np.frombuffer(record["images_jpeg_bytes"][f], np.uint8),
-                    cv2.IMREAD_UNCHANGED)
-                cv2.imwrite(path, img)
+                def write_frame(f=f, path=path):
+                    img = cv2.imdecode(
+                        np.frombuffer(record["images_jpeg_bytes"][f],
+                                      np.uint8),
+                        cv2.IMREAD_UNCHANGED)
+                    cv2.imwrite(path, img)
+
+                pool.submit(write_frame)
         if config.dot_variant:
             for s in samples:
                 f1 = int(s["id"].split("_")[-3])
-                p = int(s["id"].split("_")[-1])
                 apath = os.path.join(scene_dir,
                                      os.path.basename(s["image"][0]))
                 if os.path.exists(apath):
                     continue
-                img = cv2.imdecode(
-                    np.frombuffer(record["images_jpeg_bytes"][f1], np.uint8),
-                    cv2.IMREAD_UNCHANGED).copy()
-                x = int(s["p1"][0] / 1000 * image_hw[1])
-                y = int(s["p1"][1] / 1000 * image_hw[0])
-                radius = max(image_hw[1] // 100, 1)
+                # rng draw stays synchronous (stream order); only the
+                # decode + circle + encode runs on the pool
                 color = tuple(int(c) for c in rng.integers(0, 256, 3))
-                cv2.circle(img, (x, y), radius, color, -1)
-                cv2.imwrite(apath, img)
+
+                def write_annot(f1=f1, apath=apath, color=color,
+                                x=int(s["p1"][0] / 1000 * image_hw[1]),
+                                y=int(s["p1"][1] / 1000 * image_hw[0])):
+                    img = cv2.imdecode(
+                        np.frombuffer(record["images_jpeg_bytes"][f1],
+                                      np.uint8),
+                        cv2.IMREAD_UNCHANGED).copy()
+                    radius = max(image_hw[1] // 100, 1)
+                    cv2.circle(img, (x, y), radius, color, -1)
+                    cv2.imwrite(apath, img)
+
+                pool.submit(write_annot)
+        if own_pool:
+            pool.close()
     return samples
 
 
@@ -342,12 +359,14 @@ def generate(
     rng = stream(config.seed, "object_movement", config.question_type,
                  "eval" if eval_mode else "train")
     all_samples: list[dict] = []
+    pool = AnnotationPool()
     for scene_id in sorted(scene_records.keys()):
         srng = stream(config.seed, "object_movement", config.question_type,
                       "eval" if eval_mode else "train", scene_id)
         all_samples.extend(
             process_sequence(scene_id, scene_records[scene_id], config,
-                             srng, img_output_dir))
+                             srng, img_output_dir, pool=pool))
+    pool.close()
     out = EngineOutputs()
     if eval_mode:
         # Reference eval flow (single_object_movement_engine_dot.py

@@ -36,6 +36,7 @@ from ..core.rng import ENGINE_SEEDS, stream
 from ..core.scene import SceneStore
 from ..stages.visibility import VisibilityIndex
 from .annotate import (
+    AnnotationPool,
     ImageProvider,
     draw_dot,
     draw_lettered_dot,
@@ -320,6 +321,7 @@ def generate_dot_to_multichoice(
 
     samples = []
     proj_cache = ProjectionCache()
+    pool = AnnotationPool()
     for idx in range(len(scene_ids)):
         sid = scene_ids[idx]
         image1, image2 = image1s[idx], image2s[idx]
@@ -360,16 +362,24 @@ def generate_dot_to_multichoice(
         rel1 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img1.jpg"
         rel2 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img2.jpg"
         if image_provider is not None:
-            img1 = image_provider(sid, image1).copy()
             color = tuple(int(c) for c in rng.integers(0, 256, 3))
-            draw_dot(img1, (int(proj1[0]), int(proj1[1])), color)
-            img2 = image_provider(sid, image2).copy()
             colors = generate_distinct_colors(4, rng)
-            for i, label in enumerate(labels):
-                draw_lettered_dot(img2, labeled[label], label, colors[i],
-                                  text_offset=(15, 0))
-            save_annotated(img1, image_output_dir, rel1)
-            save_annotated(img2, image_output_dir, rel2)
+
+            def task_fn(sid=sid, image1=image1, image2=image2,
+                        p1=(int(proj1[0]), int(proj1[1])), color=color,
+                        draws=[(labeled[lb], lb, colors[i])
+                               for i, lb in enumerate(labels)],
+                        rel1=rel1, rel2=rel2):
+                img1 = image_provider(sid, image1).copy()
+                draw_dot(img1, p1, color)
+                img2 = image_provider(sid, image2).copy()
+                for coords, label, c in draws:
+                    draw_lettered_dot(img2, coords, label, c,
+                                      text_offset=(15, 0))
+                save_annotated(img1, image_output_dir, rel1)
+                save_annotated(img2, image_output_dir, rel2)
+
+            pool.submit(task_fn)
 
         task = choice(rng, T.DOT_TASK_DESCRIPTION)
         question = choice(rng, T.DOT_QUESTIONS)
@@ -386,6 +396,7 @@ def generate_dot_to_multichoice(
             "p2_list": [correct_point] + incorrect,
         })
 
+    pool.close()
     if eval_mode:
         samples = [to_eval_sample(s) for s in samples]
     out = EngineOutputs(n_skipped=warn.count)

@@ -372,3 +372,45 @@ class TestObjectMovement:
             assert os.path.exists(
                 os.path.join(tmp_path, "imgs", s["image"][0]))
             assert isinstance(s["gt_value"], list) and len(s["gt_value"]) == 3
+
+
+class TestAnnotationPool:
+    def test_multiworker_outputs_identical_to_inline(self, env, tmp_path,
+                                                     monkeypatch):
+        """Force a 4-worker pool and compare every record and annotated
+        JPEG byte-for-byte with the single-worker (inline) run: rng draws
+        stay synchronous, so parallel image writes must not change
+        anything."""
+        import multi_spatialmllm_tpu.engines.annotate as AN
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.engines.annotate import (
+            SyntheticImageProvider,
+        )
+
+        def run(tag, workers):
+            real_init = AN.AnnotationPool.__init__
+            monkeypatch.setattr(
+                AN.AnnotationPool, "__init__",
+                lambda self, w=None: real_init(self, workers))
+            out_dir = tmp_path / tag
+            out = DP.generate_depth_estimation(
+                env["store"], env["index"], str(out_dir / "d.jsonl"),
+                variant="dot",
+                config=DP.DepthEngineConfig(all_max_samples=12),
+                image_provider=SyntheticImageProvider(
+                    env["scenes"][0].image_hw),
+                image_output_dir=str(out_dir / "imgs"))
+            monkeypatch.setattr(AN.AnnotationPool, "__init__", real_init)
+            return out_dir
+
+        d1 = run("inline", 1)
+        d4 = run("pool4", 4)
+        assert (d1 / "d.jsonl").read_bytes() == (d4 / "d.jsonl").read_bytes()
+        imgs1 = sorted(p.relative_to(d1 / "imgs")
+                       for p in (d1 / "imgs").rglob("*.jpg"))
+        imgs4 = sorted(p.relative_to(d4 / "imgs")
+                       for p in (d4 / "imgs").rglob("*.jpg"))
+        assert imgs1 == imgs4 and imgs1
+        for rel in imgs1:
+            assert (d1 / "imgs" / rel).read_bytes() == \
+                   (d4 / "imgs" / rel).read_bytes()
