@@ -475,28 +475,46 @@ def generate_depth_comparison_to_jsonl(
     store: SceneStore,
     vis_index: VisibilityIndex,
     output_path: str,
+    variant: str = "coor",
     config: DepthEngineConfig | None = None,
     eval_mode: bool = False,
+    image_provider: ImageProvider | None = None,
+    image_output_dir: str | None = None,
     warning_path: str | None = None,
     force_python: bool = False,
 ) -> EngineOutputs:
-    """Columnar fast path for the coor comparison variant (records
-    byte-compatible with json.dumps of the dict path, same rng order)."""
+    """Columnar fast path for both comparison variants (records
+    byte-compatible with json.dumps of the dict path, same rng order;
+    the dot variant replays the dict path's <=10-retry pair loop and
+    submits annotation work to the thread pool)."""
     from .fast_jsonl import OP_INT, OP_STR, EmitProgram
 
+    assert variant in ("coor", "dot")
     config = config or DepthEngineConfig()
     warn = WarningSink(warning_path)
-    rng = stream(config.seed, "depth_comparison", "coor",
+    rng = stream(config.seed, "depth_comparison", variant,
                  "eval" if eval_mode else "train")
+    dot = variant == "dot"
+    task_bank = (T.COMP_DOT_TASK_DESCRIPTION if dot
+                 else T.COMP_COOR_TASK_DESCRIPTION)
+    closer_q = T.COMP_CLOSER_QUESTIONS_DOT if dot \
+        else T.COMP_CLOSER_QUESTIONS_COOR
+    farther_q = T.COMP_FARTHER_QUESTIONS_DOT if dot \
+        else T.COMP_FARTHER_QUESTIONS_COOR
+    closer_a = T.COMP_CLOSER_ANSWERS_DOT if dot else T.COMP_CLOSER_ANSWERS_COOR
+    farther_a = T.COMP_FARTHER_ANSWERS_DOT if dot \
+        else T.COMP_FARTHER_ANSWERS_COOR
+    max_retries = 10 if dot else 1
 
-    keys = ("sid", "image_id", "pid0", "pid1", "gt_x", "gt_y", "h", "w",
-            "is_closer", "t_idx", "qa_idx", "aa_idx",
+    keys = ("sid", "image_id", "pid0", "pid1", "gt_x", "gt_y", "gt_l",
+            "h", "w", "is_closer", "t_idx", "qa_idx", "aa_idx",
             "p1x", "p1y", "p1d", "p1cx", "p1cy", "p1l",
             "p2x", "p2y", "p2d", "p2cx", "p2cy", "p2l")
     cols: dict[str, list] = {k: [] for k in keys}
 
     scene_ids, quota = _scene_plan(store.scene_ids(),
                                    config.all_max_samples, rng)
+    pool = AnnotationPool()
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -510,22 +528,32 @@ def generate_depth_comparison_to_jsonl(
             img_index = scene.image_index(image_id)
             vxs, vys, vds, voks = _project_many(scene, img_index, visible)
             for _ in range(config.max_n_points_per_image):
-                pick = rng.choice(len(visible), size=2, replace=False)
-                candidate = []
-                for p in pick:
-                    if not voks[p]:
-                        warn(f"Warning: Point-Id {int(visible[p])} is not "
-                             f"visible in image {image_id} in scene {sid}.")
-                        continue
-                    candidate.append({
-                        "x": normalized_coord(float(vxs[p]), w),
-                        "y": normalized_coord(float(vys[p]), h),
-                        "depth": int(np.round(float(vds[p]) * 1000)),
-                        "cx": int(float(vxs[p])), "cy": int(float(vys[p])),
-                        "pid": int(visible[p]),
-                    })
-                if len(candidate) != 2 or \
-                        candidate[0]["depth"] == candidate[1]["depth"]:
+                candidate = None
+                for retry in range(max_retries + 1):
+                    if retry == max_retries:
+                        candidate = None
+                        break
+                    pick = rng.choice(len(visible), size=2, replace=False)
+                    candidate = []
+                    for p in pick:
+                        if not voks[p]:
+                            warn(f"Warning: Point-Id {int(visible[p])} is "
+                                 f"not visible in image {image_id} in "
+                                 f"scene {sid}.")
+                            continue
+                        candidate.append({
+                            "x": normalized_coord(float(vxs[p]), w),
+                            "y": normalized_coord(float(vys[p]), h),
+                            "depth": int(np.round(float(vds[p]) * 1000)),
+                            "cx": int(float(vxs[p])),
+                            "cy": int(float(vys[p])),
+                            "pid": int(visible[p]),
+                        })
+                    if (len(candidate) == 2 and
+                            candidate[0]["depth"] != candidate[1]["depth"]):
+                        break
+                    candidate = None
+                if candidate is None:
                     warn(f"Warning: no valid unequal-depth pair in image "
                          f"{image_id} in scene {sid}.")
                     continue
@@ -539,19 +567,37 @@ def generate_depth_comparison_to_jsonl(
                 farther = p2 if p1["depth"] <= p2["depth"] else p1
                 is_closer = bool(rng.integers(2))
                 target = closer if is_closer else farther
-                t_idx = int(rng.integers(len(T.COMP_COOR_TASK_DESCRIPTION)))
-                qbank = (T.COMP_CLOSER_QUESTIONS_COOR if is_closer
-                         else T.COMP_FARTHER_QUESTIONS_COOR)
-                abank = (T.COMP_CLOSER_ANSWERS_COOR if is_closer
-                         else T.COMP_FARTHER_ANSWERS_COOR)
+                t_idx = int(rng.integers(len(task_bank)))
+                qbank = closer_q if is_closer else farther_q
+                abank = closer_a if is_closer else farther_a
                 q_local = int(rng.integers(len(qbank)))
                 a_local = int(rng.integers(len(abank)))
-                off_q = 0 if is_closer else len(T.COMP_CLOSER_QUESTIONS_COOR)
-                off_a = 0 if is_closer else len(T.COMP_CLOSER_ANSWERS_COOR)
+                off_q = 0 if is_closer else len(closer_q)
+                off_a = 0 if is_closer else len(closer_a)
+                # target's letter: 0 = "A", 1 = "B"
+                tgt_is_p1 = target is p1
+                gt_l = (0 if (l1 if tgt_is_p1 else l2) == "A" else 1)
+                if dot and image_provider is not None and image_output_dir:
+                    draws = []
+                    for i, info in enumerate(shuffled):
+                        color = tuple(int(c) for c in rng.integers(0, 256, 3))
+                        draws.append(((info["cx"], info["cy"]),
+                                      letters[i], color))
+                    image_rel = (f"{sid}/{image_id}_p{candidate[0]['pid']}"
+                                 f"_p{candidate[1]['pid']}_annotated.jpg")
+
+                    def task_fn(sid=sid, image_id=image_id, draws=draws,
+                                image_rel=image_rel):
+                        img = image_provider(sid, image_id).copy()
+                        for coords, letter, color in draws:
+                            draw_lettered_dot(img, coords, letter, color)
+                        save_annotated(img, image_output_dir, image_rel)
+
+                    pool.submit(task_fn)
                 row = {
                     "sid": sid, "image_id": image_id,
                     "pid0": candidate[0]["pid"], "pid1": candidate[1]["pid"],
-                    "gt_x": target["x"], "gt_y": target["y"],
+                    "gt_x": target["x"], "gt_y": target["y"], "gt_l": gt_l,
                     "h": h, "w": w, "is_closer": int(is_closer),
                     "t_idx": t_idx, "qa_idx": off_q + q_local,
                     "aa_idx": off_a + a_local,
@@ -564,6 +610,7 @@ def generate_depth_comparison_to_jsonl(
                 }
                 for k in keys:
                     cols[k].append(row[k])
+    pool.close()
 
     n = len(cols["sid"])
     p = EmitProgram(n)
@@ -571,25 +618,25 @@ def generate_depth_comparison_to_jsonl(
     img_c = p.add_str_col(cols["image_id"])
     ints = {k: p.add_int_col(cols[k]) for k in keys
             if k not in ("sid", "image_id")}
+    letter_sub = [p.ops_for(lambda o: p.lit(o, "A")),
+                  p.ops_for(lambda o: p.lit(o, "B"))]
+    sel_gt_l = p.make_select(ints["gt_l"], [list(s) for s in letter_sub])
     field_ops = {
         "x1": [(OP_INT, ints["p1x"], 0)], "y1": [(OP_INT, ints["p1y"], 0)],
         "x2": [(OP_INT, ints["p2x"], 0)], "y2": [(OP_INT, ints["p2y"], 0)],
         "correct_x": [(OP_INT, ints["gt_x"], 0)],
         "correct_y": [(OP_INT, ints["gt_y"], 0)],
+        "correct_label": [sel_gt_l],
     }
     sel_task = p.make_select(ints["t_idx"], [
-        p.ops_for(lambda o, t=t: p.lit_json(o, t))
-        for t in T.COMP_COOR_TASK_DESCRIPTION])
+        p.ops_for(lambda o, t=t: p.lit_json(o, t)) for t in task_bank])
     sel_q = p.make_select(ints["qa_idx"], [
         p.template_subprogram(t, field_ops)
-        for t in (T.COMP_CLOSER_QUESTIONS_COOR
-                  + T.COMP_FARTHER_QUESTIONS_COOR)])
+        for t in (closer_q + farther_q)])
     sel_a = p.make_select(ints["aa_idx"], [
         p.template_subprogram(t, field_ops)
-        for t in (T.COMP_CLOSER_ANSWERS_COOR + T.COMP_FARTHER_ANSWERS_COOR)])
-    letter_sub = [p.ops_for(lambda o: p.lit(o, "A")),
-                  p.ops_for(lambda o: p.lit(o, "B"))]
-    sel_l1 = p.make_select(ints["p1l"], letter_sub)
+        for t in (closer_a + farther_a)])
+    sel_l1 = p.make_select(ints["p1l"], [list(s) for s in letter_sub])
     sel_l2 = p.make_select(ints["p2l"],
                            [list(s) for s in letter_sub])
     sel_bool = p.make_select(ints["is_closer"], [
@@ -604,7 +651,13 @@ def generate_depth_comparison_to_jsonl(
     main.append((OP_INT, ints["pid1"], 0))
     p.lit(main, '", "image": ["')
     main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
-    main.append((OP_STR, img_c, 0)); p.lit(main, '.jpg"], ')
+    main.append((OP_STR, img_c, 0))
+    if dot:
+        p.lit(main, "_p"); main.append((OP_INT, ints["pid0"], 0))
+        p.lit(main, "_p"); main.append((OP_INT, ints["pid1"], 0))
+        p.lit(main, '_annotated.jpg"], ')
+    else:
+        p.lit(main, '.jpg"], ')
     # conversations kept in eval too (depth_comparison_coor_engine.py
     # :381-384 does not pop); eval appends `text` last.
     p.lit(main, '"conversations": [{"from": "human", "value": "')
@@ -616,11 +669,17 @@ def generate_depth_comparison_to_jsonl(
     main.append((OP_INT, ints["h"], 0))
     p.lit(main, '], "width_list": [')
     main.append((OP_INT, ints["w"], 0))
-    p.lit(main, '], "question_type": "depth_comparison_coordinate", '
-                '"gt_value": [')
-    main.append((OP_INT, ints["gt_x"], 0)); p.lit(main, ", ")
-    main.append((OP_INT, ints["gt_y"], 0))
-    p.lit(main, '], "points_info": [')
+    if dot:
+        p.lit(main, '], "question_type": "depth_comparison_annotated", '
+                    '"gt_value": "')
+        main.append(sel_gt_l)
+        p.lit(main, '", "points_info": [')
+    else:
+        p.lit(main, '], "question_type": "depth_comparison_coordinate", '
+                    '"gt_value": [')
+        main.append((OP_INT, ints["gt_x"], 0)); p.lit(main, ", ")
+        main.append((OP_INT, ints["gt_y"], 0))
+        p.lit(main, '], "points_info": [')
     for tag, sel_l in (("p1", sel_l1), ("p2", sel_l2)):
         if tag == "p2":
             p.lit(main, ", ")

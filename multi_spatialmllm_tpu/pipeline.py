@@ -216,17 +216,20 @@ class SpatialEnginePipeline:
                     config=DP.DepthEngineConfig(
                         all_max_samples=eval_max_samples))
             task = f"depth_comparison_{variant}"
-            out[f"comparison_{variant}"] = DP.generate_depth_comparison(
-                self.store, vis,
-                os.path.join(self._train_dir(task), f"{task}.jsonl"),
-                variant=variant,
-                config=DP.DepthEngineConfig(all_max_samples=all_max_samples))
-            out[f"comparison_{variant}_eval"] = DP.generate_depth_comparison(
-                self.store, vis,
-                os.path.join(self._eval_dir(task), f"{task}.jsonl"),
-                variant=variant, eval_mode=True,
-                config=DP.DepthEngineConfig(
-                    all_max_samples=eval_max_samples))
+            out[f"comparison_{variant}"] = \
+                DP.generate_depth_comparison_to_jsonl(
+                    self.store, vis,
+                    os.path.join(self._train_dir(task), f"{task}.jsonl"),
+                    variant=variant,
+                    config=DP.DepthEngineConfig(
+                        all_max_samples=all_max_samples))
+            out[f"comparison_{variant}_eval"] = \
+                DP.generate_depth_comparison_to_jsonl(
+                    self.store, vis,
+                    os.path.join(self._eval_dir(task), f"{task}.jsonl"),
+                    variant=variant, eval_mode=True,
+                    config=DP.DepthEngineConfig(
+                        all_max_samples=eval_max_samples))
         return out
 
     def run_visual_correspondence(self, desired_count=1000,

@@ -454,15 +454,64 @@ class TestDepthComparisonNativeParity:
                                           cfg)
         nat_path = str(tmp_path / "nat.jsonl")
         o2 = DP.generate_depth_comparison_to_jsonl(store, index, nat_path,
-                                                   cfg)
+                                                   "coor", cfg)
         assert o1.n_train == o2.n_train > 0
         d = [json.loads(l) for l in open(dict_path)]
         nat = [json.loads(l) for l in open(nat_path)]
         assert d == nat
         py_path = str(tmp_path / "py.jsonl")
-        DP.generate_depth_comparison_to_jsonl(store, index, py_path, cfg,
-                                              force_python=True)
+        DP.generate_depth_comparison_to_jsonl(store, index, py_path, "coor",
+                                              cfg, force_python=True)
         assert open(nat_path).read() == open(py_path).read()
+
+    def test_dot_variant_matches_dict_path(self, tmp_path):
+        """dot-variant fast path vs dict path with annotation: identical
+        records (incl. letter gt and annotated image names) and identical
+        JPEG bytes (rng stream consumed in the same order)."""
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import depth_perception as DP
+        from multi_spatialmllm_tpu.engines.annotate import (
+            SyntheticImageProvider,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="dcj0002_00", seed=53, n_images=10,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        compute_scene_visibility(scene))
+        cfg = DP.DepthEngineConfig(all_max_samples=8)
+        provider = SyntheticImageProvider(scene.image_hw)
+
+        dict_path = str(tmp_path / "dict.jsonl")
+        o1 = DP.generate_depth_comparison(
+            store, index, dict_path, "dot", cfg, image_provider=provider,
+            image_output_dir=str(tmp_path / "img_dict"))
+        fast_path = str(tmp_path / "fast.jsonl")
+        o2 = DP.generate_depth_comparison_to_jsonl(
+            store, index, fast_path, "dot", cfg, image_provider=provider,
+            image_output_dir=str(tmp_path / "img_fast"))
+        assert o1.n_train == o2.n_train > 0
+        d = [json.loads(l) for l in open(dict_path)]
+        f = [json.loads(l) for l in open(fast_path)]
+        assert d == f
+        for rec in f:
+            assert rec["question_type"] == "depth_comparison_annotated"
+            assert rec["gt_value"] in ("A", "B")
+            assert rec["image"][0].endswith("_annotated.jpg")
+        d_imgs = sorted(p.relative_to(tmp_path / "img_dict")
+                        for p in (tmp_path / "img_dict").rglob("*.jpg"))
+        f_imgs = sorted(p.relative_to(tmp_path / "img_fast")
+                        for p in (tmp_path / "img_fast").rglob("*.jpg"))
+        assert d_imgs == f_imgs and d_imgs
+        for rel in d_imgs:
+            assert (tmp_path / "img_dict" / rel).read_bytes() == \
+                   (tmp_path / "img_fast" / rel).read_bytes()
 
     def test_eval_mode(self, tmp_path):
         from multi_spatialmllm_tpu.core.scene import SceneStore
@@ -482,8 +531,8 @@ class TestDepthComparisonNativeParity:
                         compute_scene_visibility(scene))
         path = str(tmp_path / "eval.jsonl")
         DP.generate_depth_comparison_to_jsonl(
-            store, index, path, DP.DepthEngineConfig(all_max_samples=5),
-            eval_mode=True)
+            store, index, path, "coor",
+            DP.DepthEngineConfig(all_max_samples=5), eval_mode=True)
         for line in open(path):
             rec = json.loads(line)
             assert not validate_eval_sample(rec)
