@@ -406,3 +406,190 @@ def generate_dot_to_multichoice(
     else:
         out.train_path, out.n_train = output_path, n
     return out
+
+
+def generate_dot_to_multichoice_to_jsonl(
+    relations,
+    store: SceneStore,
+    vis_index: VisibilityIndex,
+    output_path: str,
+    desired_count: int,
+    image_output_dir: str,
+    image_provider: ImageProvider | None = None,
+    config: CorrespondenceConfig | None = None,
+    eval_mode: bool = False,
+    warning_path: str | None = None,
+    force_python: bool = False,
+) -> EngineOutputs:
+    """Columnar fast path for the dot->multichoice engine: same sampling,
+    distractor, label-shuffle and annotation rng order as the dict path
+    (records byte-compatible with json.dumps of it); record assembly runs
+    in the template VM and annotation on the thread pool."""
+    from .fast_jsonl import OP_INT, OP_STR, EmitProgram
+
+    config = config or CorrespondenceConfig()
+    assert config.max_points_per_pair == 1
+    warn = WarningSink(warning_path)
+    rng = stream(config.seed, "vc_dot_2_multichoice",
+                 "eval" if eval_mode else "train")
+    scene_ids, image1s, image2s = _sample_pairs(
+        relations, desired_count, config, rng)
+
+    keys = ("sid", "img1", "img2", "idx", "pt", "p1x", "p1y", "h", "w",
+            "gt_l", "t_idx", "q_idx", "a_idx",
+            "c0x", "c0y", "c1x", "c1y", "c2x", "c2y", "c3x", "c3y")
+    cols: dict[str, list] = {k: [] for k in keys}
+    proj_cache = ProjectionCache()
+    pool = AnnotationPool()
+    for idx in range(len(scene_ids)):
+        sid = scene_ids[idx]
+        image1, image2 = image1s[idx], image2s[idx]
+        if rng.random() < 0.5:
+            image1, image2 = image2, image1
+        scene = store.get(sid)
+        h, w = scene.image_hw
+        common = vis_index.common_points(sid, image1, image2)
+        if len(common) == 0:
+            warn(f"[build_training_sample] Warning: No common visible "
+                 f"points for scene {sid} {image1}, {image2}")
+            continue
+        pt = int(common[int(rng.integers(len(common)))])
+        i1, i2 = scene.image_index(image1), scene.image_index(image2)
+        proj1 = proj_cache.project(scene, i1, pt)
+        proj2 = proj_cache.project(scene, i2, pt)
+        if proj1 is None or proj2 is None:
+            warn(f"Warning: Point {pt} reprojection failed for {sid} "
+                 f"{image1}/{image2}.")
+            continue
+
+        correct_point = (int(proj2[0]), int(proj2[1]))
+        incorrect = []
+        while len(incorrect) < 3:
+            x = int(rng.integers(0, w - 10))
+            y = int(rng.integers(0, h - 10))
+            if (x, y) != correct_point:
+                incorrect.append((x, y))
+        all_points = [correct_point] + incorrect
+        order = rng.permutation(4)
+        all_points_shuf = [all_points[int(i)] for i in order]
+        labels = ["A", "B", "C", "D"]
+        rng.shuffle(labels)
+        labeled = dict(zip(labels, all_points_shuf))
+        correct_label = next(l for l, p in labeled.items()
+                             if p == correct_point)
+
+        rel1 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img1.jpg"
+        rel2 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img2.jpg"
+        if image_provider is not None:
+            color = tuple(int(c) for c in rng.integers(0, 256, 3))
+            colors = generate_distinct_colors(4, rng)
+
+            def task_fn(sid=sid, image1=image1, image2=image2,
+                        p1=(int(proj1[0]), int(proj1[1])), color=color,
+                        draws=[(labeled[lb], lb, colors[i])
+                               for i, lb in enumerate(labels)],
+                        rel1=rel1, rel2=rel2):
+                img1 = image_provider(sid, image1).copy()
+                draw_dot(img1, p1, color)
+                img2 = image_provider(sid, image2).copy()
+                for coords, label, c in draws:
+                    draw_lettered_dot(img2, coords, label, c,
+                                      text_offset=(15, 0))
+                save_annotated(img1, image_output_dir, rel1)
+                save_annotated(img2, image_output_dir, rel2)
+
+            pool.submit(task_fn)
+
+        row = {
+            "sid": sid, "img1": image1, "img2": image2, "idx": idx,
+            "pt": pt, "p1x": int(proj1[0]), "p1y": int(proj1[1]),
+            "h": h, "w": w, "gt_l": ord(correct_label) - 65,
+            "t_idx": int(rng.integers(len(T.DOT_TASK_DESCRIPTION))),
+            "q_idx": int(rng.integers(len(T.DOT_QUESTIONS))),
+            "a_idx": int(rng.integers(len(T.DOT_ANSWERS))),
+        }
+        for j, (cx, cy) in enumerate(all_points):
+            row[f"c{j}x"], row[f"c{j}y"] = cx, cy
+        for k in keys:
+            cols[k].append(row[k])
+    pool.close()
+
+    n = len(cols["sid"])
+    p = EmitProgram(n)
+    sid_c = p.add_str_col(cols["sid"])
+    i1_c = p.add_str_col(cols["img1"])
+    i2_c = p.add_str_col(cols["img2"])
+    ints = {k: p.add_int_col(cols[k]) for k in keys
+            if k not in ("sid", "img1", "img2")}
+    letter4 = [p.ops_for(lambda o, t=t: p.lit(o, t))
+               for t in ("A", "B", "C", "D")]
+    sel_gt = p.make_select(ints["gt_l"], letter4)
+    field_ops = {"correct_label": [sel_gt]}
+    sel_task = p.make_select(ints["t_idx"], [
+        p.ops_for(lambda o, t=t: p.lit_json(o, t))
+        for t in T.DOT_TASK_DESCRIPTION])
+    sel_q = p.make_select(ints["q_idx"], [
+        p.template_subprogram(t, field_ops) for t in T.DOT_QUESTIONS])
+    sel_a = p.make_select(ints["a_idx"], [
+        p.template_subprogram(t, field_ops) for t in T.DOT_ANSWERS])
+
+    def emit_rel(main, img_tag):
+        main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
+        main.append((OP_INT, ints["idx"], 0)); p.lit(main, "_point")
+        main.append((OP_INT, ints["pt"], 0)); p.lit(main, "_")
+        main.append((OP_STR, i1_c, 0)); p.lit(main, "_")
+        main.append((OP_STR, i2_c, 0)); p.lit(main, f"_{img_tag}.jpg")
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": "')
+    main.append((OP_INT, ints["idx"], 0)); p.lit(main, "_p")
+    main.append((OP_INT, ints["pt"], 0))
+    p.lit(main, '", "image": ["')
+    emit_rel(main, "img1")
+    p.lit(main, '", "')
+    emit_rel(main, "img2")
+    p.lit(main, '"], ')
+    if not eval_mode:
+        # correspondence eval pops conversations
+        # (visual_correspondence_qa_engine_dot_2_multichoice.py:430-433)
+        p.lit(main, '"conversations": [{"from": "human", "value": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}, {"from": "gpt", "value": "')
+        main.append(sel_a)
+        p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    main.append((OP_INT, ints["h"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["h"], 0))
+    p.lit(main, '], "width_list": [')
+    main.append((OP_INT, ints["w"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["w"], 0))
+    p.lit(main,
+          '], "question_type": "visual_correspondence_multiple_choice", '
+          '"gt_value": "')
+    main.append(sel_gt)
+    p.lit(main, '", "p1_list": [')
+    main.append((OP_INT, ints["p1x"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["p1y"], 0))
+    p.lit(main, '], "p2_list": [')
+    for j in range(4):
+        if j:
+            p.lit(main, ", ")
+        p.lit(main, "[")
+        main.append((OP_INT, ints[f"c{j}x"], 0)); p.lit(main, ", ")
+        main.append((OP_INT, ints[f"c{j}y"], 0))
+        p.lit(main, "]")
+    if eval_mode:
+        p.lit(main, '], "text": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, ']}')
+
+    order = rng.permutation(n)
+    p.emit(main, output_path, row_order=order, force_python=force_python)
+    out = EngineOutputs(n_skipped=warn.count)
+    if eval_mode:
+        out.val_path, out.n_val = output_path, n
+    else:
+        out.train_path, out.n_train = output_path, n
+    return out

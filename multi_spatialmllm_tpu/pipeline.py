@@ -258,13 +258,13 @@ class SpatialEnginePipeline:
             os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
             eval_count, cfg, eval_mode=True)
         task = "visual_correspondence_dot_2_multichoice"
-        out["dot_2_multichoice"] = VC.generate_dot_to_multichoice(
+        out["dot_2_multichoice"] = VC.generate_dot_to_multichoice_to_jsonl(
             rel, self.store, vis,
             os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
             desired_count,
             os.path.join(self._train_dir(task), "images"),
             image_provider=provider, config=cfg)
-        out["dot_2_multichoice_eval"] = VC.generate_dot_to_multichoice(
+        out["dot_2_multichoice_eval"] = VC.generate_dot_to_multichoice_to_jsonl(
             rel, self.store, vis,
             os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
             eval_count,

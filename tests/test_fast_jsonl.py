@@ -539,3 +539,98 @@ class TestDepthComparisonNativeParity:
             assert isinstance(rec["is_closer_question"], bool)
             p1, p2 = rec["points_info"]
             assert {p1["letter"], p2["letter"]} == {"A", "B"}
+
+
+class TestCorrespondenceDotNativeParity:
+    def test_matches_dict_path(self, tmp_path):
+        import json as _json
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import visual_correspondence as VC
+        from multi_spatialmllm_tpu.engines.annotate import (
+            SyntheticImageProvider,
+        )
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            build_frame_relations,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="vcd0000_00", seed=61, n_images=12,
+                           n_background=3000)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        vis = {scene.scene_id: compute_scene_visibility(scene)}
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        vis[scene.scene_id])
+        rel = build_frame_relations([scene], visibility=vis)
+        cfg = VC.CorrespondenceConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        provider = SyntheticImageProvider(scene.image_hw)
+
+        d_dir = tmp_path / "img_dict"
+        o1 = VC.generate_dot_to_multichoice(
+            rel, store, index, str(tmp_path / "dict.jsonl"), 15,
+            str(d_dir), image_provider=provider, config=cfg)
+        f_dir = tmp_path / "img_fast"
+        o2 = VC.generate_dot_to_multichoice_to_jsonl(
+            rel, store, index, str(tmp_path / "fast.jsonl"), 15,
+            str(f_dir), image_provider=provider, config=cfg)
+        assert o1.n_train == o2.n_train > 0
+        d = [_json.loads(l) for l in open(tmp_path / "dict.jsonl")]
+        f = [_json.loads(l) for l in open(tmp_path / "fast.jsonl")]
+        assert d == f
+        d_imgs = sorted(p.relative_to(d_dir) for p in d_dir.rglob("*.jpg"))
+        f_imgs = sorted(p.relative_to(f_dir) for p in f_dir.rglob("*.jpg"))
+        assert d_imgs == f_imgs and d_imgs
+        for r in d_imgs:
+            assert (d_dir / r).read_bytes() == (f_dir / r).read_bytes()
+        # python interpreter emits identical bytes to the C VM
+        VC.generate_dot_to_multichoice_to_jsonl(
+            rel, store, index, str(tmp_path / "py.jsonl"), 15,
+            str(tmp_path / "img_py"), image_provider=provider, config=cfg,
+            force_python=True)
+        assert open(tmp_path / "fast.jsonl").read() == \
+               open(tmp_path / "py.jsonl").read()
+
+    def test_eval_mode_pops_conversations(self, tmp_path):
+        import json as _json
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.engines import visual_correspondence as VC
+        from multi_spatialmllm_tpu.engines.base import validate_eval_sample
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            build_frame_relations,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            VisibilityIndex,
+            compute_scene_visibility,
+        )
+
+        scene = make_scene(scene_id="vcd0001_00", seed=62, n_images=10,
+                           n_background=2500)
+        store = SceneStore.write([scene], str(tmp_path / "scenes"))
+        vis = {scene.scene_id: compute_scene_visibility(scene)}
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids,
+                        vis[scene.scene_id])
+        rel = build_frame_relations([scene], visibility=vis)
+        cfg = VC.CorrespondenceConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        o_f = VC.generate_dot_to_multichoice_to_jsonl(
+            rel, store, index, str(tmp_path / "f.jsonl"), 8,
+            str(tmp_path / "imgs"), config=cfg, eval_mode=True)
+        o_d = VC.generate_dot_to_multichoice(
+            rel, store, index, str(tmp_path / "d.jsonl"), 8,
+            str(tmp_path / "imgs2"), config=cfg, eval_mode=True)
+        f = [_json.loads(l) for l in open(tmp_path / "f.jsonl")]
+        d = [_json.loads(l) for l in open(tmp_path / "d.jsonl")]
+        assert f == d and f
+        for rec in f:
+            assert not validate_eval_sample(rec)
+            assert "conversations" not in rec
+            assert rec["gt_value"] in "ABCD"
