@@ -204,6 +204,9 @@ def format_samples(
     tracks_cam = record["tracks_XYZ"]
     qtype = config.question_type
     h, w = image_hw
+    # one batched inverse for all frames (samples reuse the same 4x4s)
+    c2w_all = np.linalg.inv(extrinsics_w2c)
+    cam_centers = c2w_all[:, :3, 3]
     out = []
     for sp in sample_pairs:
         f1, f2, p = sp["frame1"], sp["frame2"], sp["point_index"]
@@ -216,9 +219,7 @@ def format_samples(
         else:
             point_moving = True
 
-        e1_c2w = np.linalg.inv(extrinsics_w2c[f1])
-        e2_c2w = np.linalg.inv(extrinsics_w2c[f2])
-        cam_dist = float(np.linalg.norm(e2_c2w[:3, 3] - e1_c2w[:3, 3]))
+        cam_dist = float(np.linalg.norm(cam_centers[f2] - cam_centers[f1]))
         camera_moving = cam_dist >= config.camera_not_moving_threshold
 
         # rotation-only world -> camera-1 (homogeneous w=0, :352-356)
@@ -228,16 +229,17 @@ def format_samples(
         p2d_2 = project_point(tracks_cam[f2, p], intrinsics, image_hw)
         if p2d_1 is None or p2d_2 is None:
             continue
-        x1, y1 = int(np.round(p2d_1[0] * 1000)), int(np.round(p2d_1[1] * 1000))
-        x2, y2 = int(np.round(p2d_2[0] * 1000)), int(np.round(p2d_2[1] * 1000))
+        # Python round() == np.round on scalars (half-to-even), ~8x faster
+        x1, y1 = round(p2d_1[0] * 1000), round(p2d_1[1] * 1000)
+        x2, y2 = round(p2d_2[0] * 1000), round(p2d_2[1] * 1000)
 
         task = choice(rng, T.TASK_DESCRIPTION)
         question = choice(rng, T.QUESTION_TEMPLATES[qtype]).format(x1=x1, y1=y1)
         answer = choice(rng, T.ANSWER_TEMPLATES[qtype]).format(
-            total_distance=int(np.round(dist * 1000)),
-            x_value=int(np.round(disp_cam1[0] * 1000)),
-            y_value=int(np.round(disp_cam1[1] * 1000)),
-            z_value=int(np.round(disp_cam1[2] * 1000)),
+            total_distance=round(dist * 1000),
+            x_value=round(float(disp_cam1[0]) * 1000),
+            y_value=round(float(disp_cam1[1]) * 1000),
+            z_value=round(float(disp_cam1[2]) * 1000),
         )
         if not point_moving:
             answer = "The point did not move. " + answer
