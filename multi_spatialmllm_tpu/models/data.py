@@ -144,3 +144,95 @@ def batch_iterator(
             "labels": np.stack(buf_labels),
             "tiles": np.stack(buf_tiles),
         }
+
+
+def prefetch_batches(
+    samples: Sequence[dict],
+    tokenizer: SpatialTokenizer,
+    model_cfg: MLLMConfig,
+    image_loader: Callable[[str], np.ndarray],
+    batch_size: int,
+    config: DataConfig | None = None,
+    drop_remainder: bool = True,
+    num_workers: int | None = None,
+    prefetch: int = 2,
+) -> Iterator[dict]:
+    """`batch_iterator` with the host work overlapped against device
+    compute (SURVEY.md §7 hard part #4: JPEG decode / tiling / tokenize
+    are host-bound and must not starve the TPU).
+
+    Worker threads run `encode_sample` (cv2 and the tokenizers library
+    release the GIL); results are consumed strictly in submission order,
+    so batch composition is IDENTICAL to the synchronous iterator for any
+    worker count (test-asserted). A producer thread keeps up to
+    `prefetch` assembled batches queued ahead of the consumer.
+    """
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    config = config or DataConfig()
+    if num_workers is None:
+        num_workers = min(8, __import__("os").cpu_count() or 1)
+    if num_workers <= 1:
+        yield from batch_iterator(samples, tokenizer, model_cfg,
+                                  image_loader, batch_size, config,
+                                  drop_remainder)
+        return
+
+    out_q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+    _END = object()
+
+    def produce():
+        try:
+            with ThreadPoolExecutor(max_workers=num_workers) as pool:
+                window = 4 * num_workers
+                futures: list = []
+                buf_ids, buf_labels, buf_tiles = [], [], []
+
+                def drain_one():
+                    enc = futures.pop(0).result()
+                    if enc is None:
+                        return
+                    input_ids, labels, tiles, _ = enc
+                    buf_ids.append(input_ids)
+                    buf_labels.append(labels)
+                    buf_tiles.append(tiles)
+                    if len(buf_ids) == batch_size:
+                        out_q.put({
+                            "input_ids": np.stack(buf_ids),
+                            "labels": np.stack(buf_labels),
+                            "tiles": np.stack(buf_tiles),
+                        })
+                        buf_ids.clear()
+                        buf_labels.clear()
+                        buf_tiles.clear()
+
+                for sample in samples:
+                    futures.append(pool.submit(
+                        encode_sample, sample, tokenizer, model_cfg,
+                        image_loader, config))
+                    if len(futures) >= window:
+                        drain_one()
+                while futures:
+                    drain_one()
+                if buf_ids and not drop_remainder:
+                    out_q.put({
+                        "input_ids": np.stack(buf_ids),
+                        "labels": np.stack(buf_labels),
+                        "tiles": np.stack(buf_tiles),
+                    })
+            out_q.put(_END)
+        except BaseException as exc:  # surface worker failures
+            out_q.put(exc)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    while True:
+        item = out_q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    thread.join()

@@ -162,3 +162,75 @@ class TestEngineToModel:
                      for k, v in batch.items()}
         params, opt_state, metrics = step(params, opt_state, batch)
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestPrefetchLoader:
+    def test_identical_to_sync_iterator(self, rng):
+        """prefetch_batches with 4 workers yields byte-identical batches
+        in the same order as batch_iterator (deterministic composition
+        regardless of worker count)."""
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.data import (
+            DataConfig,
+            batch_iterator,
+            prefetch_batches,
+        )
+        from multi_spatialmllm_tpu.models.preprocess import PreprocessConfig
+        from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+        tok = SpatialTokenizer()
+        cfg = M.MLLMConfig(
+            vit=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                            num_layers=1, num_heads=2),
+            llm=M.LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                            num_layers=1, num_heads=2, num_kv_heads=2,
+                            ffn_size=64, dtype="float32"),
+            img_context_id=tok.img_context_id,
+        )
+        samples = [
+            {"id": str(i), "image": [f"s/{i}.jpg"],
+             "conversations": [
+                 {"from": "human",
+                  "value": f"<image>\nQuestion {i} about depth?"},
+                 {"from": "gpt", "value": f"The depth is {1000 + i} mm."},
+             ]}
+            for i in range(11)
+        ]
+
+        def loader(path):
+            seed = int(path.split("/")[-1].split(".")[0])
+            return np.random.default_rng(seed).integers(
+                0, 255, (96, 128, 3), dtype=np.uint8)
+
+        dc = DataConfig(max_seq_len=128, max_tiles=2,
+                        preprocess=PreprocessConfig(tile_size=56,
+                                                    max_tiles=1,
+                                                    resize_hw=None))
+        sync = list(batch_iterator(samples, tok, cfg, loader, 3, dc,
+                                   drop_remainder=False))
+        pre = list(prefetch_batches(samples, tok, cfg, loader, 3, dc,
+                                    drop_remainder=False, num_workers=4,
+                                    prefetch=2))
+        assert len(sync) == len(pre) >= 3
+        for a, b in zip(sync, pre):
+            for key in ("input_ids", "labels", "tiles"):
+                np.testing.assert_array_equal(a[key], b[key])
+
+    def test_worker_error_propagates(self):
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.data import prefetch_batches
+        from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+        import pytest as _pytest
+
+        tok = SpatialTokenizer()
+        cfg = M.tiny_config()
+
+        def bad_loader(path):
+            raise FileNotFoundError(path)
+
+        samples = [{"id": "x", "image": ["a/b.jpg"],
+                    "conversations": [{"from": "human", "value": "<image>"},
+                                      {"from": "gpt", "value": "y"}]}]
+        with _pytest.raises(FileNotFoundError):
+            list(prefetch_batches(samples, tok, cfg, bad_loader, 1,
+                                  num_workers=4))
