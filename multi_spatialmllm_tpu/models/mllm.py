@@ -169,9 +169,9 @@ def flagship_config() -> MLLMConfig:
     """InternVL2-8B-like shape (InternViT-300M + 7-8B decoder).
 
     Trains through the Pallas flash kernels (fused forward + dq/dkv
-    backward, ops/attention.py) on TPU; the flag falls back to the XLA
-    path automatically off-TPU or when shapes exceed the kernel's VMEM
-    budget (8K seq x 128 head dim is exactly at it)."""
+    backward, ops/attention.py) on TPU; past the resident-KV VMEM budget
+    (8K seq x 128 head dim) the XL streaming kernels take over, and
+    off-TPU the XLA path is used automatically."""
     vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
                     num_layers=24, num_heads=16)
     llm = LLMConfig(vocab_size=92544, hidden_size=4096, num_layers=32,

@@ -20,9 +20,15 @@ Used by the MLLM train/decode paths (models/llm.py). Design:
   the full [S, S] matrix.
 
 VMEM budget: the resident-KV (forward, dq) and resident-Q/dO (dk/dv)
-layouts need ~2 * S * D * itemsize bytes; `_kernel_ok` gates on
-S * D <= 2^20 (8K seq x 128 head dim in f32 = 8 MB of 16 MB VMEM) and
-falls back to the XLA path beyond.
+layouts need ~2 * S * D * itemsize bytes and are used up to
+S * D <= 2^20 (8K seq x 128 head dim). Beyond that the XL variants take
+over: a 3-D grid streams K/V (and Q/dO in the dkv kernel) through VMEM
+in 512-wide blocks double-buffered by the Pallas pipeline, with the
+online-softmax state in VMEM scratch persisting across the innermost
+grid dimension — sequence length is then unbounded (measured at S=16K:
+grad 2.4x / fwd 3x the XLA path on-device). Streaming trades HBM
+traffic (K/V re-fetched once per q block) for residency; wide blocks
+keep that to S/512 full K/V passes.
 """
 
 from __future__ import annotations
@@ -297,6 +303,266 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
             dv.reshape(b, h, s, d))
 
 
+# ---------------------------------------------------------------------------
+# XL variant: K/V stream through VMEM block by block (3-D grid), so the
+# sequence length is unbounded by VMEM residency. The Pallas pipeline
+# double-buffers the kv-block fetches; running max / normalizer /
+# accumulator persist in VMEM scratch across the innermost grid dim.
+# Fully-masked causal blocks skip their compute via pl.when (their DMA
+# still happens — the streaming price for arbitrary lengths).
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_xl_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, block_q: int, block_k: int, num_k: int, causal: bool,
+    sm_scale: float,
+):
+    qi, ki = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr[:], NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr[:])
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    needed = True
+    if causal:
+        needed = ki * block_k <= qi * block_q + block_q - 1
+
+    @pl.when(needed)
+    def _update():
+        q = q_ref[0].astype(jnp.float32) * sm_scale
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = q @ k.T
+        if causal:
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        m_prev, l_prev = m_scr[:], l_scr[:]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_cur)
+        alpha = jnp.exp(m_prev - m_cur)
+        m_scr[:] = m_cur
+        l_scr[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + p @ v
+
+    @pl.when(ki == num_k - 1)
+    def _emit():
+        l_safe = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0, pl.ds(qi * block_q, block_q)] = \
+            (m_scr[:] + jnp.log(l_safe))[:, 0]
+
+
+def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
+    num_k = s // block_k
+
+    qf = q.reshape(b * h, s, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    kernel = functools.partial(
+        _flash_fwd_xl_kernel, block_q=block_q, block_k=block_k,
+        num_k=num_k, causal=causal, sm_scale=sm_scale)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, s // block_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, s), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    return o.reshape(b, h, s, d), lse
+
+
+def _flash_bwd_dq_xl_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
+    *, block_q: int, block_k: int, num_k: int, causal: bool,
+    sm_scale: float,
+):
+    qi, ki = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr[:])
+
+    needed = True
+    if causal:
+        needed = ki * block_k <= qi * block_q + block_q - 1
+
+    @pl.when(needed)
+    def _update():
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = (q @ k.T) * sm_scale
+        if causal:
+            q_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = do @ v.T
+        ds = p * (dp - delta) * sm_scale
+        acc_scr[:] = acc_scr[:] + ds @ k
+
+    @pl.when(ki == num_k - 1)
+    def _emit():
+        dq_ref[0] = acc_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_xl_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, block_q: int, block_k: int, num_q: int, causal: bool,
+    sm_scale: float,
+):
+    ki, qj = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qj == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr[:])
+        dv_scr[:] = jnp.zeros_like(dv_scr[:])
+
+    needed = True
+    if causal:
+        # query blocks strictly before this kv block see none of it
+        needed = qj * block_q + block_q - 1 >= ki * block_k
+
+    @pl.when(needed)
+    def _update():
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
+        s = (q @ k.T) * sm_scale
+        if causal:
+            q_ids = qj * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_scr[:] = dv_scr[:] + p.T @ do
+        dp = do @ v.T
+        ds = p * (dp - delta) * sm_scale
+        dk_scr[:] = dk_scr[:] + ds.T @ q
+
+    @pl.when(qj == num_q - 1)
+    def _emit():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    num_q, num_k = s // block_q, s // block_k
+
+    qf = q.reshape(b * h, s, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    dof = g.reshape(b * h, s, d)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1).reshape(b * h, 1, s)
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_xl_kernel, block_q=block_q, block_k=block_k,
+        num_k=num_k, causal=causal, sm_scale=sm_scale)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, num_q, num_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi, ki: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, qi, ki: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(qf, kf, vf, dof, lse, delta)
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_xl_kernel, block_q=block_q, block_k=block_k,
+        num_q=num_q, causal=causal, sm_scale=sm_scale)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, num_k, num_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, ki, qj: (bh, qj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda bh, ki, qj: (bh, qj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, ki, qj: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, ki, qj: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+    )(qf, kf, vf, dof, lse, delta)
+
+    return (dq.reshape(b, h, s, d), dk.reshape(b, h, s, d),
+            dv.reshape(b, h, s, d))
+
+
 def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
     """XLA reference (differentiable) with identical semantics.
 
@@ -324,18 +590,33 @@ def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
 def trainable_flash_attention(q, k, v, causal=True):
     """Flash attention with Pallas kernels on both passes (dq and fused
     dk/dv backward; no forward recompute — the probability blocks are
-    re-materialized from the saved logsumexp). Falls through to the XLA
-    path when shapes don't satisfy the kernel's block/VMEM constraints."""
+    re-materialized from the saved logsumexp). Shapes beyond the
+    resident-KV VMEM budget use the XL streaming kernels (3-D grid, K/V
+    blocks double-buffered by the pipeline — unbounded sequence length);
+    shapes that don't meet the block constraints at all fall back to XLA.
+    """
     if _kernel_ok(q):
-        return flash_attention(q, k, v, causal=causal)
+        sm_scale = q.shape[-1] ** -0.5
+        if _resident_ok(q):
+            o, _ = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
+        else:
+            # wide blocks: K/V HBM traffic scales with S/block_q fetches
+            # of the full K/V, so 512-wide q blocks cut it 4x vs 128
+            o, _ = _flash_fwd_xl(q, k, v, causal, sm_scale, 512, 512)
+        return o
     return reference_attention(q, k, v, causal=causal)
+
+
+def _resident_ok(q) -> bool:
+    s, d = q.shape[2], q.shape[3]
+    # resident K/V (and Q/dO in the dkv kernel) must fit VMEM: see module
+    # docstring. 2^20 = 8K seq x 128 head dim.
+    return s * d <= 2 ** 20
 
 
 def _kernel_ok(q) -> bool:
     s, d = q.shape[2], q.shape[3]
-    # resident K/V (and Q/dO in the dkv kernel) must fit VMEM: see module
-    # docstring. 2^20 = 8K seq x 128 head dim.
-    return s >= 128 and s % 128 == 0 and d % 8 == 0 and s * d <= 2 ** 20 \
+    return s >= 128 and s % 128 == 0 and d % 8 == 0 \
         and jax.default_backend() == "tpu"
 
 
@@ -346,7 +627,10 @@ def _tfa_fwd(q, k, v, causal):
             q, k, v)
         return out, (vjp, None)
     sm_scale = q.shape[-1] ** -0.5
-    o, lse = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
+    if _resident_ok(q):
+        o, lse = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
+    else:
+        o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, 512, 512)
     return o, (None, (q, k, v, o, lse))
 
 
@@ -356,7 +640,9 @@ def _tfa_bwd(causal, residuals, g):
         return vjp(g)
     q, k, v, o, lse = saved
     sm_scale = q.shape[-1] ** -0.5
-    return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, 128, 128)
+    if _resident_ok(q):
+        return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, 128, 128)
+    return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, 512, 512)
 
 
 trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)
