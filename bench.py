@@ -250,8 +250,8 @@ def main() -> None:
         om_cfg = OM.ObjectMovementConfig(
             question_type="tapvid3d_total_distance", npoints_per_group=15,
             npairs_per_bin=2)
-        OM.generate(records, f"{tmp}/om_warm.jsonl", om_cfg)
-        n, rate = best_of_2(lambda: OM.generate(
+        OM.generate_to_jsonl(records, f"{tmp}/om_warm.jsonl", om_cfg)
+        n, rate = best_of_2(lambda: OM.generate_to_jsonl(
             records, f"{tmp}/om.jsonl", om_cfg).n_train)
         log(f"object movement coord: {n} samples -> {rate:,.0f}/s")
         stages["object_movement_coord"] = {

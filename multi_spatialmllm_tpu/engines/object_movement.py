@@ -396,3 +396,261 @@ def generate(
     n = write_jsonl(all_samples, output_file)
     out.train_path, out.n_train = output_file, n
     return out
+
+
+def _sequence_columns(
+    scene_id: str,
+    record: dict,
+    config: ObjectMovementConfig,
+    rng: np.random.Generator,
+    img_output_dir: str | None,
+    pool: AnnotationPool,
+    cols: dict,
+) -> None:
+    """Columnar twin of process_sequence + format_samples: identical
+    sampling / template / annotation rng order, values into columns."""
+    import cv2
+
+    n_frames, n_points, _ = record["tracks_XYZ"].shape
+    extrinsics_w2c = record.get("extrinsics_w2c")
+    if extrinsics_w2c is not None:
+        c2w = np.linalg.inv(extrinsics_w2c)
+        pts_h = np.concatenate(
+            [record["tracks_XYZ"], np.ones((n_frames, n_points, 1))], axis=2)
+        tracks_world = np.einsum("nij,nkj->nki", c2w, pts_h)[..., :3]
+    else:
+        tracks_world = record["tracks_XYZ"].copy()
+        record = dict(record)
+        record["extrinsics_w2c"] = np.tile(np.eye(4), (n_frames, 1, 1))
+        extrinsics_w2c = record["extrinsics_w2c"]
+
+    first = cv2.imdecode(
+        np.frombuffer(record["images_jpeg_bytes"][0], np.uint8),
+        cv2.IMREAD_UNCHANGED)
+    image_hw = (first.shape[0], first.shape[1])
+    h, w = image_hw
+
+    pairs = select_sample_pairs(record, tracks_world, config, rng)
+
+    intrinsics = record["fx_fy_cx_cy"]
+    tracks_cam = record["tracks_XYZ"]
+    qtype = config.question_type
+    c2w_all = np.linalg.inv(extrinsics_w2c)
+    cam_centers = c2w_all[:, :3, 3]
+    kept = []  # rows that produced samples (for the annotation loop)
+    for sp in pairs:
+        f1, f2, p = sp["frame1"], sp["frame2"], sp["point_index"]
+        disp_world = tracks_world[f2, p] - tracks_world[f1, p]
+        dist = float(np.linalg.norm(disp_world))
+        if dist < config.object_not_moving_threshold:
+            point_moving = False
+            dist = 0.0
+            disp_world = np.zeros(3)
+        else:
+            point_moving = True
+        cam_dist = float(np.linalg.norm(cam_centers[f2] - cam_centers[f1]))
+        camera_moving = cam_dist >= config.camera_not_moving_threshold
+        disp_cam1 = (extrinsics_w2c[f1] @ np.append(disp_world, 0.0))[:3]
+        p2d_1 = project_point(tracks_cam[f1, p], intrinsics, image_hw)
+        p2d_2 = project_point(tracks_cam[f2, p], intrinsics, image_hw)
+        if p2d_1 is None or p2d_2 is None:
+            continue
+        x1, y1 = round(p2d_1[0] * 1000), round(p2d_1[1] * 1000)
+        x2, y2 = round(p2d_2[0] * 1000), round(p2d_2[1] * 1000)
+        row = {
+            "sid": scene_id, "f1": f1, "f2": f2, "pt": p,
+            "f1s": f"{f1:05d}", "f2s": f"{f2:05d}",
+            "x1": x1, "y1": y1, "x2": x2, "y2": y2, "h": h, "w": w,
+            "pm": int(point_moving), "cm": int(camera_moving),
+            "dist_mm_round": round(dist * 1000),
+            "dist_mm_trunc": int(dist * 1000),
+            "vx": round(float(disp_cam1[0]) * 1000),
+            "vy": round(float(disp_cam1[1]) * 1000),
+            "vz": round(float(disp_cam1[2]) * 1000),
+            "g0": float(disp_cam1[0]), "g1": float(disp_cam1[1]),
+            "g2": float(disp_cam1[2]),
+            "t_idx": int(rng.integers(len(T.TASK_DESCRIPTION))),
+            "q_idx": int(rng.integers(len(T.QUESTION_TEMPLATES[qtype]))),
+            "a_idx": int(rng.integers(len(T.ANSWER_TEMPLATES[qtype]))),
+        }
+        for k, v in row.items():
+            cols[k].append(v)
+        kept.append(row)
+
+    if img_output_dir is not None:
+        scene_dir = os.path.join(img_output_dir, scene_id)
+        mkdir_or_exist(scene_dir)
+        needed = {r["f1"] for r in kept} | {r["f2"] for r in kept}
+        for f in sorted(needed):
+            path = os.path.join(scene_dir, f"{f:05d}.jpg")
+            if not os.path.exists(path):
+                def write_frame(f=f, path=path):
+                    img = cv2.imdecode(
+                        np.frombuffer(record["images_jpeg_bytes"][f],
+                                      np.uint8), cv2.IMREAD_UNCHANGED)
+                    cv2.imwrite(path, img)
+
+                pool.submit(write_frame)
+        if config.dot_variant:
+            for r in kept:
+                apath = os.path.join(
+                    scene_dir, f"{r['f1']:05d}_p{r['pt']}_annotated.jpg")
+                if os.path.exists(apath):
+                    continue
+                color = tuple(int(c) for c in rng.integers(0, 256, 3))
+
+                def write_annot(f1=r["f1"], apath=apath, color=color,
+                                x=int(r["x1"] / 1000 * w),
+                                y=int(r["y1"] / 1000 * h)):
+                    img = cv2.imdecode(
+                        np.frombuffer(record["images_jpeg_bytes"][f1],
+                                      np.uint8),
+                        cv2.IMREAD_UNCHANGED).copy()
+                    radius = max(w // 100, 1)
+                    cv2.circle(img, (x, y), radius, color, -1)
+                    cv2.imwrite(apath, img)
+
+                pool.submit(write_annot)
+
+
+def generate_to_jsonl(
+    scene_records: dict[str, dict],
+    output_file: str,
+    config: ObjectMovementConfig | None = None,
+    img_output_dir: str | None = None,
+    max_samples: int = -1,
+    eval_mode: bool = False,
+    force_python: bool = False,
+) -> EngineOutputs:
+    """Columnar fast path: same rng order as :func:`generate`, records
+    emitted by the template VM (byte-compatible with json.dumps of the
+    dict path, including the float displacement gt)."""
+    from .fast_jsonl import OP_FLT, OP_INT, OP_STR, EmitProgram
+
+    config = config or ObjectMovementConfig()
+    rng = stream(config.seed, "object_movement", config.question_type,
+                 "eval" if eval_mode else "train")
+    qtype = config.question_type
+    keys = ("sid", "f1", "f2", "pt", "f1s", "f2s", "x1", "y1", "x2", "y2",
+            "h", "w", "pm", "cm", "dist_mm_round", "dist_mm_trunc",
+            "vx", "vy", "vz", "g0", "g1", "g2", "t_idx", "q_idx", "a_idx")
+    cols: dict[str, list] = {k: [] for k in keys}
+    pool = AnnotationPool()
+    for scene_id in sorted(scene_records.keys()):
+        srng = stream(config.seed, "object_movement", config.question_type,
+                      "eval" if eval_mode else "train", scene_id)
+        _sequence_columns(scene_id, scene_records[scene_id], config, srng,
+                          img_output_dir, pool, cols)
+    pool.close()
+
+    n = len(cols["sid"])
+    p = EmitProgram(n)
+    sid_c = p.add_str_col(cols["sid"])
+    f1s_c = p.add_str_col(cols["f1s"])
+    f2s_c = p.add_str_col(cols["f2s"])
+    ints = {k: p.add_int_col(cols[k]) for k in keys
+            if k not in ("sid", "f1s", "f2s", "g0", "g1", "g2")}
+    flts = {k: p.add_float_col(cols[k]) for k in ("g0", "g1", "g2")}
+
+    field_ops = {
+        "x1": [(OP_INT, ints["x1"], 0)], "y1": [(OP_INT, ints["y1"], 0)],
+        "total_distance": [(OP_INT, ints["dist_mm_round"], 0)],
+        "x_value": [(OP_INT, ints["vx"], 0)],
+        "y_value": [(OP_INT, ints["vy"], 0)],
+        "z_value": [(OP_INT, ints["vz"], 0)],
+    }
+    sel_task = p.make_select(ints["t_idx"], [
+        p.ops_for(lambda o, t=t: p.lit_json(o, t))
+        for t in T.TASK_DESCRIPTION])
+    sel_q = p.make_select(ints["q_idx"], [
+        p.template_subprogram(t, field_ops)
+        for t in T.QUESTION_TEMPLATES[qtype]])
+    sel_a = p.make_select(ints["a_idx"], [
+        p.template_subprogram(t, field_ops)
+        for t in T.ANSWER_TEMPLATES[qtype]])
+    # "The point did not move. " prefix when point_moving == 0
+    sel_prefix = p.make_select(ints["pm"], [
+        p.ops_for(lambda o: p.lit_json(o, "The point did not move. ")),
+        p.ops_for(lambda o: None),
+    ])
+    sel_bool_pm = p.make_select(ints["pm"], [
+        p.ops_for(lambda o: p.lit(o, "0")),
+        p.ops_for(lambda o: p.lit(o, "1"))])
+    sel_bool_cm = p.make_select(ints["cm"], [
+        p.ops_for(lambda o: p.lit(o, "0")),
+        p.ops_for(lambda o: p.lit(o, "1"))])
+
+    main: list[tuple] = []
+    p.lit(main, '{"id": "')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "_")
+    main.append((OP_INT, ints["f1"], 0)); p.lit(main, "_")
+    main.append((OP_INT, ints["f2"], 0)); p.lit(main, "_")
+    main.append((OP_INT, ints["pt"], 0))
+    p.lit(main, '", "image": ["')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
+    main.append((OP_STR, f1s_c, 0))
+    if config.dot_variant:
+        p.lit(main, "_p"); main.append((OP_INT, ints["pt"], 0))
+        p.lit(main, '_annotated.jpg", "')
+    else:
+        p.lit(main, '.jpg", "')
+    main.append((OP_STR, sid_c, 0)); p.lit(main, "/")
+    main.append((OP_STR, f2s_c, 0)); p.lit(main, '.jpg"], ')
+    # object-movement eval KEEPS conversations
+    # (single_object_movement_engine_dot.py:655-658)
+    p.lit(main, '"conversations": [{"from": "human", "value": "')
+    main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+    p.lit(main, '"}, {"from": "gpt", "value": "')
+    main.append(sel_prefix); main.append(sel_a)
+    p.lit(main, '"}], ')
+    p.lit(main, '"height_list": [')
+    main.append((OP_INT, ints["h"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["h"], 0))
+    p.lit(main, '], "width_list": [')
+    main.append((OP_INT, ints["w"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["w"], 0))
+    p.lit(main, '], "gt_value": ')
+    if "total_distance" in qtype:
+        main.append((OP_INT, ints["dist_mm_trunc"], 0))
+    else:
+        p.lit(main, "[")
+        main.append((OP_FLT, flts["g0"], 0)); p.lit(main, ", ")
+        main.append((OP_FLT, flts["g1"], 0)); p.lit(main, ", ")
+        main.append((OP_FLT, flts["g2"], 0))
+        p.lit(main, "]")
+    p.lit(main, f', "question_type": "{qtype}", "point_moving": ')
+    main.append(sel_bool_pm)
+    p.lit(main, ', "cam_moving": ')
+    main.append(sel_bool_cm)
+    p.lit(main, ', "p1": [')
+    main.append((OP_INT, ints["x1"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["y1"], 0))
+    p.lit(main, '], "p2": [')
+    main.append((OP_INT, ints["x2"], 0)); p.lit(main, ", ")
+    main.append((OP_INT, ints["y2"], 0))
+    if eval_mode:
+        p.lit(main, '], "text": "')
+        main.append(sel_task); p.lit(main, "\\n"); main.append(sel_q)
+        p.lit(main, '"}')
+    else:
+        p.lit(main, ']}')
+
+    out = EngineOutputs()
+    if eval_mode:
+        # full _orig dump in original order, then subsample (no shuffle)
+        p.emit(main, output_file.replace(".jsonl", "_orig.jsonl"),
+               row_order=np.arange(n), force_python=force_python)
+        order = np.arange(n)
+        if 0 < max_samples < n:
+            order = rng.choice(n, size=max_samples, replace=False)
+        p.emit(main, output_file, row_order=order,
+               force_python=force_python)
+        out.val_path, out.n_val = output_file, len(order)
+        return out
+    order = np.arange(n)
+    if 0 < max_samples < n:
+        order = rng.choice(n, size=max_samples, replace=False)
+    order = order[rng.permutation(len(order))]
+    p.emit(main, output_file, row_order=order, force_python=force_python)
+    out.train_path, out.n_train = output_file, len(order)
+    return out

@@ -301,13 +301,13 @@ class SpatialEnginePipeline:
                                           dot_variant=dot)
             img_dir = (os.path.join(self._train_dir(engine), "images")
                        if dot else None)
-            out[f"{tag}_train"] = OM.generate(
+            out[f"{tag}_train"] = OM.generate_to_jsonl(
                 scene_records,
                 os.path.join(self._train_dir(engine), f"{engine}.jsonl"),
                 cfg, img_output_dir=img_dir)
             img_dir_val = (os.path.join(self._eval_dir(engine), "images")
                            if dot else None)
-            out[f"{tag}_eval"] = OM.generate(
+            out[f"{tag}_eval"] = OM.generate_to_jsonl(
                 scene_records,
                 os.path.join(self._eval_dir(engine), f"{engine}.jsonl"),
                 cfg, img_output_dir=img_dir_val,

@@ -634,3 +634,74 @@ class TestCorrespondenceDotNativeParity:
             assert not validate_eval_sample(rec)
             assert "conversations" not in rec
             assert rec["gt_value"] in "ABCD"
+
+
+class TestObjectMovementNativeParity:
+    @pytest.mark.parametrize("qtype,dot", [
+        ("tapvid3d_total_distance", False),
+        ("tapvid3d_displacement_vector", True),
+    ])
+    def test_matches_dict_path(self, tmp_path, qtype, dot):
+        import json as _json
+
+        from multi_spatialmllm_tpu.core.synthetic import make_tapvid_npz
+        from multi_spatialmllm_tpu.engines import object_movement as OM
+
+        records = {f"omseq{i}": make_tapvid_npz(seed=40 + i, n_frames=10,
+                                                n_groups=3,
+                                                points_per_group=8)
+                   for i in range(2)}
+        cfg = OM.ObjectMovementConfig(question_type=qtype,
+                                      npoints_per_group=4,
+                                      npairs_per_bin=2, dot_variant=dot)
+        d_dir = str(tmp_path / "img_dict") if dot else None
+        f_dir = str(tmp_path / "img_fast") if dot else None
+        o1 = OM.generate(records, str(tmp_path / "dict.jsonl"), cfg,
+                         img_output_dir=d_dir, max_samples=25)
+        o2 = OM.generate_to_jsonl(records, str(tmp_path / "fast.jsonl"),
+                                  cfg, img_output_dir=f_dir,
+                                  max_samples=25)
+        assert o1.n_train == o2.n_train > 0
+        d = [_json.loads(l) for l in open(tmp_path / "dict.jsonl")]
+        f = [_json.loads(l) for l in open(tmp_path / "fast.jsonl")]
+        assert d == f
+        if dot:
+            import pathlib
+            di = sorted(p.relative_to(tmp_path / "img_dict")
+                        for p in (tmp_path / "img_dict").rglob("*.jpg"))
+            fi = sorted(p.relative_to(tmp_path / "img_fast")
+                        for p in (tmp_path / "img_fast").rglob("*.jpg"))
+            assert di == fi and di
+            for rel in di:
+                assert (tmp_path / "img_dict" / rel).read_bytes() == \
+                       (tmp_path / "img_fast" / rel).read_bytes()
+        # python interpreter path identical bytes
+        OM.generate_to_jsonl(records, str(tmp_path / "py.jsonl"), cfg,
+                             img_output_dir=None, max_samples=25,
+                             force_python=True)
+        # (annotation off for the py pass; records must still match)
+        assert open(tmp_path / "fast.jsonl").read() == \
+               open(tmp_path / "py.jsonl").read()
+
+    def test_eval_orig_dump_and_subsample(self, tmp_path):
+        import json as _json
+
+        from multi_spatialmllm_tpu.core.synthetic import make_tapvid_npz
+        from multi_spatialmllm_tpu.engines import object_movement as OM
+
+        records = {"omev0": make_tapvid_npz(seed=45, n_frames=10,
+                                            n_groups=3, points_per_group=8)}
+        cfg = OM.ObjectMovementConfig(npoints_per_group=4, npairs_per_bin=2)
+        o1 = OM.generate(records, str(tmp_path / "d.jsonl"), cfg,
+                         max_samples=10, eval_mode=True)
+        o2 = OM.generate_to_jsonl(records, str(tmp_path / "f.jsonl"), cfg,
+                                  max_samples=10, eval_mode=True)
+        assert o1.n_val == o2.n_val == 10
+        for name in ("_orig", ""):
+            d = [_json.loads(l)
+                 for l in open(str(tmp_path / f"d{name}.jsonl"))]
+            f = [_json.loads(l)
+                 for l in open(str(tmp_path / f"f{name}.jsonl"))]
+            assert d == f and f
+        rec = _json.loads(open(tmp_path / "f.jsonl").readline())
+        assert "text" in rec and "conversations" in rec
