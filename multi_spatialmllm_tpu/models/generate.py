@@ -1,13 +1,18 @@
 """Greedy decoding for the multi-frame MLLM (KV-cache based).
 
 Prefill runs once over the (optionally padded) prompt with pad keys masked
-out of attention; then a jitted single-token decode step repeats, its cache
-index carried as a traced position so one compiled step serves every decode
-position. Padding prompts to a shared bucket length keeps the number of
-compiled prefill shapes small across an eval run.
+out of attention; the whole decode loop then runs INSIDE one jitted
+`lax.while_loop` (one device dispatch for all `max_new_tokens` steps, with
+early exit when every row has emitted eos) — per-token host round-trips
+would dominate decode latency otherwise. The compiled prefill/decode
+callables are cached per (model, shape signature), so repeated calls in
+an eval run neither retrace nor relower. Padding prompts to a shared
+bucket length keeps the number of compiled prefill shapes small.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +32,72 @@ def pad_to_bucket(ids: np.ndarray, bucket: int, pad_id: int) -> np.ndarray:
     return np.concatenate([ids, pad], axis=1)
 
 
+@functools.lru_cache(maxsize=32)
+def _prefill_fn(model: MultiFrameMLLM):
+    return jax.jit(
+        lambda p, ids, tl, cc, n: model.apply(
+            p, ids, tl, cc, n, method=MultiFrameMLLM.prefill))
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_fn(model: MultiFrameMLLM, b: int, max_new_tokens: int,
+               eos_id: int | None):
+    """Compiled full-decode loop for a (model, batch, length) signature.
+
+    One decode step per `lax.while_loop` iteration; per-row positions
+    ([B] cache indices) serve both the shared-length and per-row-length
+    entry points. Early-exit semantics match the old per-step host loop
+    exactly: a row is finished once ANY of its emitted tokens is eos, and
+    the loop stops when all rows are; undecoded tail slots are eos-filled.
+    """
+    fill = eos_id if eos_id is not None else 0
+
+    def step(params, token, positions, caches):
+        # rewrite each layer's index to the traced positions so one
+        # compiled step serves every decode position
+        caches = [
+            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
+        ]
+        logits, caches = model.apply(
+            params, token, positions[:, None], caches,
+            method=lambda m, tok, pos, cc:
+                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
+                      caches=cc))
+        return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
+
+    @jax.jit
+    def run(params, first_token, caches, positions):
+        out0 = jnp.full((b, max_new_tokens), fill, dtype=first_token.dtype)
+        out0 = out0.at[:, 0].set(first_token[:, 0])
+
+        def cond(carry):
+            i, out, caches, positions = carry
+            more = i < max_new_tokens
+            if eos_id is None:
+                return more
+            # "finished" = row emitted eos among the i tokens decoded so
+            # far (the fill value is eos too, so mask to emitted slots)
+            emitted = jnp.arange(max_new_tokens) < i
+            ever_eos = jnp.any((out == eos_id) & emitted[None, :], axis=1)
+            return more & ~jnp.all(ever_eos)
+
+        def body(carry):
+            i, out, caches, positions = carry
+            last = jnp.take_along_axis(
+                out, jnp.broadcast_to((i - 1)[None, None], (b, 1)), axis=1)
+            token, caches = step(params, last, positions, caches)
+            out = jax.lax.dynamic_update_slice(
+                out, token, (jnp.zeros((), jnp.int32), i))
+            return i + 1, out, caches, positions + 1
+
+        i0 = jnp.asarray(1, jnp.int32)
+        _, out, _, _ = jax.lax.while_loop(
+            cond, body, (i0, out0, caches, positions))
+        return out
+
+    return run
+
+
 def greedy_generate(
     model: MultiFrameMLLM,
     params,
@@ -36,49 +107,16 @@ def greedy_generate(
     eos_id: int | None = None,
     prompt_len: int | None = None,
 ):
-    """`[B, T]` prompt -> `[B, <=max_new_tokens]` generated ids.
+    """`[B, T]` prompt -> `[B, max_new_tokens]` generated ids.
 
     `prompt_len` marks the real prompt length when `input_ids` is padded
     (same length for all rows); defaults to the full width.
     """
     b, t = input_ids.shape
     real_len = t if prompt_len is None else int(prompt_len)
-    max_len = t + max_new_tokens
-    caches = init_cache(model.cfg.llm, b, max_len)
-
-    prefill = jax.jit(
-        lambda p, ids, tl, cc, n: model.apply(
-            p, ids, tl, cc, n, method=MultiFrameMLLM.prefill))
-    logits, caches = prefill(params, input_ids, tiles, caches,
-                             jnp.asarray(real_len, dtype=jnp.int32))
-    next_token = jnp.argmax(logits[:, real_len - 1], axis=-1)[:, None]
-
-    @jax.jit
-    def step(params, token, position, caches):
-        # rewrite each layer's index to the traced position so one
-        # compiled step serves every decode position
-        caches = [
-            {"k": c["k"], "v": c["v"], "index": position} for c in caches
-        ]
-        logits, caches = model.apply(
-            params, token, jnp.broadcast_to(position[None, None], (b, 1)),
-            caches, method=lambda m, tok, pos, cc:
-                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
-                      caches=cc))
-        return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
-
-    out = [next_token]
-    position = jnp.asarray(real_len, dtype=jnp.int32)
-    finished = jnp.zeros((b,), dtype=bool)
-    for _ in range(max_new_tokens - 1):
-        if eos_id is not None:
-            finished = finished | (out[-1][:, 0] == eos_id)
-            if bool(finished.all()):
-                break
-        next_token, caches = step(params, out[-1], position, caches)
-        out.append(next_token)
-        position = position + 1
-    return jnp.concatenate(out, axis=1)
+    lens = jnp.full((b,), real_len, dtype=jnp.int32)
+    return _generate(model, params, input_ids, tiles, lens,
+                     max_new_tokens, eos_id)
 
 
 def greedy_generate_batched(
@@ -105,42 +143,18 @@ def greedy_generate_batched(
     b, t = input_ids.shape
     lens = jnp.asarray(prompt_lens, dtype=jnp.int32)
     assert lens.shape == (b,), (lens.shape, b)
-    max_len = t + max_new_tokens
-    caches = init_cache(model.cfg.llm, b, max_len)
+    return _generate(model, params, input_ids, tiles, lens,
+                     max_new_tokens, eos_id)
 
-    prefill = jax.jit(
-        lambda p, ids, tl, cc, n: model.apply(
-            p, ids, tl, cc, n, method=MultiFrameMLLM.prefill))
-    logits, caches = prefill(params, input_ids, tiles, caches, lens)
+
+def _generate(model, params, input_ids, tiles, lens, max_new_tokens,
+              eos_id):
+    b, t = input_ids.shape
+    caches = init_cache(model.cfg.llm, b, t + max_new_tokens)
+    logits, caches = _prefill_fn(model)(params, input_ids, tiles, caches,
+                                        lens)
     next_token = jnp.take_along_axis(
         jnp.argmax(logits, axis=-1), (lens - 1)[:, None], axis=1)  # [B, 1]
-
-    @jax.jit
-    def step(params, token, positions, caches):
-        caches = [
-            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
-        ]
-        logits, caches = model.apply(
-            params, token, positions[:, None], caches,
-            method=lambda m, tok, pos, cc:
-                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
-                      caches=cc))
-        return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
-
-    out = [next_token]
-    positions = lens
-    finished = jnp.zeros((b,), dtype=bool)
-    for _ in range(max_new_tokens - 1):
-        if eos_id is not None:
-            finished = finished | (out[-1][:, 0] == eos_id)
-            if bool(finished.all()):
-                break
-        next_token, caches = step(params, out[-1], positions, caches)
-        out.append(next_token)
-        positions = positions + 1
-    gen = jnp.concatenate(out, axis=1)
-    if gen.shape[1] < max_new_tokens and eos_id is not None:
-        pad = jnp.full((b, max_new_tokens - gen.shape[1]), eos_id,
-                       dtype=gen.dtype)
-        gen = jnp.concatenate([gen, pad], axis=1)
-    return gen
+    run = _decode_fn(model, b, int(max_new_tokens),
+                     None if eos_id is None else int(eos_id))
+    return run(params, next_token, caches, lens)
