@@ -634,3 +634,67 @@ class TestL1SensInterchange:
             assert ri["depth_image_path"] == oi["depth_image_path"]
             np.testing.assert_array_equal(ri["extrinsic_matrix"],
                                           oi["extrinsic_matrix"])
+
+
+class TestReferenceEngineExecution:
+    """Run a REFERENCE QA engine end-to-end on this repo's artifacts (info
+    pkl + visibility parquet + posed_images), then validate every record
+    it produces against this repo's geometry — engine-level integration
+    of the reference's quota/sampling/IO plumbing over our L1-L3 outputs."""
+
+    def test_depth_estimation_coor_engine_on_our_artifacts(
+            self, ref_info_handler, ref_env, tmp_path):
+        # ref_info_handler registers the dotted module path the engine's
+        # `from spatial_engine...info_handler import ...` resolves against
+        import random
+
+        from multi_spatialmllm_tpu.engines.depth_perception import (
+            _project_many,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import VisibilityIndex
+
+        scene = ref_env["scene"]
+        # our visibility index written in the reference parquet dialect
+        index = VisibilityIndex()
+        index.add_scene(scene.scene_id, scene.image_ids, ref_env["vis"])
+        vis_parquet = str(tmp_path / "visibility.parquet")
+        index.to_parquet(vis_parquet)
+
+        mod = _load_reference_module(
+            "spatial_engine/depth_perception/depth_estimation_coor_engine.py",
+            "spatial_engine.depth_perception.depth_estimation_coor_engine")
+        random.seed(0)
+        engine = mod.DepthEstimationCoorQAEngine(
+            ref_env["info_path"],
+            all_max_samples=12,
+            visibility_info_path=vis_parquet,
+            max_n_points_per_image=1,
+            warning_file=str(tmp_path / "warn.txt"))
+        # point the reference handler's data roots at our artifacts
+        engine.scene_info.posed_images_root = os.path.join(
+            ref_env["root"], "posed_images")
+        engine.scene_info.instance_data_root = os.path.join(
+            ref_env["root"], "scannet_instance_data")
+        samples = engine.generate_qa_training_data(str(tmp_path),
+                                                   save_file=False)
+        assert samples, "reference engine produced no samples on our data"
+
+        valid = scene.valid_image_mask()
+        for s in samples:
+            assert s["question_type"] == "depth_estimation_coor"
+            sid = s["image"][0].split("/")[0]
+            image_id = s["image"][0].split("/")[1][:-4]
+            point = int(s["id"].split("point")[-1])
+            assert sid == scene.scene_id
+            i = scene.image_index(image_id)
+            assert valid[i]
+            # our geometry must reproduce the reference engine's gt bits
+            x, y, d, ok = _project_many(scene, i, [point])
+            assert bool(ok[0]), (image_id, point)
+            assert s["gt_value"] == round(float(d[0]) * 1000)
+            assert s["ori_coordinates"] == [int(x[0]), int(y[0])]
+            h, w = scene.image_hw
+            assert s["height_list"] == [h] and s["width_list"] == [w]
+            # the sampled point must be one our visibility index marks
+            # visible in that image
+            assert bool(ref_env["vis"][i, point])
