@@ -26,6 +26,8 @@ metrics, each {value, unit, vs_baseline}:
   correspondence_coor       samples/s vs reference 69/s
                             (visual_correspondence_qa_engine_coor_2_coor
                             .py:527).
+  object_movement_coord     TAPVid samples/s (native emission; the
+                            reference publishes no rate -> null).
 
 Steady-state discipline: every timed section runs once untimed first so
 compiles (persisted via enable_compilation_cache) and host caches are
