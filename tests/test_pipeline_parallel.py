@@ -123,6 +123,70 @@ class TestPipeline1F1B:
 
 
 @needs_mesh
+class TestPipeline1F1BDecoder:
+    def test_decoder_stack_training_matches_single_device(self):
+        """1F1B training through the REAL DecoderLayer stack (RoPE/GQA/
+        SwiGLU): loss and grads equal the unpipelined oracle."""
+        from multi_spatialmllm_tpu.models.llm import DecoderLayer, LLMConfig
+        from multi_spatialmllm_tpu.parallel.pipeline_parallel import (
+            pipeline_train_grads,
+        )
+
+        cfg = LLMConfig(vocab_size=64, hidden_size=32, num_layers=8,
+                        num_heads=4, num_kv_heads=2, ffn_size=64,
+                        dtype="float32")
+        layer = DecoderLayer(cfg)
+        b, t, n_micro = 2, 8, 4
+        x0 = jax.random.normal(jax.random.key(0),
+                               (n_micro, b, t, cfg.hidden_size))
+        y0 = jax.random.normal(jax.random.key(1),
+                               (n_micro, b, t, cfg.hidden_size))
+        positions = jnp.broadcast_to(jnp.arange(t), (b, t))
+        layer_params = [
+            layer.init(jax.random.key(100 + i),
+                       x0[0], positions)["params"]
+            for i in range(cfg.num_layers)
+        ]
+
+        def apply_layer(params, x):
+            out, _ = layer.apply({"params": params}, x, positions)
+            return out
+
+        def loss_fn(out, tgt):
+            return jnp.mean((out - tgt) ** 2)
+
+        def oracle(stacked_flat):
+            def full(xm):
+                h = xm
+                for i in range(cfg.num_layers):
+                    p = jax.tree_util.tree_map(lambda l: l[i], stacked_flat)
+                    h = apply_layer(p, h)
+                return h
+            losses = jax.vmap(
+                lambda xm, ym: loss_fn(full(xm), ym))(x0, y0)
+            return jnp.mean(losses)
+
+        flat = jax.tree_util.tree_map(
+            lambda *ls: jnp.stack(ls), *layer_params)
+        want_loss, want_grads = jax.value_and_grad(oracle)(flat)
+
+        mesh = make_pipe_mesh(4)
+        stacked = stack_stage_params(layer_params, 4)
+        got_loss, got_grads = jax.jit(
+            lambda p, x_, y_: pipeline_train_grads(
+                p, x_, y_, mesh, apply_layer, loss_fn))(stacked, x0, y0)
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        per_stage = cfg.num_layers // 4
+        want_staged = jax.tree_util.tree_map(
+            lambda l: l.reshape((4, per_stage) + l.shape[1:]), want_grads)
+        for got, want in zip(jax.tree_util.tree_leaves(got_grads),
+                             jax.tree_util.tree_leaves(want_staged)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=2e-5)
+
+
+@needs_mesh
 class TestPipelinedDecoder:
     def test_real_decoder_layers_match_sequential(self):
         """Pipeline the actual DecoderLayer stack across 4 stages."""
