@@ -178,6 +178,72 @@ def depth_occlusion_mask(
     return (depth > 0) & (depth < depth_values)
 
 
+def visibility_and_borderline(
+    points: Array,
+    K: Array,
+    E_c2w: Array,
+    depth_maps: Array,
+    image_hw: tuple[int, int],
+    image_valid: Array | None = None,
+    point_valid: Array | None = None,
+    depth_value_scale: float = 0.001,
+    tol_px: float = 0.01,
+    tol_idx: float = 0.005,
+    tol_depth: float = 1e-4,
+) -> tuple[Array, Array]:
+    """f32 visibility matrix + conservative borderline mask.
+
+    The exact-parity configuration runs every comparison in (emulated)
+    f64; this computes the same `[I, N]` matrix in true f32 (matmul
+    precision forced to HIGHEST so no bf16 passes) and flags every
+    point-image pair whose decision sits within f32 rounding distance of
+    a comparison boundary:
+
+      * pixel coords near the image bounds (`tol_px` pixels),
+      * the depth-index scaling near a round-half-to-even boundary
+        (`tol_idx` in depth-map pixels),
+      * camera depth near zero or near the z-buffer value (`tol_depth`
+        meters).
+
+    Bands are ~20-100x the worst-case accumulated f32 error for
+    room-scale scenes, so every bit OUTSIDE the mask equals the f64
+    result; flagged bits get recomputed exactly by the caller
+    (stages/visibility.compute_scene_visibility_hybrid).
+    """
+    with jax.default_matmul_precision("highest"):
+        xy, depth = project_points(points[None], K[None], E_c2w)
+    h, w = image_hw[0], image_hw[1]
+    x, y = xy[..., 0], xy[..., 1]
+    inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+
+    hd, wd = depth_maps.shape[-2], depth_maps.shape[-1]
+    ux = x * (wd / w)
+    uy = y * (hd / h)
+    dx = jnp.clip(jnp.round(ux).astype(jnp.int32), 0, wd - 1)
+    dy = jnp.clip(jnp.round(uy).astype(jnp.int32), 0, hd - 1)
+    flat = depth_maps.reshape(depth_maps.shape[:-2] + (hd * wd,))
+    dv = jnp.take_along_axis(
+        flat, (dy * wd + dx).reshape(flat.shape[:-1] + (-1,)), axis=-1
+    ).reshape(dx.shape).astype(depth.dtype) * depth_value_scale
+
+    vis = inb & (depth > 0) & (depth < dv)
+    near = (
+        (jnp.abs(x) <= tol_px) | (jnp.abs(x - w) <= tol_px)
+        | (jnp.abs(y) <= tol_px) | (jnp.abs(y - h) <= tol_px)
+        | (jnp.abs(ux - jnp.floor(ux) - 0.5) <= tol_idx)
+        | (jnp.abs(uy - jnp.floor(uy) - 0.5) <= tol_idx)
+        | (jnp.abs(depth) <= tol_depth)
+        | (jnp.abs(depth - dv) <= tol_depth)
+    )
+    if image_valid is not None:
+        vis = vis & image_valid[:, None]
+        near = near & image_valid[:, None]
+    if point_valid is not None:
+        vis = vis & point_valid[None, :]
+        near = near & point_valid[None, :]
+    return vis, near
+
+
 def point_visibility_mask(
     xy: Array,
     depth: Array,

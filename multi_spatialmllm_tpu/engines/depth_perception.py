@@ -77,8 +77,13 @@ def _project_many(scene: Scene, image_index: int, point_indices):
     h, w = scene.image_hw
     hd, wd = scene.depth_hw
     inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
-    dx = np.clip(np.round(x * wd / w), 0, wd - 1).astype(np.int64)
-    dy = np.clip(np.round(y * hd / h), 0, hd - 1).astype(np.int64)
+    # precomputed scale factors (x * (wd/w), NOT (x*wd)/w): the reference
+    # computes scale_x = depth_width / image_width first
+    # (info_handler.py:359-363), and the two orders differ in the last
+    # ulp — enough to flip round-half-to-even at exact .5 boundaries.
+    sx, sy = wd / w, hd / h
+    dx = np.clip(np.round(x * sx), 0, wd - 1).astype(np.int64)
+    dy = np.clip(np.round(y * sy), 0, hd - 1).astype(np.int64)
     dv = scene.depth_maps[image_index][dy, dx] * 0.001
     ok = inb & (depth > 0) & (depth < dv)
     return x, y, depth, ok

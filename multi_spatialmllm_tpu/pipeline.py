@@ -27,13 +27,20 @@ from .stages import coverage as cov
 from .stages.frame_relations import build_frame_relations
 from .stages.manifest import Manifest, config_hash
 from .stages.object_visibility import build_object_visibility
-from .stages.visibility import VisibilityIndex, compute_scene_visibility
+from .stages.visibility import (
+    VisibilityIndex,
+    compute_scene_visibility,
+    compute_scene_visibility_hybrid,
+)
 from .utils.logging import StageLogger
 
 
 @dataclasses.dataclass
 class PipelineConfig:
-    dtype: str = "float64"            # exact label parity (see stages)
+    # "float64" (emulated on TPU, ~7ppm boundary flips there), "hybrid"
+    # (f32 device pass + exact f64 host fix-up: reference-bit-exact on
+    # every backend), or "float32" (speed opt-in, ~5% boundary flips).
+    dtype: str = "float64"
     write_reference_parquet: bool = False
     overlap_min: float = 6.0
     overlap_max: float = 35.0
@@ -75,7 +82,10 @@ class SpatialEnginePipeline:
             return self._vis
         index = VisibilityIndex()
         for scene in self.store:
-            vis = compute_scene_visibility(scene, self._dtype())
+            if self.config.dtype == "hybrid":
+                vis = compute_scene_visibility_hybrid(scene)
+            else:
+                vis = compute_scene_visibility(scene, self._dtype())
             index.add_scene(scene.scene_id, scene.image_ids, vis)
             log.count("scenes")
         index.save_npz(path)

@@ -15,10 +15,15 @@ VisibilityInfoHandler, info_handler.py:502-538). The reference's `run_split`
 as shipped writes comma-separated keys and raw lists and crashes on a scoped
 import (SURVEY.md §2 #9); we implement the evident intent.
 
-Precision: device compute defaults to float64 (TPU-emulated) — measured
-exact agreement with the reference float64 semantics; float32 flips ~5% of
-borderline labels (surface points sit on depth-compare cliffs) and is an
-explicit speed opt-in.
+Precision: device compute defaults to float64 (TPU-emulated): exact
+agreement with the reference on CPU, and near-exact on TPU — the f64
+emulation's division is not correctly rounded, which flips ~7 ppm of
+EXACT-boundary bits at real scale (measured 11 / 2.6M pairs vs the numpy
+oracle). `compute_scene_visibility_hybrid` closes even that gap: a true-f32
+device pass plus numpy-f64 host recompute of conservatively-flagged
+borderline pairs reproduces the reference bit-for-bit on every backend.
+Plain float32 flips ~5% of borderline labels and is a speed opt-in. All
+paths return the matrix bit-packed from the device (8x less transfer).
 """
 
 from __future__ import annotations
@@ -36,16 +41,30 @@ from ..core.io import WarningSink, write_parquet
 from ..core.scene import Scene
 
 
+def _packbits(mask):
+    """[..., N] bool -> [..., N//8] uint8, np.packbits bit order — packed
+    ON DEVICE so the host transfer moves 1 bit per pair, not 1 byte (the
+    visibility matrix is the dominant device->host payload)."""
+    shape = mask.shape[:-1] + (mask.shape[-1] // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], dtype=jnp.uint8)
+    return jnp.sum(mask.reshape(shape).astype(jnp.uint8) * weights,
+                   axis=-1, dtype=jnp.uint8)
+
+
+def _unpackbits(packed: np.ndarray, n: int) -> np.ndarray:
+    return np.unpackbits(packed, axis=-1)[..., :n].astype(bool)
+
+
 @functools.lru_cache(maxsize=32)
 def _visibility_fn(i_pad: int, n_pad: int, depth_hw: tuple, image_hw: tuple, dtype_name: str):
     """Compile cache keyed by padded shapes (bucketed upstream)."""
 
     @jax.jit
     def fn(points, K, extrinsics, depth_maps, image_valid, point_valid):
-        return G.visibility_matrix(
+        return _packbits(G.visibility_matrix(
             points, K, extrinsics, depth_maps, image_hw,
             image_valid, point_valid,
-        )
+        ))
 
     return fn
 
@@ -107,18 +126,100 @@ def compute_scene_visibility(
                           jnp.asarray(ivalid[lo: lo + image_chunk]), pv_d))
             for lo in range(0, tot, image_chunk)
         ]
-        vis = np.concatenate(rows)
+        vis = _unpackbits(np.concatenate(rows), n_pad)
         return vis[: scene.num_images, : scene.num_points]
     fn = _visibility_fn(
         i_pad, n_pad, scene.depth_hw, scene.image_hw,
         np.dtype(dtype).name,
     )
-    vis = fn(
+    vis = _unpackbits(np.asarray(fn(
         jnp.asarray(pts), jnp.asarray(scene.intrinsic.astype(dtype)),
         jnp.asarray(ext), jnp.asarray(depth),
         jnp.asarray(ivalid), jnp.asarray(pvalid),
-    )
-    return np.asarray(vis)[: scene.num_images, : scene.num_points]
+    )), n_pad)
+    return vis[: scene.num_images, : scene.num_points]
+
+
+@functools.lru_cache(maxsize=32)
+def _hybrid_fn(i_pad: int, n_pad: int, depth_hw: tuple, image_hw: tuple):
+    @jax.jit
+    def fn(points, K, extrinsics, depth_maps, image_valid, point_valid):
+        vis, near = G.visibility_and_borderline(
+            points, K, extrinsics, depth_maps, image_hw,
+            image_valid, point_valid)
+        return _packbits(vis), _packbits(near)
+
+    return fn
+
+
+def compute_scene_visibility_hybrid(
+    scene: Scene, image_chunk: int | None = None
+) -> np.ndarray:
+    """Exact-parity visibility WITHOUT the f64-emulation cost.
+
+    One true-f32 device pass computes the matrix plus a conservative
+    borderline mask (core/geometry.visibility_and_borderline); the tiny
+    flagged fraction — pairs within f32 rounding distance of a comparison
+    boundary (~2%) — is recomputed exactly on host in numpy f64, i.e. the
+    very computation the reference runs. Result is bit-equal to the numpy
+    oracle on every backend — including TPU, where even the emulated-f64
+    path flips ~7 ppm of exact-boundary bits (its division is not
+    correctly rounded). Equals `compute_scene_visibility(scene, float64)`
+    exactly on CPU.
+    """
+    from ..core.synthetic import np_project_points
+
+    pts, pvalid = scene.padded_points(np.float32)
+    ext, depth, ivalid = scene.padded_images(np.float32)
+    i_pad, n_pad = ext.shape[0], pts.shape[0]
+    budget = _PAIR_BUDGET_F32
+    if image_chunk is None and i_pad * n_pad > budget:
+        image_chunk = max(8, (budget // n_pad) // 8 * 8)
+    fn_chunk = image_chunk if image_chunk and image_chunk < i_pad else i_pad
+    n_chunks = -(-i_pad // fn_chunk)
+    tot = n_chunks * fn_chunk
+    if tot > i_pad:
+        ext = np.concatenate(
+            [ext, np.tile(np.eye(4, dtype=ext.dtype), (tot - i_pad, 1, 1))])
+        depth = np.concatenate(
+            [depth, np.zeros((tot - i_pad,) + depth.shape[1:],
+                             dtype=depth.dtype)])
+        ivalid = np.concatenate([ivalid, np.zeros(tot - i_pad, dtype=bool)])
+    fn = _hybrid_fn(fn_chunk, n_pad, scene.depth_hw, scene.image_hw)
+    pts_d = jnp.asarray(pts)
+    K_d = jnp.asarray(scene.intrinsic.astype(np.float32))
+    pv_d = jnp.asarray(pvalid)
+    vis_rows, near_rows = [], []
+    for lo in range(0, tot, fn_chunk):
+        v, nr = fn(pts_d, K_d, jnp.asarray(ext[lo: lo + fn_chunk]),
+                   jnp.asarray(depth[lo: lo + fn_chunk]),
+                   jnp.asarray(ivalid[lo: lo + fn_chunk]), pv_d)
+        vis_rows.append(np.asarray(v))
+        near_rows.append(np.asarray(nr))
+    vis = _unpackbits(np.concatenate(vis_rows),
+                      n_pad)[: scene.num_images, : scene.num_points]
+    near = _unpackbits(np.concatenate(near_rows),
+                       n_pad)[: scene.num_images, : scene.num_points]
+
+    # exact f64 host fix-up of the flagged bits, grouped per image
+    flagged_images = np.where(near.any(axis=1))[0]
+    h, w = scene.image_hw
+    hd, wd = scene.depth_hw
+    for i in flagged_images:
+        cols = np.where(near[i])[0]
+        E = scene.extrinsic_align(int(i))
+        xy, d = np_project_points(
+            scene.points_aligned[cols, :3], scene.intrinsic, E)
+        x, y = xy[:, 0], xy[:, 1]
+        inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        # x * (wd/w) order matters at exact .5 boundaries (see
+        # engines/depth_perception._project_many)
+        sx, sy = wd / w, hd / h
+        dxi = np.clip(np.round(x * sx), 0, wd - 1).astype(np.int64)
+        dyi = np.clip(np.round(y * sy), 0, hd - 1).astype(np.int64)
+        dv = scene.depth_maps[int(i)][dyi, dxi] * 0.001
+        vis[i, cols] = inb & (d > 0) & (d < dv)
+    return vis
 
 
 @functools.lru_cache(maxsize=32)
@@ -126,10 +227,10 @@ def _visibility_batch_fn(s: int, i_pad: int, n_pad: int, depth_hw: tuple,
                          image_hw: tuple, dtype_name: str):
     @jax.jit
     def fn(points, K, extrinsics, depth_maps, image_valid, point_valid):
-        return jax.vmap(
+        return _packbits(jax.vmap(
             lambda p, k, e, d, iv, pv: G.visibility_matrix(
                 p, k, e, d, image_hw, iv, pv)
-        )(points, K, extrinsics, depth_maps, image_valid, point_valid)
+        )(points, K, extrinsics, depth_maps, image_valid, point_valid))
 
     return fn
 
@@ -169,10 +270,10 @@ def compute_visibility_batch(
                 Ks[j] = scene.intrinsic.astype(dtype)
             fn = _visibility_batch_fn(
                 s, i_pad, n_pad, depth_hw, image_hw, np.dtype(dtype).name)
-            vis = np.asarray(fn(
+            vis = _unpackbits(np.asarray(fn(
                 jnp.asarray(pts), jnp.asarray(Ks), jnp.asarray(exts),
                 jnp.asarray(depths), jnp.asarray(ivalid),
-                jnp.asarray(pvalid)))
+                jnp.asarray(pvalid))), n_pad)
             for j, scene in enumerate(chunk):
                 out[scene.scene_id] = vis[
                     j, : scene.num_images, : scene.num_points]

@@ -330,3 +330,49 @@ class TestBatchedVisibility:
         for chunk in (4, 8, 16):  # 16 pads the image axis
             chunked = compute_scene_visibility(s, image_chunk=chunk)
             np.testing.assert_array_equal(chunked, fused)
+
+
+class TestHybridVisibility:
+    def test_hybrid_equals_f64_bit_for_bit(self):
+        """f32 pass + f64 borderline fix-up == full f64, exactly — on
+        synthetic scenes whose surface points sit ON depth-compare cliffs
+        by construction (the stress case that flips ~5% of plain-f32
+        labels)."""
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+            compute_scene_visibility_hybrid,
+        )
+
+        from multi_spatialmllm_tpu.core import geometry as G
+
+        for seed in (3, 19, 77):
+            s = make_scene(scene_id=f"hyb{seed:04d}_00", seed=seed,
+                           n_images=12, n_background=3000, n_objects=3,
+                           n_invalid_poses=1)
+            exact = compute_scene_visibility(s, np.float64)
+            hybrid = compute_scene_visibility_hybrid(s)
+            np.testing.assert_array_equal(hybrid, exact)
+            # sanity: the borderline mask actually flags pairs (the fix-up
+            # path runs) — synthetic surface points sit on depth cliffs
+            pts, pv = s.padded_points(np.float32)
+            ext, depth, iv = s.padded_images(np.float32)
+            import jax.numpy as jnp
+            _, near = G.visibility_and_borderline(
+                jnp.asarray(pts), jnp.asarray(s.intrinsic.astype(np.float32)),
+                jnp.asarray(ext), jnp.asarray(depth), s.image_hw,
+                jnp.asarray(iv), jnp.asarray(pv))
+            assert int(np.asarray(near).sum()) > 0
+
+    def test_hybrid_chunked_matches(self):
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility,
+            compute_scene_visibility_hybrid,
+        )
+
+        s = make_scene(scene_id="hybc0000_00", seed=5, n_images=14,
+                       n_background=2500, n_objects=2)
+        exact = compute_scene_visibility(s, np.float64)
+        for chunk in (4, 8):
+            np.testing.assert_array_equal(
+                compute_scene_visibility_hybrid(s, image_chunk=chunk),
+                exact)
