@@ -15,6 +15,8 @@ metrics, each {value, unit, vs_baseline}:
                             Baseline: reference val build = 47 min x 25
                             procs / 312 scenes = 226 s/scene/proc
                             (make_visibility_info.py:211).
+  visibility_hybrid_realscale  same scene via the f32+exact-fix-up path
+                            (reference-bit-exact on TPU; PARITY.md).
   visibility_f32_bench      scenes/s over the 40 bench scenes, batched
                             dispatch (speed opt-in precision).
   frame_relations           pairs/s, f32 (calculate_frames_relations.py).
@@ -116,6 +118,22 @@ def main() -> None:
             f"({real.num_images} imgs x {real.num_points} pts, "
             f"{real.num_images * real.num_points / dt / 1e6:.1f}M tests/s)")
         stages["visibility_f64_realscale"] = {
+            "value": round(dt, 2), "unit": "s/scene",
+            "vs_baseline": round(REF_VIS_SEC_PER_SCENE / dt, 1),
+        }
+
+        # hybrid: true-f32 device pass + exact numpy-f64 borderline fix-up
+        # (reference-bit-exact on TPU, unlike emulated f64 - PARITY.md)
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility_hybrid,
+        )
+
+        compute_scene_visibility_hybrid(real)  # compile + warm
+        t0 = time.perf_counter()
+        compute_scene_visibility_hybrid(real)
+        dt = time.perf_counter() - t0
+        log(f"visibility hybrid real-scale steady: {dt:.1f}s")
+        stages["visibility_hybrid_realscale"] = {
             "value": round(dt, 2), "unit": "s/scene",
             "vs_baseline": round(REF_VIS_SEC_PER_SCENE / dt, 1),
         }

@@ -262,7 +262,7 @@ def compute_visibility_batch(
             pvalid = np.empty((s, n_pad), dtype=bool)
             Ks = np.empty((s, 4, 4), dtype=dtype)
             exts = np.empty((s, i_pad, 4, 4), dtype=dtype)
-            depths = np.empty((s, i_pad) + depth_hw, dtype=np.int32)
+            depths = np.empty((s, i_pad) + depth_hw, dtype=np.uint16)
             ivalid = np.empty((s, i_pad), dtype=bool)
             for j, scene in enumerate(chunk):
                 pts[j], pvalid[j] = scene.padded_points(dtype)

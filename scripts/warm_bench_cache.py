@@ -68,3 +68,9 @@ with tempfile.TemporaryDirectory() as _tmp:
                     npoints_per_group=15, npairs_per_bin=2))
 print("object-movement programs cached", round(time.time() - t0, 1),
       flush=True)
+from multi_spatialmllm_tpu.stages.visibility import (
+    compute_scene_visibility_hybrid,
+)
+compute_scene_visibility_hybrid(real)
+print("visibility hybrid real-scale cached", round(time.time() - t0, 1),
+      flush=True)
