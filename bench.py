@@ -175,7 +175,7 @@ def main() -> None:
         qtypes = ("total_distance", "displacement_vector", "yaw_angle",
                   "x_movement")
         best_rate = 0.0
-        for run in range(2):  # best-of-2: steady-state, tunnel-jitter guard
+        for run in range(3):  # best-of-3: steady-state, tunnel-jitter guard
             total = 0
             t0 = time.perf_counter()
             for qtype in qtypes:
