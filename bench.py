@@ -28,6 +28,8 @@ metrics, each {value, unit, vs_baseline}:
   correspondence_coor       samples/s vs reference 69/s
                             (visual_correspondence_qa_engine_coor_2_coor
                             .py:527).
+  correspondence_dot_multichoice  two-JPEG annotated samples/s vs the
+                            reference's slowest engine (~20/s).
   object_movement_coord     TAPVid samples/s (native emission; the
                             reference publishes no rate -> null).
 
@@ -51,6 +53,7 @@ REF_VIS_SEC_PER_SCENE = 47 * 60 * 25 / 312  # 226 s/scene/proc, val split
 REF_DEPTH_COOR = 331_295 / (51 * 60)      # ~108/s
 REF_DEPTH_DOT = 337_523 / (1.5 * 3600)    # ~62/s
 REF_CORR_COOR = 1_000_000 / (4 * 3600)    # ~69/s
+REF_CORR_DOT = 500_000 / (7 * 3600)       # ~20/s (the slowest reference engine)
 
 
 def log(msg: str) -> None:
@@ -255,6 +258,28 @@ def main() -> None:
         stages["correspondence_coor"] = {
             "value": round(rate, 1), "unit": "samples/s",
             "vs_baseline": round(rate / REF_CORR_COOR, 1),
+        }
+
+        # -- engine: correspondence dot->multichoice (annotated 480x640) ---
+        # two annotated JPEGs per sample; reference: 7 h -> 500K (~20/s,
+        # visual_correspondence_qa_engine_dot_2_multichoice.py:564)
+        ann_rel = build_frame_relations(ann_scenes, visibility=ann_vis,
+                                        dtype=np.float32)
+        vcd_cfg = VC.CorrespondenceConfig(overlap_min=0.1,
+                                          overlap_max=100.0, interval=5.0)
+        VC.generate_dot_to_multichoice_to_jsonl(
+            ann_rel, ann_store, ann_index, f"{tmp}/vcd_warm.jsonl", 50,
+            f"{tmp}/vcd_imgs_w", image_provider=provider, config=vcd_cfg)
+        n, rate = best_of_2(
+            lambda: VC.generate_dot_to_multichoice_to_jsonl(
+                ann_rel, ann_store, ann_index, f"{tmp}/vcd.jsonl", 400,
+                f"{tmp}/vcd_imgs", image_provider=provider,
+                config=vcd_cfg).n_train)
+        log(f"correspondence dot->multichoice (annotated): {n} samples "
+            f"-> {rate:,.0f}/s")
+        stages["correspondence_dot_multichoice"] = {
+            "value": round(rate, 1), "unit": "samples/s",
+            "vs_baseline": round(rate / REF_CORR_DOT, 1),
         }
 
         # -- engine: object movement (TAPVid, coord) -----------------------
