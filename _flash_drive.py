@@ -35,12 +35,6 @@ timed("fwd xla   ", lambda: ref(q, k, v))
 def loss_pallas(q, k, v):
     return jnp.sum(A.trainable_flash_attention(q, k, v, True).astype(jnp.float32))
 
-def loss_recompute(q, k, v):
-    # Pallas fwd + XLA recompute bwd (the r01 design, kept as baseline)
-    o = A.flash_attention(q, k, v, causal=True)
-    # detach the kernel and route gradient through the XLA path
-    return jnp.sum(A.reference_attention(q, k, v, causal=True).astype(jnp.float32))
-
 def loss_xla(q, k, v):
     return jnp.sum(A.reference_attention(q, k, v, causal=True).astype(jnp.float32))
 

@@ -77,22 +77,29 @@ class ImageProvider(Protocol):
 
 
 class _BoundedImageCache:
-    """FIFO-bounded decoded-image cache. Annotated engines sample the same
-    source image many times (max_n_points_per_image / per-pair draws);
-    caching the decode amortizes it. Callers must .copy() before drawing
-    (every engine already does)."""
+    """FIFO-bounded decoded-image cache, safe under AnnotationPool's
+    worker threads. Annotated engines sample the same source image many
+    times (max_n_points_per_image / per-pair draws); caching the decode
+    amortizes it. Callers must .copy() before drawing (every engine
+    already does)."""
 
     def __init__(self, max_entries: int):
+        import threading
+
         self.max_entries = max_entries
         self._cache: dict[tuple[str, str], np.ndarray] = {}
+        self._lock = threading.Lock()
 
     def get_or_load(self, key: tuple[str, str], load) -> np.ndarray:
-        img = self._cache.get(key)
+        with self._lock:
+            img = self._cache.get(key)
         if img is None:
-            img = load()
-            if len(self._cache) >= self.max_entries:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = img
+            img = load()  # concurrent double-loads are harmless
+            with self._lock:
+                if key not in self._cache and \
+                        len(self._cache) >= self.max_entries:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[key] = img
         return img
 
 
@@ -164,16 +171,33 @@ class AnnotationPool:
             workers = os.cpu_count() or 1
         self._executor = None
         self._futures: list = []
+        self._by_key: dict = {}
         if workers > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             self._executor = ThreadPoolExecutor(max_workers=workers)
 
-    def submit(self, fn) -> None:
+    def submit(self, fn, key=None) -> None:
+        """Run fn on the pool. Tasks sharing a key (e.g. the output image
+        path) execute in submission order, so duplicate targets behave
+        exactly like the inline engines (last write wins) instead of
+        racing concurrent encoders on one file."""
         if self._executor is None:
             fn()
-        else:
+            return
+        if key is None:
             self._futures.append(self._executor.submit(fn))
+            return
+        prev = self._by_key.get(key)
+
+        def chained(prev=prev, fn=fn):
+            if prev is not None:
+                prev.result()
+            fn()
+
+        fut = self._executor.submit(chained)
+        self._by_key[key] = fut
+        self._futures.append(fut)
 
     def close(self) -> None:
         """Wait for every pending write; re-raises the first failure."""
@@ -182,6 +206,7 @@ class AnnotationPool:
                 f.result()
             self._executor.shutdown()
             self._futures.clear()
+            self._by_key.clear()
 
     def __enter__(self):
         return self

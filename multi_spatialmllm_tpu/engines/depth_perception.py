@@ -108,7 +108,11 @@ class ProjectionCache:
     leaving the callers' rng-draw order untouched (lookups consume no rng).
     """
 
-    def __init__(self):
+    def __init__(self, max_entries: int = 128):
+        # an entry holds x/y/depth f64 + ok for every scene point
+        # (~5 MB at 200K points); FIFO-bound so production-scale runs
+        # touching thousands of images stay within host RAM
+        self.max_entries = max_entries
         self._memo: dict[tuple[str, int], tuple] = {}
 
     def project(self, scene: Scene, image_index: int, point_index: int):
@@ -119,6 +123,8 @@ class ProjectionCache:
         if arrays is None:
             arrays = _project_many(scene, image_index,
                                    np.arange(scene.num_points))
+            if len(self._memo) >= self.max_entries:
+                self._memo.pop(next(iter(self._memo)))
             self._memo[key] = arrays
         x, y, d, ok = arrays
         if not ok[point_index]:
@@ -221,15 +227,15 @@ def _depth_estimation_columns(
                         and image_output_dir:
                     color = generate_distinct_colors(1, rng)[0]
 
+                    rel = f"{sid}/{image_id}_p{point}_annotated.jpg"
+
                     def task(sid=sid, image_id=image_id, x=int(x_px),
-                             y=int(y_px), point=point, color=color):
+                             y=int(y_px), color=color, rel=rel):
                         img = image_provider(sid, image_id).copy()
                         draw_dot(img, (x, y), color)
-                        save_annotated(
-                            img, image_output_dir,
-                            f"{sid}/{image_id}_p{point}_annotated.jpg")
+                        save_annotated(img, image_output_dir, rel)
 
-                    pool.submit(task)
+                    pool.submit(task, key=rel)
                 cols["sid"].append(sid)
                 cols["image_id"].append(image_id)
                 cols["point"].append(point)
@@ -444,7 +450,7 @@ def generate_depth_estimation(
                             draw_dot(img, (x, y), color)
                             save_annotated(img, image_output_dir, image_rel)
 
-                        pool.submit(task_fn)
+                        pool.submit(task_fn, key=image_rel)
 
                 samples.append({
                     "id": f"{sid}_{image_id}_point{point}",
@@ -598,7 +604,7 @@ def generate_depth_comparison_to_jsonl(
                             draw_lettered_dot(img, coords, letter, color)
                         save_annotated(img, image_output_dir, image_rel)
 
-                    pool.submit(task_fn)
+                    pool.submit(task_fn, key=image_rel)
                 row = {
                     "sid": sid, "image_id": image_id,
                     "pid0": candidate[0]["pid"], "pid1": candidate[1]["pid"],
@@ -841,7 +847,7 @@ def generate_depth_comparison(
                                 draw_lettered_dot(img, coords, letter, color)
                             save_annotated(img, image_output_dir, image_rel)
 
-                        pool.submit(task_fn)
+                        pool.submit(task_fn, key=image_rel)
 
                 pid0, pid1 = pair[0]["point_id"], pair[1]["point_id"]
                 samples.append({

@@ -318,14 +318,20 @@ def process_sequence(
                         cv2.IMREAD_UNCHANGED)
                     cv2.imwrite(path, img)
 
-                pool.submit(write_frame)
+                pool.submit(write_frame, key=path)
         if config.dot_variant:
+            # dedupe on (submitted this run) OR (exists on disk): identical
+            # to the inline exists()-check semantics (a prior iteration's
+            # write always completed inline) but independent of the pool's
+            # write timing, so the rng stream stays deterministic.
+            submitted: set = set()
             for s in samples:
                 f1 = int(s["id"].split("_")[-3])
                 apath = os.path.join(scene_dir,
                                      os.path.basename(s["image"][0]))
-                if os.path.exists(apath):
+                if apath in submitted or os.path.exists(apath):
                     continue
+                submitted.add(apath)
                 # rng draw stays synchronous (stream order); only the
                 # decode + circle + encode runs on the pool
                 color = tuple(int(c) for c in rng.integers(0, 256, 3))
@@ -341,7 +347,7 @@ def process_sequence(
                     cv2.circle(img, (x, y), radius, color, -1)
                     cv2.imwrite(apath, img)
 
-                pool.submit(write_annot)
+                pool.submit(write_annot, key=apath)
         if own_pool:
             pool.close()
     return samples
@@ -490,13 +496,17 @@ def _sequence_columns(
                                       np.uint8), cv2.IMREAD_UNCHANGED)
                     cv2.imwrite(path, img)
 
-                pool.submit(write_frame)
+                pool.submit(write_frame, key=path)
         if config.dot_variant:
+            # see process_sequence: submitted-set keeps the dedupe (and
+            # hence the rng stream) independent of pool write timing
+            submitted: set = set()
             for r in kept:
                 apath = os.path.join(
                     scene_dir, f"{r['f1']:05d}_p{r['pt']}_annotated.jpg")
-                if os.path.exists(apath):
+                if apath in submitted or os.path.exists(apath):
                     continue
+                submitted.add(apath)
                 color = tuple(int(c) for c in rng.integers(0, 256, 3))
 
                 def write_annot(f1=r["f1"], apath=apath, color=color,
@@ -510,7 +520,7 @@ def _sequence_columns(
                     cv2.circle(img, (x, y), radius, color, -1)
                     cv2.imwrite(apath, img)
 
-                pool.submit(write_annot)
+                pool.submit(write_annot, key=apath)
 
 
 def generate_to_jsonl(

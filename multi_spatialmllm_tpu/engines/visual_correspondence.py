@@ -379,7 +379,7 @@ def generate_dot_to_multichoice(
                 save_annotated(img1, image_output_dir, rel1)
                 save_annotated(img2, image_output_dir, rel2)
 
-            pool.submit(task_fn)
+            pool.submit(task_fn, key=rel2)
 
         task = choice(rng, T.DOT_TASK_DESCRIPTION)
         question = choice(rng, T.DOT_QUESTIONS)
@@ -498,7 +498,7 @@ def generate_dot_to_multichoice_to_jsonl(
                 save_annotated(img1, image_output_dir, rel1)
                 save_annotated(img2, image_output_dir, rel2)
 
-            pool.submit(task_fn)
+            pool.submit(task_fn, key=rel2)
 
         row = {
             "sid": sid, "img1": image1, "img2": image2, "idx": idx,

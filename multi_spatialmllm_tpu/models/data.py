@@ -182,6 +182,22 @@ def prefetch_batches(
 
     out_q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
     _END = object()
+    stop = threading.Event()  # set when the consumer abandons the iterator
+
+    class _Abandoned(Exception):
+        pass
+
+    def put(item):
+        # bounded put that aborts once the consumer is gone, so the
+        # producer thread and its executor never leak
+        while True:
+            if stop.is_set():
+                raise _Abandoned()
+            try:
+                out_q.put(item, timeout=0.1)
+                return
+            except queue_mod.Full:
+                continue
 
     def produce():
         try:
@@ -199,7 +215,7 @@ def prefetch_batches(
                     buf_labels.append(labels)
                     buf_tiles.append(tiles)
                     if len(buf_ids) == batch_size:
-                        out_q.put({
+                        put({
                             "input_ids": np.stack(buf_ids),
                             "labels": np.stack(buf_labels),
                             "tiles": np.stack(buf_tiles),
@@ -209,6 +225,8 @@ def prefetch_batches(
                         buf_tiles.clear()
 
                 for sample in samples:
+                    if stop.is_set():
+                        raise _Abandoned()
                     futures.append(pool.submit(
                         encode_sample, sample, tokenizer, model_cfg,
                         image_loader, config))
@@ -217,22 +235,30 @@ def prefetch_batches(
                 while futures:
                     drain_one()
                 if buf_ids and not drop_remainder:
-                    out_q.put({
+                    put({
                         "input_ids": np.stack(buf_ids),
                         "labels": np.stack(buf_labels),
                         "tiles": np.stack(buf_tiles),
                     })
-            out_q.put(_END)
+            put(_END)
+        except _Abandoned:
+            pass
         except BaseException as exc:  # surface worker failures
-            out_q.put(exc)
+            try:
+                put(exc)
+            except _Abandoned:
+                pass
 
     thread = threading.Thread(target=produce, daemon=True)
     thread.start()
-    while True:
-        item = out_q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    thread.join()
+    try:
+        while True:
+            item = out_q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        thread.join()

@@ -586,6 +586,15 @@ def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
 # Trainable wrapper: Pallas forward + Pallas fused backward
 # ---------------------------------------------------------------------------
 
+def _xl_block(s: int) -> int:
+    """Largest of 512/256/128 dividing s (wider blocks cut the streaming
+    path's K/V re-fetch traffic; _kernel_ok guarantees s % 128 == 0)."""
+    for b in (512, 256, 128):
+        if s % b == 0:
+            return b
+    raise AssertionError(s)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def trainable_flash_attention(q, k, v, causal=True):
     """Flash attention with Pallas kernels on both passes (dq and fused
@@ -602,7 +611,8 @@ def trainable_flash_attention(q, k, v, causal=True):
         else:
             # wide blocks: K/V HBM traffic scales with S/block_q fetches
             # of the full K/V, so 512-wide q blocks cut it 4x vs 128
-            o, _ = _flash_fwd_xl(q, k, v, causal, sm_scale, 512, 512)
+            b = _xl_block(q.shape[2])
+            o, _ = _flash_fwd_xl(q, k, v, causal, sm_scale, b, b)
         return o
     return reference_attention(q, k, v, causal=causal)
 
@@ -630,7 +640,8 @@ def _tfa_fwd(q, k, v, causal):
     if _resident_ok(q):
         o, lse = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
     else:
-        o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, 512, 512)
+        b = _xl_block(q.shape[2])
+        o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, b, b)
     return o, (None, (q, k, v, o, lse))
 
 
@@ -642,7 +653,8 @@ def _tfa_bwd(causal, residuals, g):
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q):
         return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, 128, 128)
-    return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, 512, 512)
+    b = _xl_block(q.shape[2])
+    return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, b, b)
 
 
 trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)

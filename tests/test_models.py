@@ -291,3 +291,13 @@ class TestFlashAttentionXL:
                                    atol=2e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
                                    atol=2e-4)
+
+    def test_xl_block_divides_any_128_multiple(self):
+        from multi_spatialmllm_tpu.ops.attention import _xl_block
+
+        for s in (8448, 8192, 8320, 16384, 128, 640, 8576):
+            b = _xl_block(s)
+            assert s % b == 0 and b in (512, 256, 128)
+        assert _xl_block(16384) == 512
+        assert _xl_block(8448) == 256  # 8448 = 512*16.5
+        assert _xl_block(8320) == 128

@@ -234,3 +234,52 @@ class TestPrefetchLoader:
         with _pytest.raises(FileNotFoundError):
             list(prefetch_batches(samples, tok, cfg, bad_loader, 1,
                                   num_workers=4))
+
+    def test_abandoned_iterator_releases_producer(self):
+        """Breaking out of the generator early must not leave the producer
+        thread blocked on the bounded queue."""
+        import threading
+        import time
+
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.data import (
+            DataConfig,
+            prefetch_batches,
+        )
+        from multi_spatialmllm_tpu.models.preprocess import PreprocessConfig
+        from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+        tok = SpatialTokenizer()
+        cfg = M.MLLMConfig(
+            vit=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                            num_layers=1, num_heads=2),
+            llm=M.LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                            num_layers=1, num_heads=2, num_kv_heads=2,
+                            ffn_size=64, dtype="float32"),
+            img_context_id=tok.img_context_id,
+        )
+        samples = [
+            {"id": str(i), "image": [f"s/{i}.jpg"],
+             "conversations": [
+                 {"from": "human", "value": f"<image>\nQ{i}?"},
+                 {"from": "gpt", "value": f"A{i}."},
+             ]}
+            for i in range(40)
+        ]
+
+        def loader(path):
+            return np.zeros((96, 128, 3), dtype=np.uint8)
+
+        dc = DataConfig(max_seq_len=128, max_tiles=2,
+                        preprocess=PreprocessConfig(tile_size=56,
+                                                    max_tiles=1,
+                                                    resize_hw=None))
+        before = threading.active_count()
+        it = prefetch_batches(samples, tok, cfg, loader, 2, dc,
+                              num_workers=4, prefetch=1)
+        next(it)
+        it.close()  # abandon
+        deadline = time.time() + 10
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
