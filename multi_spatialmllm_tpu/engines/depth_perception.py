@@ -108,12 +108,14 @@ class ProjectionCache:
     leaving the callers' rng-draw order untouched (lookups consume no rng).
     """
 
-    def __init__(self, max_entries: int = 128):
-        # an entry holds x/y/depth f64 + ok for every scene point
-        # (~5 MB at 200K points); FIFO-bound so production-scale runs
-        # touching thousands of images stay within host RAM
-        self.max_entries = max_entries
+    def __init__(self, max_bytes: int = 2 << 30):
+        # an entry holds x/y/depth f64 + ok for every scene point (~5 MB
+        # at 200K points, ~120 KB on small scenes); FIFO-bound by BYTES so
+        # production-scale runs stay within host RAM while small-scene
+        # runs (thousands of cheap entries) never thrash
+        self.max_bytes = max_bytes
         self._memo: dict[tuple[str, int], tuple] = {}
+        self._bytes = 0
 
     def project(self, scene: Scene, image_index: int, point_index: int):
         """(x_px, y_px, depth_m) or None — same contract as
@@ -123,9 +125,12 @@ class ProjectionCache:
         if arrays is None:
             arrays = _project_many(scene, image_index,
                                    np.arange(scene.num_points))
-            if len(self._memo) >= self.max_entries:
-                self._memo.pop(next(iter(self._memo)))
+            size = sum(a.nbytes for a in arrays)
+            while self._memo and self._bytes + size > self.max_bytes:
+                old = self._memo.pop(next(iter(self._memo)))
+                self._bytes -= sum(a.nbytes for a in old)
             self._memo[key] = arrays
+            self._bytes += size
         x, y, d, ok = arrays
         if not ok[point_index]:
             return None
