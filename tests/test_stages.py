@@ -332,12 +332,35 @@ class TestBatchedVisibility:
             np.testing.assert_array_equal(chunked, fused)
 
 
+def _numpy_visibility_oracle(s):
+    """The reference's own arithmetic in numpy f64 — exact on every
+    backend (the TPU's EMULATED f64 can flip last-ulp boundary bits, so
+    the device-f64 stage is not a safe oracle there; see PARITY.md)."""
+    h, w = s.image_hw
+    hd, wd = s.depth_hw
+    sx, sy = wd / w, hd / h
+    out = np.zeros((s.num_images, s.num_points), bool)
+    valid = s.valid_image_mask()
+    for i in range(s.num_images):
+        if not valid[i]:
+            continue
+        E = s.extrinsic_align(i)
+        xy, d = np_project_points(s.points_aligned[:, :3], s.intrinsic, E)
+        x, y = xy[:, 0], xy[:, 1]
+        inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        dxi = np.clip(np.round(x * sx), 0, wd - 1).astype(np.int64)
+        dyi = np.clip(np.round(y * sy), 0, hd - 1).astype(np.int64)
+        dv = s.depth_maps[i][dyi, dxi] * 0.001
+        out[i] = inb & (d > 0) & (d < dv)
+    return out
+
+
 class TestHybridVisibility:
-    def test_hybrid_equals_f64_bit_for_bit(self):
-        """f32 pass + f64 borderline fix-up == full f64, exactly — on
-        synthetic scenes whose surface points sit ON depth-compare cliffs
-        by construction (the stress case that flips ~5% of plain-f32
-        labels)."""
+    def test_hybrid_equals_numpy_oracle_bit_for_bit(self):
+        """f32 pass + f64 borderline fix-up == the reference's numpy math,
+        exactly — on synthetic scenes whose surface points sit ON
+        depth-compare cliffs by construction (the stress case that flips
+        ~5% of plain-f32 labels)."""
         from multi_spatialmllm_tpu.stages.visibility import (
             compute_scene_visibility,
             compute_scene_visibility_hybrid,
@@ -349,7 +372,7 @@ class TestHybridVisibility:
             s = make_scene(scene_id=f"hyb{seed:04d}_00", seed=seed,
                            n_images=12, n_background=3000, n_objects=3,
                            n_invalid_poses=1)
-            exact = compute_scene_visibility(s, np.float64)
+            exact = _numpy_visibility_oracle(s)
             hybrid = compute_scene_visibility_hybrid(s)
             np.testing.assert_array_equal(hybrid, exact)
             # sanity: the borderline mask actually flags pairs (the fix-up
@@ -371,7 +394,7 @@ class TestHybridVisibility:
 
         s = make_scene(scene_id="hybc0000_00", seed=5, n_images=14,
                        n_background=2500, n_objects=2)
-        exact = compute_scene_visibility(s, np.float64)
+        exact = _numpy_visibility_oracle(s)
         for chunk in (4, 8):
             np.testing.assert_array_equal(
                 compute_scene_visibility_hybrid(s, image_chunk=chunk),
