@@ -280,6 +280,81 @@ def compute_visibility_batch(
     return out
 
 
+def compute_visibility_multichip(
+    scenes: "list[Scene]",
+    mesh,
+    dtype=np.float32,
+    per_device_batch: int = 4,
+) -> dict[str, np.ndarray]:
+    """Scene-parallel visibility across every device of a mesh.
+
+    The heaviest stage of the data engine (BASELINE.md: 3 h train split
+    on 25 CPU procs) scales scene-parallel: scenes grouped by padded
+    shape are stacked `[n_devices * per_device_batch, ...]`, sharded over
+    the mesh's leading axis with `shard_map`, and each device runs the
+    same fused visibility program on its shard — the multi-chip
+    incarnation of `compute_visibility_batch` (bit-identical results,
+    test-asserted on the 8-device CPU mesh). Groups smaller than one full
+    sharded batch pad with dummy scenes whose rows are dropped.
+    """
+    try:  # jax >= 0.8
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ensure_x64(dtype)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    batch = n_dev * per_device_batch
+
+    groups: dict[tuple, list[Scene]] = {}
+    for scene in scenes:
+        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
+        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
+        key = (i_pad, n_pad, scene.depth_hw, scene.image_hw)
+        groups.setdefault(key, []).append(scene)
+
+    out: dict[str, np.ndarray] = {}
+    for (i_pad, n_pad, depth_hw, image_hw), members in groups.items():
+        image_hw_static = tuple(image_hw)
+
+        def local(points, K, ext, depth, ivalid, pvalid):
+            vis = jax.vmap(
+                lambda p, k, e, d, iv, pv: G.visibility_matrix(
+                    p, k, e, d, image_hw_static, iv, pv)
+            )(points, K, ext, depth, ivalid, pvalid)
+            return _packbits(vis)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=P(axis), check_vma=False))
+
+        for lo in range(0, len(members), batch):
+            chunk = members[lo: lo + batch]
+            s = len(chunk)
+            pts = np.zeros((batch, n_pad, 3), dtype=dtype)
+            pvalid = np.zeros((batch, n_pad), dtype=bool)
+            Ks = np.tile(np.eye(4, dtype=dtype), (batch, 1, 1))
+            exts = np.tile(np.eye(4, dtype=dtype), (batch, i_pad, 1, 1))
+            depths = np.zeros((batch, i_pad) + depth_hw, dtype=np.uint16)
+            ivalid = np.zeros((batch, i_pad), dtype=bool)
+            for j, scene in enumerate(chunk):
+                pts[j], pvalid[j] = scene.padded_points(dtype)
+                exts[j], depths[j], ivalid[j] = scene.padded_images(dtype)
+                Ks[j] = scene.intrinsic.astype(dtype)
+            packed = np.asarray(fn(
+                jnp.asarray(pts), jnp.asarray(Ks), jnp.asarray(exts),
+                jnp.asarray(depths), jnp.asarray(ivalid),
+                jnp.asarray(pvalid)))
+            vis = _unpackbits(packed, n_pad)
+            for j, scene in enumerate(chunk):
+                out[scene.scene_id] = vis[
+                    j, : scene.num_images, : scene.num_points]
+    return out
+
+
 class VisibilityIndex:
     """In-memory visibility index over many scenes.
 

@@ -399,3 +399,29 @@ class TestHybridVisibility:
             np.testing.assert_array_equal(
                 compute_scene_visibility_hybrid(s, image_chunk=chunk),
                 exact)
+
+
+class TestMultichipVisibility:
+    def test_sharded_equals_per_scene(self):
+        """Scene-parallel visibility over the 8-device mesh: bit-identical
+        to the single-device per-scene stage."""
+        import jax as _jax
+
+        if len(_jax.devices()) < 8 or _jax.default_backend() != "cpu":
+            pytest.skip("needs the 8-device CPU mesh (scripts/test.sh)")
+        from jax.sharding import Mesh
+
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_visibility_multichip,
+        )
+
+        scenes = [make_scene(scene_id=f"mc{i:04d}_00", seed=90 + i,
+                             n_images=10, n_background=2000, n_objects=2)
+                  for i in range(11)]  # not a multiple of 8: pad path
+        mesh = Mesh(np.asarray(_jax.devices()[:8]), ("data",))
+        got = compute_visibility_multichip(scenes, mesh, dtype=np.float32,
+                                           per_device_batch=1)
+        assert set(got) == {s.scene_id for s in scenes}
+        for s in scenes:
+            single = compute_scene_visibility(s, np.float32)
+            np.testing.assert_array_equal(got[s.scene_id], single)
