@@ -1,0 +1,204 @@
+"""Continuous-batching serving loop for the multi-frame MLLM.
+
+`predict_batch` (runner.py) decodes a fixed batch to completion — short
+answers wait for the longest row. This module keeps a fixed number of
+decode SLOTS busy instead: each request is prefilled individually (B=1,
+so any tile count / prompt length mixes freely) and its KV rows are
+inserted into the batch cache at a free slot; decoding then proceeds in
+jitted multi-token chunks over all slots at per-slot positions, and a
+slot is refilled with the next queued request the moment its row emits
+eos. Outputs are bit-identical to running `greedy_generate` per request
+(greedy decoding depends only on a slot's own cache rows; stale kv from
+a previous occupant is always overwritten before the valid mask can
+admit it) — test-asserted.
+
+Throughput levers: one device dispatch per `chunk` decode steps for the
+whole batch, compiled callables cached per shape signature, and slots
+that finish early immediately start the next request instead of idling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .generate import pad_to_bucket
+from .llm import init_cache
+from .mllm import MultiFrameMLLM
+
+
+@dataclasses.dataclass
+class ServeConfig:
+    slots: int = 4                 # concurrent decode rows
+    max_prompt_len: int = 512      # prompts padded up to this bucket
+    max_new_tokens: int = 32
+    chunk: int = 8                 # decode steps per device dispatch
+    length_bucket: int = 128       # prefill shape bucketing
+
+
+@functools.lru_cache(maxsize=16)
+def _prefill_one_fn(model: MultiFrameMLLM, prompt_len: int):
+    """B=1 prefill at a bucketed prompt length -> (first token, caches)."""
+
+    def fn(params, ids, tiles, true_len):
+        caches = init_cache(model.cfg.llm, 1, prompt_len)
+        logits, caches = model.apply(
+            params, ids, tiles, caches, true_len,
+            method=MultiFrameMLLM.prefill)
+        first = jnp.take_along_axis(
+            jnp.argmax(logits, axis=-1), (true_len - 1)[None, None],
+            axis=1)
+        return first, caches
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _insert_slot_fn(model: MultiFrameMLLM, n_slots: int, max_len: int,
+                    prompt_len: int):
+    """Scatter a single request's prefilled KV rows into batch slot b."""
+
+    def fn(batch_caches, row_caches, b):
+        zero = jnp.zeros((), jnp.int32)
+        out = []
+        for bc, rc in zip(batch_caches, row_caches):
+            k = jax.lax.dynamic_update_slice(
+                bc["k"], rc["k"], (b, zero, zero, zero))
+            v = jax.lax.dynamic_update_slice(
+                bc["v"], rc["v"], (b, zero, zero, zero))
+            out.append({"k": k, "v": v, "index": bc["index"]})
+        return out
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
+    """`chunk` greedy steps for every slot in one dispatch.
+
+    positions is `[B]` (per-slot cache index); returns the `[B, chunk]`
+    tokens and updated caches/positions. Inactive slots decode whatever
+    their cache holds — the host discards those tokens.
+    """
+
+    def step(params, token, positions, caches):
+        caches = [
+            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
+        ]
+        logits, caches = model.apply(
+            params, token, positions[:, None], caches,
+            method=lambda m, tok, pos, cc:
+                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
+                      caches=cc))
+        return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
+
+    @jax.jit
+    def run(params, last_token, positions, caches):
+        # normalize the carry: per-slot [B] cache indices, int32 tokens
+        caches = [
+            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
+        ]
+        last_token = last_token.astype(jnp.int32)
+
+        def body(carry, _):
+            token, positions, caches = carry
+            token, caches = step(params, token, positions, caches)
+            return (token.astype(jnp.int32), positions + 1, caches), \
+                token[:, 0].astype(jnp.int32)
+
+        (token, positions, caches), toks = jax.lax.scan(
+            body, (last_token, positions, caches), None, length=chunk)
+        return jnp.transpose(toks), token, positions, caches
+
+    return run
+
+
+class ContinuousBatcher:
+    """Greedy serving over a fixed pool of decode slots."""
+
+    def __init__(self, model: MultiFrameMLLM, params,
+                 config: ServeConfig | None = None,
+                 pad_id: int = 0, eos_id: int = 2):
+        self.model = model
+        self.params = params
+        self.config = config or ServeConfig()
+        self.pad_id = pad_id
+        self.eos_id = eos_id
+        cfg = self.config
+        self.max_len = cfg.max_prompt_len + cfg.max_new_tokens
+        self.caches = init_cache(model.cfg.llm, cfg.slots, self.max_len)
+        self.positions = np.zeros(cfg.slots, dtype=np.int32)
+        self.last_token = np.zeros((cfg.slots, 1), dtype=np.int32)
+
+    def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles):
+        cfg = self.config
+        ids = pad_to_bucket(prompt_ids[None], cfg.length_bucket,
+                            self.pad_id)
+        t = ids.shape[1]
+        assert t <= cfg.max_prompt_len, (t, cfg.max_prompt_len)
+        true_len = np.int32(len(prompt_ids))
+        first, row_caches = _prefill_one_fn(self.model, t)(
+            self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
+            jnp.asarray(true_len))
+        self.caches = _insert_slot_fn(
+            self.model, cfg.slots, self.max_len, t)(
+                self.caches, row_caches, jnp.asarray(slot, jnp.int32))
+        self.positions[slot] = int(true_len)
+        self.last_token[slot, 0] = int(first[0, 0])
+        return int(first[0, 0])
+
+    def generate_all(self, requests) -> list[np.ndarray]:
+        """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3]).
+        Returns generated token arrays (cut at eos, <= max_new_tokens),
+        in request order."""
+        cfg = self.config
+        queue = list(enumerate(requests))
+        results: dict[int, list[int]] = {}
+        slot_req = [-1] * cfg.slots      # request id per slot (-1 = free)
+        decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk)
+
+        def finished(rid):
+            toks = results[rid]
+            return (len(toks) >= cfg.max_new_tokens
+                    or (toks and toks[-1] == self.eos_id))
+
+        while queue or any(r >= 0 for r in slot_req):
+            for slot in range(cfg.slots):
+                if slot_req[slot] < 0 and queue:
+                    rid, (prompt_ids, tiles) = queue.pop(0)
+                    first = self._prefill_into(slot, prompt_ids, tiles)
+                    slot_req[slot] = rid
+                    results[rid] = [first]
+                    if finished(rid):
+                        slot_req[slot] = -1
+            if not any(r >= 0 for r in slot_req):
+                continue
+            toks, last, positions, self.caches = decode(
+                self.params, jnp.asarray(self.last_token),
+                jnp.asarray(self.positions), self.caches)
+            toks = np.asarray(toks)
+            # writable copies: host mutates per-slot state on refill
+            self.last_token = np.array(last)
+            self.positions = np.array(positions)
+            for slot in range(cfg.slots):
+                rid = slot_req[slot]
+                if rid < 0:
+                    continue
+                for tok in toks[slot]:
+                    if finished(rid):
+                        break
+                    results[rid].append(int(tok))
+                if finished(rid):
+                    slot_req[slot] = -1   # refilled next loop iteration
+
+        out = []
+        for rid in sorted(results):
+            toks = results[rid]
+            if self.eos_id in toks:
+                toks = toks[: toks.index(self.eos_id)]
+            out.append(np.asarray(toks, dtype=np.int32))
+        return out

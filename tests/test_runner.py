@@ -128,3 +128,58 @@ class TestBatchedServing:
         batched = predict_batch(model, params, tok, samples, loader,
                                 run_cfg)
         assert batched == single
+
+
+class TestContinuousBatching:
+    def test_matches_per_request_greedy(self):
+        """Slot-based continuous batching returns the same tokens as
+        greedy_generate run request-by-request, across mixed prompt
+        lengths and more requests than slots (slot reuse)."""
+        import numpy as np
+
+        from multi_spatialmllm_tpu.models.generate import (
+            greedy_generate,
+            pad_to_bucket,
+        )
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        init_batch = M.make_example_batch(cfg, batch=1, n_tiles=1,
+                                          seq_len=64)
+        params = model.init(jax.random.key(0), init_batch["input_ids"],
+                            init_batch["tiles"])
+
+        t_img = cfg.tokens_per_tile
+        rng = np.random.default_rng(5)
+        requests = []
+        for i, seq_len in enumerate((40, 56, 48, 64, 44, 60, 52)):
+            ids = rng.integers(10, cfg.llm.vocab_size,
+                               size=seq_len).astype(np.int32)
+            ids[1:1 + t_img] = cfg.img_context_id
+            tiles = np.asarray(jax.random.normal(
+                jax.random.key(100 + i),
+                (1, cfg.vit.image_size, cfg.vit.image_size, 3),
+                dtype=jnp.float32))
+            requests.append((ids, tiles))
+
+        eos = 2
+        batcher = ContinuousBatcher(
+            model, params,
+            ServeConfig(slots=3, max_prompt_len=128, max_new_tokens=6,
+                        chunk=2, length_bucket=64),
+            pad_id=0, eos_id=eos)
+        got = batcher.generate_all(requests)
+
+        for (ids, tiles), tokens in zip(requests, got):
+            prompt = pad_to_bucket(ids[None], 64, 0)
+            want = np.asarray(greedy_generate(
+                model, params, jnp.asarray(prompt),
+                jnp.asarray(tiles[None]), max_new_tokens=6, eos_id=eos,
+                prompt_len=len(ids)))[0]
+            if eos in want:
+                want = want[: int(np.where(want == eos)[0][0])]
+            np.testing.assert_array_equal(tokens, want)
