@@ -104,3 +104,66 @@ class TestGenerate:
         logits = model.apply(params, batch["input_ids"], batch["tiles"])
         expect = int(jnp.argmax(logits[0, -1]))
         assert int(out[0, 0]) == expect
+
+
+class TestExtractAnswerAdversarial:
+    """Model outputs in the wild ramble, repeat the question's numbers,
+    add units, or bury the answer mid-sentence — not just the clean
+    backtick-quoted strings this repo's templates emit."""
+
+    def test_rambling_numeric(self):
+        from multi_spatialmllm_tpu.models.eval_harness import extract_answer
+
+        # question numbers repeated before the actual answer
+        out = extract_answer(
+            "The point at [ 512 , 440 ] is quite far away. After "
+            "considering the geometry, the depth is `2350` mm.")
+        assert out == 2350.0
+        # no backticks at all: last number wins
+        out = extract_answer(
+            "Looking at coordinates 512, 440, I estimate the depth to be "
+            "approximately 2350 millimeters.")
+        assert out == 2350.0
+
+    def test_vector_in_prose(self):
+        from multi_spatialmllm_tpu.models.eval_harness import extract_answer
+
+        out = extract_answer(
+            "The camera moved by the displacement vector "
+            "[ 120 , -45 , 300 ] in millimeters.")
+        assert out == [120.0, -45.0, 300.0]
+        out = extract_answer("The matching point is at `[ 512 , 440 ]`.")
+        assert out == [512.0, 440.0]
+
+    def test_direction_with_noise(self):
+        from multi_spatialmllm_tpu.models.eval_harness import extract_answer
+
+        out = extract_answer("The camera clearly moved to the `left`.")
+        assert out == "left"
+        # unquoted single direction word in prose
+        out = extract_answer("It moved left by a small amount.")
+        assert out == "left"
+
+    def test_letter_answers(self):
+        from multi_spatialmllm_tpu.models.eval_harness import extract_answer
+
+        assert extract_answer("The correct answer is `B`.") == "B"
+        assert extract_answer("I believe the answer is C") == "C"
+
+    def test_garbage_returns_none(self):
+        from multi_spatialmllm_tpu.models.eval_harness import extract_answer
+
+        assert extract_answer("I am not sure about this one.") is None
+        assert extract_answer("") is None
+
+    def test_scoring_tolerates_extraction_from_noisy_text(self):
+        from multi_spatialmllm_tpu.models.eval_harness import score_sample
+
+        sample = {"question_type": "depth_estimation_coor",
+                  "gt_value": 2350}
+        assert score_sample(sample, "the depth is roughly 2350 mm") is True
+        assert score_sample(sample, "the depth is roughly 9999 mm") is False
+        vec = {"question_type": "displacement_vector",
+               "gt_value": [0.12, -0.045, 0.3]}  # meters; answers in mm
+        assert score_sample(
+            vec, "moved by [ 120 , -45 , 300 ] millimeters") is True
