@@ -112,7 +112,9 @@ class ProjectionCache:
         # an entry holds x/y/depth f64 + ok for every scene point (~5 MB
         # at 200K points, ~120 KB on small scenes); FIFO-bound by BYTES so
         # production-scale runs stay within host RAM while small-scene
-        # runs (thousands of cheap entries) never thrash
+        # runs (thousands of cheap entries) never thrash. The newest entry
+        # is always stored, so the effective cap is
+        # max(max_bytes, largest single entry).
         self.max_bytes = max_bytes
         self._memo: dict[tuple[str, int], tuple] = {}
         self._bytes = 0

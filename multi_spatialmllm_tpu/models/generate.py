@@ -39,6 +39,23 @@ def _prefill_fn(model: MultiFrameMLLM):
             p, ids, tl, cc, n, method=MultiFrameMLLM.prefill))
 
 
+def decode_step(model: MultiFrameMLLM, params, token, positions, caches):
+    """One greedy decode step at per-row positions: rewrites each layer's
+    cache index to the traced `[B]` positions (one compiled step serves
+    every decode position and slot), embeds the last token, and returns
+    (next_token [B, 1], caches). Shared by the while_loop decoder below
+    and the continuous batcher (models/serving.py)."""
+    caches = [
+        {"k": c["k"], "v": c["v"], "index": positions} for c in caches
+    ]
+    logits, caches = model.apply(
+        params, token, positions[:, None], caches,
+        method=lambda m, tok, pos, cc:
+            m.llm(input_embeds=m.llm.embed(tok), positions=pos,
+                  caches=cc))
+    return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
+
+
 @functools.lru_cache(maxsize=32)
 def _decode_fn(model: MultiFrameMLLM, b: int, max_new_tokens: int,
                eos_id: int | None):
@@ -49,23 +66,14 @@ def _decode_fn(model: MultiFrameMLLM, b: int, max_new_tokens: int,
     entry points. Early-exit semantics match the old per-step host loop
     exactly: a row is finished once ANY of its emitted tokens is eos, and
     the loop stops when all rows are; undecoded tail slots are eos-filled.
+    The caches argument is donated (in-place KV update).
     """
     fill = eos_id if eos_id is not None else 0
 
     def step(params, token, positions, caches):
-        # rewrite each layer's index to the traced positions so one
-        # compiled step serves every decode position
-        caches = [
-            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
-        ]
-        logits, caches = model.apply(
-            params, token, positions[:, None], caches,
-            method=lambda m, tok, pos, cc:
-                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
-                      caches=cc))
-        return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
+        return decode_step(model, params, token, positions, caches)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def run(params, first_token, caches, positions):
         out0 = jnp.full((b, max_new_tokens), fill, dtype=first_token.dtype)
         out0 = out0.at[:, 0].set(first_token[:, 0])

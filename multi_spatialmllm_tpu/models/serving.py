@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .generate import pad_to_bucket
+from .generate import decode_step, pad_to_bucket
 from .llm import init_cache
 from .mllm import MultiFrameMLLM
 
@@ -73,7 +73,8 @@ def _insert_slot_fn(model: MultiFrameMLLM, n_slots: int, max_len: int,
             out.append({"k": k, "v": v, "index": bc["index"]})
         return out
 
-    return jax.jit(fn)
+    # donate the batch cache: the slot insert is an in-place update
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 @functools.lru_cache(maxsize=16)
@@ -86,17 +87,9 @@ def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
     """
 
     def step(params, token, positions, caches):
-        caches = [
-            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
-        ]
-        logits, caches = model.apply(
-            params, token, positions[:, None], caches,
-            method=lambda m, tok, pos, cc:
-                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
-                      caches=cc))
-        return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
+        return decode_step(model, params, token, positions, caches)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(3,))
     def run(params, last_token, positions, caches):
         # normalize the carry: per-slot [B] cache indices, int32 tokens
         caches = [

@@ -19,10 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from ..parallel.mesh import shard_map_compat
 
 NEG_INF = -1e30
 
@@ -93,9 +90,8 @@ def ring_attention(
             0, n, body, (m0, l0, a0, k_blk, v_blk))
         return (acc / jnp.maximum(l, 1e-30)).astype(q_blk.dtype)
 
-    fn = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
+    fn = shard_map_compat(
+        local_fn, mesh, in_specs=(spec, spec, spec), out_specs=spec)
     return fn(q, k, v)
 
 

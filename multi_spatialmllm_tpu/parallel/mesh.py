@@ -36,3 +36,19 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: >=0.8 exposes jax.shard_map with
+    `check_vma`; the older experimental API takes `check_rep` instead
+    (passing the wrong kwarg raises TypeError at wrap time)."""
+    try:
+        from jax import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)

@@ -32,10 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+from .mesh import shard_map_compat
 
 PIPE_AXIS = "pipe"
 
@@ -122,9 +119,8 @@ def pipeline_forward(
         is_last = (stage == n_stages - 1).astype(outputs.dtype)
         return jax.lax.psum(outputs * is_last, PIPE_AXIS)
 
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(param_specs, P()), out_specs=P(), check_vma=False)
+    fn = shard_map_compat(
+        local, mesh, in_specs=(param_specs, P()), out_specs=P())
     return fn(stage_params, x)
 
 
@@ -234,8 +230,7 @@ def pipeline_train_grads(
         grads = jax.tree_util.tree_map(lambda g: g[None], grads)
         return loss, grads
 
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(param_specs, P(), P()),
-        out_specs=(P(), param_specs), check_vma=False)
+    fn = shard_map_compat(
+        local, mesh, in_specs=(param_specs, P(), P()),
+        out_specs=(P(), param_specs))
     return fn(stage_params, x, y)

@@ -280,10 +280,34 @@ def compute_visibility_batch(
     return out
 
 
+@functools.lru_cache(maxsize=32)
+def _multichip_fn(mesh, image_hw: tuple):
+    """Compiled shard_map visibility program per (mesh, image shape) —
+    cached so repeated stage calls reuse the lowered program (the compile
+    service costs 20 s-15 min per program on the dev tunnel)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import shard_map_compat
+
+    axis = mesh.axis_names[0]
+
+    def local(points, K, ext, depth, ivalid, pvalid):
+        vis = jax.vmap(
+            lambda p, k, e, d, iv, pv: G.visibility_matrix(
+                p, k, e, d, image_hw, iv, pv)
+        )(points, K, ext, depth, ivalid, pvalid)
+        return _packbits(vis)
+
+    return jax.jit(shard_map_compat(
+        local, mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis)))
+
+
 def compute_visibility_multichip(
     scenes: "list[Scene]",
     mesh,
-    dtype=np.float32,
+    dtype=np.float64,
     per_device_batch: int = 4,
 ) -> dict[str, np.ndarray]:
     """Scene-parallel visibility across every device of a mesh.
@@ -293,16 +317,11 @@ def compute_visibility_multichip(
     shape are stacked `[n_devices * per_device_batch, ...]`, sharded over
     the mesh's leading axis with `shard_map`, and each device runs the
     same fused visibility program on its shard — the multi-chip
-    incarnation of `compute_visibility_batch` (bit-identical results,
-    test-asserted on the 8-device CPU mesh). Groups smaller than one full
-    sharded batch pad with dummy scenes whose rows are dropped.
+    incarnation of `compute_visibility_batch` (same float64 exact-parity
+    default, bit-identical results, test-asserted on the 8-device CPU
+    mesh). Groups smaller than one full sharded batch pad with dummy
+    scenes whose rows are dropped.
     """
-    try:  # jax >= 0.8
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
     ensure_x64(dtype)
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
@@ -317,19 +336,7 @@ def compute_visibility_multichip(
 
     out: dict[str, np.ndarray] = {}
     for (i_pad, n_pad, depth_hw, image_hw), members in groups.items():
-        image_hw_static = tuple(image_hw)
-
-        def local(points, K, ext, depth, ivalid, pvalid):
-            vis = jax.vmap(
-                lambda p, k, e, d, iv, pv: G.visibility_matrix(
-                    p, k, e, d, image_hw_static, iv, pv)
-            )(points, K, ext, depth, ivalid, pvalid)
-            return _packbits(vis)
-
-        fn = jax.jit(shard_map(
-            local, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-            out_specs=P(axis), check_vma=False))
+        fn = _multichip_fn(mesh, tuple(image_hw))
 
         for lo in range(0, len(members), batch):
             chunk = members[lo: lo + batch]
