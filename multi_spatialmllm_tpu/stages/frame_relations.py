@@ -97,6 +97,58 @@ def scene_relation_records(
     }
 
 
+@functools.lru_cache(maxsize=32)
+def _relations_batch_fn(s: int, i_pad: int, n_pad: int, dtype_name: str):
+    @jax.jit
+    def fn(vis, extrinsics, image_valid):
+        return jax.vmap(G.pairwise_frame_relations)(
+            vis, extrinsics, image_valid)
+
+    return fn
+
+
+def _batched_scene_relations(
+    scenes: "list[Scene]",
+    visibility: dict,
+    dtype,
+    batch_size: int = 10,
+) -> "dict[str, dict[str, np.ndarray]]":
+    """Relations for many scenes with batched dispatch (same grouping as
+    compute_visibility_batch: one device round-trip per shape-group chunk
+    instead of one per scene)."""
+    from .visibility import ensure_x64
+
+    ensure_x64(dtype)
+    groups: dict[tuple, list[Scene]] = {}
+    for scene in scenes:
+        ext, _, _ = scene.padded_images(dtype)
+        vis = visibility[scene.scene_id]
+        n_pad = ((max(vis.shape[1], 1) + 127) // 128) * 128
+        groups.setdefault((ext.shape[0], n_pad), []).append(scene)
+
+    out: dict[str, dict[str, np.ndarray]] = {}
+    for (i_pad, n_pad), members in groups.items():
+        for lo in range(0, len(members), batch_size):
+            chunk = members[lo: lo + batch_size]
+            s = len(chunk)
+            vis_pad = np.zeros((s, i_pad, n_pad), dtype=bool)
+            exts = np.tile(np.eye(4, dtype=dtype), (s, i_pad, 1, 1))
+            ivalid = np.zeros((s, i_pad), dtype=bool)
+            for j, scene in enumerate(chunk):
+                v = visibility[scene.scene_id]
+                vis_pad[j, : v.shape[0], : v.shape[1]] = v
+                exts[j], _, ivalid[j] = scene.padded_images(dtype)
+            fn = _relations_batch_fn(s, i_pad, n_pad, np.dtype(dtype).name)
+            rel = fn(jnp.asarray(vis_pad), jnp.asarray(exts),
+                     jnp.asarray(ivalid))
+            rel = {k: np.asarray(v) for k, v in rel.items()}
+            for j, scene in enumerate(chunk):
+                n = scene.num_images
+                out[scene.scene_id] = {
+                    k: v[j, :n, :n] for k, v in rel.items()}
+    return out
+
+
 def build_frame_relations(
     scenes: Iterable[Scene],
     output_parquet: str | None = None,
@@ -108,16 +160,31 @@ def build_frame_relations(
 
     Writes `output_parquet` and the `_nonzero` companion when a path is
     given (calculate_frames_relations.py:242-244 semantics: nonzero keeps
-    `overlap != 0`).
+    `overlap != 0`). With precomputed `visibility`, scenes dispatch in
+    shape-grouped batches (one device round-trip per chunk).
     """
     import pandas as pd
 
     sink = WarningSink(warning_path)
+    scenes = list(scenes)
     frames = []
+    if visibility is not None and all(
+            s.scene_id in visibility for s in scenes):
+        rels = _batched_scene_relations(scenes, visibility, dtype)
+        for scene in scenes:
+            frames.append(pd.DataFrame(
+                scene_relation_records(scene, rels[scene.scene_id], sink)))
+        return _relations_frame(frames, output_parquet)
     for scene in scenes:
         vis = None if visibility is None else visibility.get(scene.scene_id)
         rel = compute_scene_relations(scene, vis=vis, dtype=dtype)
         frames.append(pd.DataFrame(scene_relation_records(scene, rel, sink)))
+    return _relations_frame(frames, output_parquet)
+
+
+def _relations_frame(frames, output_parquet):
+    import pandas as pd
+
     df = (
         pd.concat(frames, ignore_index=True)
         if frames

@@ -31,6 +31,11 @@ batch = [make_scene(scene_id=f"warm{i:04d}_00", seed=1 + i, n_images=96,
                     n_invalid_poses=0) for i in range(10)]
 compute_visibility_batch(batch, dtype=np.float32, batch_size=10)
 print("visibility f32 batch-10 cached", round(time.time() - t0, 1), flush=True)
+from multi_spatialmllm_tpu.stages.frame_relations import build_frame_relations
+build_frame_relations(
+    batch, visibility={b.scene_id: compute_scene_visibility(b, np.float32)
+                       for b in batch}, dtype=np.float32)
+print("relations f32 batch-10 cached", round(time.time() - t0, 1), flush=True)
 rel = compute_scene_relations(s, vis=vis, dtype=np.float32)
 print("relations f32 cached", round(time.time() - t0, 1), flush=True)
 vis64 = compute_scene_visibility(s, dtype=np.float64)

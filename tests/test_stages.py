@@ -425,3 +425,39 @@ class TestMultichipVisibility:
         for s in scenes:
             single = compute_scene_visibility(s, np.float32)
             np.testing.assert_array_equal(got[s.scene_id], single)
+
+
+class TestBatchedRelations:
+    def test_batched_matches_per_scene(self):
+        """build_frame_relations with precomputed visibility (batched
+        dispatch) equals the per-scene path bit for bit."""
+        scenes = [make_scene(scene_id=f"br{i:04d}_00", seed=70 + i,
+                             n_images=10, n_background=2000, n_objects=2,
+                             n_invalid_poses=1)
+                  for i in range(3)]
+        scenes.append(make_scene(scene_id="br_odd_00", seed=75, n_images=6,
+                                 n_background=1500, n_objects=2))
+        vis = {s.scene_id: compute_scene_visibility(s, np.float32)
+               for s in scenes}
+        batched = build_frame_relations(scenes, visibility=vis,
+                                        dtype=np.float32)
+        # per-scene path: no precomputed visibility for one scene forces it
+        import pandas as pd
+
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            compute_scene_relations,
+            scene_relation_records,
+        )
+
+        frames = []
+        for s in scenes:
+            rel = compute_scene_relations(s, vis=vis[s.scene_id],
+                                          dtype=np.float32)
+            frames.append(pd.DataFrame(scene_relation_records(s, rel)))
+        single = pd.concat(frames, ignore_index=True)
+        assert len(batched) == len(single)
+        for col in ("scene_id", "image_id1", "image_id2"):
+            assert (batched[col] == single[col]).all()
+        for col in ("overlap", "distance", "yaw", "pitch"):
+            np.testing.assert_array_equal(batched[col].to_numpy(),
+                                          single[col].to_numpy())
