@@ -165,20 +165,27 @@ def _flatten(program: EmitProgram, main_ops: list):
 
 def _emit_native(program: EmitProgram, main_ops: list, out_path: str,
                  row_order) -> bool:
+    import os
+
     lib = native._load()
     if lib is None:
         return False
     if not hasattr(lib, "msm_emit_jsonl_configured"):
-        lib.msm_emit_jsonl.restype = ctypes.c_int
-        lib.msm_emit_jsonl.argtypes = [
+        # multithreaded entry point (rows render in parallel, output
+        # byte-identical for any thread count); falls back to the
+        # single-threaded symbol for libraries built before it existed
+        fn = getattr(lib, "msm_emit_jsonl_mt", None) or lib.msm_emit_jsonl
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-        ]
-        lib.msm_emit_jsonl_configured = True
+        ] + ([ctypes.c_int32] if fn is not lib.msm_emit_jsonl else [])
+        lib.msm_emit_jsonl_configured = fn
+        lib.msm_emit_jsonl_is_mt = fn is not lib.msm_emit_jsonl
 
     flat, sub_off, sub_len, main_off, main_len = _flatten(program, main_ops)
     n = program.n_rows
@@ -198,7 +205,7 @@ def _emit_native(program: EmitProgram, main_ops: list, out_path: str,
     order = (np.ascontiguousarray(row_order, dtype=np.int64)
              if row_order is not None else None)
     n_out = n if order is None else len(order)
-    rc = lib.msm_emit_jsonl(
+    args = [
         out_path.encode(), n, n_out, literals, table,
         str_idx.ctypes.data_as(ctypes.c_void_p),
         int_cols.ctypes.data_as(ctypes.c_void_p),
@@ -208,7 +215,11 @@ def _emit_native(program: EmitProgram, main_ops: list, out_path: str,
         sub_len.ctypes.data_as(ctypes.c_void_p),
         main_off, main_len,
         order.ctypes.data_as(ctypes.c_void_p) if order is not None else None,
-    )
+    ]
+    fn = lib.msm_emit_jsonl_configured
+    if lib.msm_emit_jsonl_is_mt:
+        args.append(os.cpu_count() or 1)
+    rc = fn(*args)
     return rc == 0
 
 

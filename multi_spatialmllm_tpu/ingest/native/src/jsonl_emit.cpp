@@ -15,7 +15,9 @@
 // The main program is (main_offset, main_length) in the same array.
 // Rows are emitted in row_order (shuffle permutation), one line each.
 
+#include <atomic>
 #include <cinttypes>
+#include <thread>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -181,6 +183,72 @@ void run(const Ctx& ctx, int64_t offset, int64_t length, int64_t row,
 }
 
 }  // namespace
+
+// Multithreaded emitter: rows render in parallel (they are independent),
+// output bytes stay in row_order (each thread fills one slice of a wave;
+// waves are written sequentially), so the file is byte-identical to the
+// single-threaded path for any thread count. Waves bound buffering to
+// n_threads * wave_rows lines.
+extern "C" int msm_emit_jsonl_mt(
+    const char* out_path, int64_t n_rows, int64_t n_out,
+    const char* const* literals,
+    const char* const* string_table, const int64_t* str_indices,
+    const int64_t* int_cols, const double* float_cols,
+    const int32_t* program, const int64_t* sub_offsets,
+    const int64_t* sub_lengths, int64_t main_offset, int64_t main_length,
+    const int64_t* row_order, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  FILE* f = fopen(out_path, "wb");
+  if (!f) return -1;
+  std::vector<char> iobuf(1 << 20);
+  setvbuf(f, iobuf.data(), _IOFBF, iobuf.size());
+
+  Ctx ctx{literals,  string_table, str_indices, int_cols,
+          float_cols, program,     sub_offsets, sub_lengths, n_rows};
+  const int64_t slice = 8192;  // rows per thread per wave
+  const int64_t wave = slice * n_threads;
+  std::vector<std::string> bufs(n_threads);
+  std::atomic<int> bad{0};
+
+  for (int64_t lo = 0; lo < n_out; lo += wave) {
+    int64_t hi = lo + wave < n_out ? lo + wave : n_out;
+    auto render = [&](int t) {
+      int64_t a = lo + (int64_t)t * slice;
+      int64_t b = a + slice < hi ? a + slice : hi;
+      std::string& out = bufs[t];
+      out.clear();
+      for (int64_t i = a; i < b; ++i) {
+        int64_t row = row_order ? row_order[i] : i;
+        if (row < 0 || row >= n_rows) {
+          bad.store(1);
+          return;
+        }
+        run(ctx, main_offset, main_length, row, &out);
+        out.push_back('\n');
+      }
+    };
+    if (n_threads == 1) {
+      render(0);
+    } else {
+      std::vector<std::thread> threads;
+      for (int t = 0; t < n_threads; ++t) threads.emplace_back(render, t);
+      for (auto& th : threads) th.join();
+    }
+    if (bad.load()) {
+      fclose(f);
+      return -3;
+    }
+    for (int t = 0; t < n_threads; ++t) {
+      if (!bufs[t].empty() &&
+          fwrite(bufs[t].data(), 1, bufs[t].size(), f) != bufs[t].size()) {
+        fclose(f);
+        return -2;
+      }
+    }
+  }
+  fclose(f);
+  return 0;
+}
 
 // n_rows: column stride (rows in the column arrays).
 // n_out: number of lines to write; row_order (length n_out, may be a

@@ -705,3 +705,55 @@ class TestObjectMovementNativeParity:
             assert d == f and f
         rec = _json.loads(open(tmp_path / "f.jsonl").readline())
         assert "text" in rec and "conversations" in rec
+
+
+class TestMultithreadedEmit:
+    def test_four_threads_byte_identical(self, tmp_path):
+        """Forced 4-thread native emission must produce byte-identical
+        output to the Python interpreter (waves keep row order)."""
+        import ctypes
+        import os
+
+        import numpy as np
+
+        from multi_spatialmllm_tpu.ingest import native
+
+        lib = native._load()
+        assert hasattr(lib, "msm_emit_jsonl_mt")
+
+        n = 50_000
+        rng = np.random.default_rng(3)
+        p = FJ.EmitProgram(n)
+        c_int = p.add_int_col(rng.integers(-10**6, 10**6, n))
+        c_flt = p.add_float_col(rng.standard_normal(n))
+        c_str = p.add_str_col([f"s{i % 37}" for i in range(n)])
+        c_sel = p.add_int_col(rng.integers(0, 3, n))
+        sel = p.make_select(c_sel, [
+            p.ops_for(lambda o, t=t: p.lit(o, t))
+            for t in ("alpha", "beta", "gamma")])
+        main = []
+        p.lit(main, '{"i": ')
+        main.append((FJ.OP_INT, c_int, 0))
+        p.lit(main, ', "f": ')
+        main.append((FJ.OP_FLT, c_flt, 0))
+        p.lit(main, ', "s": "')
+        main.append((FJ.OP_STR, c_str, 0))
+        p.lit(main, '", "w": "')
+        main.append(sel)
+        p.lit(main, '"}')
+        order = rng.permutation(n)
+
+        py_path = str(tmp_path / "py.jsonl")
+        p.emit(main, py_path, row_order=order, force_python=True)
+
+        # drive the mt symbol with an explicit thread count
+        import multi_spatialmllm_tpu.engines.fast_jsonl as FJmod
+
+        real_cpu_count = os.cpu_count
+        os.cpu_count = lambda: 4
+        try:
+            mt_path = str(tmp_path / "mt.jsonl")
+            p.emit(main, mt_path, row_order=order)
+        finally:
+            os.cpu_count = real_cpu_count
+        assert open(mt_path, "rb").read() == open(py_path, "rb").read()
