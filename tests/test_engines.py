@@ -414,3 +414,23 @@ class TestAnnotationPool:
         for rel in imgs1:
             assert (d1 / "imgs" / rel).read_bytes() == \
                    (d4 / "imgs" / rel).read_bytes()
+
+
+class TestDirImageProvider:
+    def test_reads_and_caches(self, tmp_path):
+        import cv2
+
+        from multi_spatialmllm_tpu.engines.annotate import DirImageProvider
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (48, 64, 3), dtype=np.uint8)
+        d = tmp_path / "scene0001_00"
+        d.mkdir()
+        cv2.imwrite(str(d / "00000.jpg"), img)
+        provider = DirImageProvider(str(tmp_path))
+        got = provider("scene0001_00", "00000")
+        assert got.shape == (48, 64, 3)
+        # cached object identity on repeat lookups (decode amortized)
+        assert provider("scene0001_00", "00000") is got
+        with pytest.raises(FileNotFoundError):
+            provider("scene0001_00", "99999")

@@ -281,3 +281,31 @@ class TestTapvid:
         ps_val = TV.load_split_list(meta, "pstudio", "val")
         assert (len(adt_train), len(adt_val)) == (1647, 309)
         assert (len(ps_train), len(ps_val)) == (131, 25)
+
+
+class TestIngestSensCLI:
+    def test_cli_builds_scene_packs(self, tmp_path, rng):
+        """The ingest-sens CLI surface: raw scan dir (.sens + mesh/agg/
+        segs/meta) -> scene npz packs loadable by SceneStore."""
+        import subprocess
+        import sys
+
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+
+        scans_root = tmp_path / "scans"
+        scans_root.mkdir()
+        scan, scan_dir, *_ = _make_scan_fixture(scans_root, rng)
+        _make_sens_fixture(str(os.path.join(scan_dir, f"{scan}.sens")), rng)
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+        out_dir = tmp_path / "packs"
+        r = subprocess.run(
+            [sys.executable, "-m", "multi_spatialmllm_tpu", "ingest-sens",
+             "--scans", str(scans_root), "--output", str(out_dir),
+             "--frame-skip", "2"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+        assert r.returncode == 0, r.stderr[-800:]
+        store = SceneStore(str(out_dir))
+        loaded = store.get(scan)
+        assert loaded.num_images == 4  # 7 frames, skip 2 -> 0,2,4,6
+        assert loaded.num_points == 200
