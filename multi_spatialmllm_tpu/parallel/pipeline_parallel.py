@@ -234,3 +234,125 @@ def pipeline_train_grads(
         local, mesh, in_specs=(param_specs, P(), P()),
         out_specs=(P(), param_specs))
     return fn(stage_params, x, y)
+
+
+def pipeline_train_grads_full(
+    stage_params,
+    head_params,
+    x: jax.Array,
+    y: jax.Array,
+    mesh: Mesh,
+    apply_layer: Callable,
+    head_loss: Callable,
+):
+    """1F1B training with a trainable head and input gradients.
+
+    Same schedule as :func:`pipeline_train_grads`, extended for composing
+    into a larger model (e.g. the full MLLM: vision/embedding preamble ->
+    pipelined decoder stack -> norm + lm-head loss):
+
+      * `head_loss(head_params, last_stage_out_mb, y_mb) -> scalar` runs
+        at the last stage; its parameter grads are accumulated there and
+        replicated out (the head is small: final norm + lm head).
+      * d(loss)/d(x) per microbatch is captured at stage 0 and returned
+        `[M, mb, ...]`, so the caller can chain into the preamble's VJP.
+
+    Returns `(loss, stage_grads, head_grads, dx_inputs)`.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    n_micro = x.shape[0]
+    ticks = n_micro + 2 * (n_stages - 1) + 1
+    perm_fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    perm_bwd = [(i, (i - 1) % n_stages) for i in range(n_stages)]
+
+    param_specs = jax.tree_util.tree_map(
+        lambda _: P(PIPE_AXIS), stage_params)
+    head_specs = jax.tree_util.tree_map(lambda _: P(), head_params)
+
+    def local(params_stage, head_p, x_all, y_all):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        params = jax.tree_util.tree_map(lambda l: l[0], params_stage)
+        is_last = stage == n_stages - 1
+        is_first = stage == 0
+
+        def run_stage(p, act):
+            def body(carry, layer_params):
+                return apply_layer(layer_params, carry), None
+
+            out, _ = jax.lax.scan(body, act, p)
+            return out
+
+        def stage_loss(p, hp, act, tgt):
+            return head_loss(hp, run_stage(p, act), tgt) / n_micro
+
+        stash = jnp.zeros_like(x_all)
+        fwd_buf = jnp.zeros_like(x_all[0])
+        bwd_buf = jnp.zeros_like(x_all[0])
+        grads0 = jax.tree_util.tree_map(
+            lambda l: jnp.zeros(l.shape, jnp.float32), params)
+        hgrads0 = jax.tree_util.tree_map(
+            lambda l: jnp.zeros(l.shape, jnp.float32), head_p)
+        dx_store0 = jnp.zeros_like(x_all)
+        loss0 = jnp.zeros((), jnp.float32)
+
+        def tick(t, carry):
+            stash, fwd_buf, bwd_buf, grads, hgrads, dx_store, loss_sum = \
+                carry
+
+            f = t - stage
+            do_f = (f >= 0) & (f < n_micro)
+            f_safe = jnp.clip(f, 0, n_micro - 1)
+            x_in = jnp.where(stage == 0, x_all[f_safe], fwd_buf)
+            stash = jnp.where(do_f, stash.at[f_safe].set(x_in), stash)
+            y_out = run_stage(params, x_in)
+
+            b = t - (2 * n_stages - 1 - stage)
+            do_b = (b >= 0) & (b < n_micro)
+            b_safe = jnp.clip(b, 0, n_micro - 1)
+            x_b = stash[b_safe]
+            _, vjp = jax.vjp(run_stage, params, x_b)
+            dp_chain, dx_chain = vjp(bwd_buf)
+            loss_b, grad_seed = jax.value_and_grad(
+                stage_loss, argnums=(0, 1, 2))(params, head_p, x_b,
+                                               y_all[b_safe])
+            dp_seed, dhp_seed, dx_seed = grad_seed
+            dp = jax.tree_util.tree_map(
+                lambda a, c: jnp.where(is_last, a, c), dp_seed, dp_chain)
+            dx = jnp.where(is_last, dx_seed, dx_chain)
+            grads = jax.tree_util.tree_map(
+                lambda g, d: g + jnp.where(do_b, d.astype(jnp.float32), 0.0),
+                grads, dp)
+            hgrads = jax.tree_util.tree_map(
+                lambda g, d: g + jnp.where(do_b & is_last,
+                                           d.astype(jnp.float32), 0.0),
+                hgrads, dhp_seed)
+            # stage 0's dx IS d(loss)/d(input microbatch b)
+            dx_store = jnp.where(
+                do_b & is_first, dx_store.at[b_safe].set(dx), dx_store)
+            loss_sum = loss_sum + jnp.where(
+                do_b & is_last, loss_b.astype(jnp.float32), 0.0)
+
+            fwd_buf = jax.lax.ppermute(y_out, PIPE_AXIS, perm_fwd)
+            dx_masked = jnp.where(do_b, dx, jnp.zeros_like(dx))
+            bwd_buf = jax.lax.ppermute(dx_masked, PIPE_AXIS, perm_bwd)
+            return (stash, fwd_buf, bwd_buf, grads, hgrads, dx_store,
+                    loss_sum)
+
+        carry = (stash, fwd_buf, bwd_buf, grads0, hgrads0, dx_store0,
+                 loss0)
+        _, _, _, grads, hgrads, dx_store, loss_sum = jax.lax.fori_loop(
+            0, ticks, tick, carry)
+        loss = jax.lax.psum(loss_sum, PIPE_AXIS)
+        # head grads live on the last stage, dx on the first: psum selects
+        hgrads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(
+                g * jnp.where(is_last, 1.0, 0.0), PIPE_AXIS), hgrads)
+        dx_inputs = jax.lax.psum(
+            dx_store * jnp.where(is_first, 1.0, 0.0), PIPE_AXIS)
+        grads = jax.tree_util.tree_map(lambda g: g[None], grads)
+        return loss, grads, hgrads, dx_inputs
+
+    fn = shard_map_compat(
+        local, mesh, in_specs=(param_specs, head_specs, P(), P()),
+        out_specs=(P(), param_specs, head_specs, P()))
+    return fn(stage_params, head_params, x, y)
