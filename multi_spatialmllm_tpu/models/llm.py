@@ -96,7 +96,27 @@ class Attention(nn.Module):
         k = apply_rope(k, positions, cfg.rope_theta)
 
         new_cache = None
-        if cache is not None:
+        if cache is not None and "k_pages" in cache:
+            # Paged decode (models/paged_kv.py): each row writes its new
+            # kv at the (page, offset) of its logical position, then
+            # attends over its gathered page window. Decode-only (t == 1).
+            assert t == 1, "paged KV cache is decode-only"
+            idx = jnp.asarray(cache["index"], dtype=jnp.int32)   # [B]
+            pt = cache["page_table"]                             # [B, PPS]
+            ps = cache["k_pages"].shape[2]
+            page = jnp.take_along_axis(pt, (idx // ps)[:, None],
+                                       axis=1)[:, 0]             # [B]
+            off = idx % ps
+            kp = cache["k_pages"].at[page, :, off, :].set(k[:, :, 0, :])
+            vp = cache["v_pages"].at[page, :, off, :].set(v[:, :, 0, :])
+            new_cache = {"k_pages": kp, "v_pages": vp, "page_table": pt,
+                         "index": idx + 1}
+            kw = kp[pt]                       # [B, PPS, KVH, ps, hd]
+            vw = vp[pt]
+            win = kw.shape[1] * kw.shape[3]
+            k = kw.transpose(0, 2, 1, 3, 4).reshape(b, kw.shape[2], win, hd)
+            v = vw.transpose(0, 2, 1, 3, 4).reshape(b, vw.shape[2], win, hd)
+        elif cache is not None:
             # decode: append at cache["index"] — a scalar (all rows share a
             # position) or a [B] array (batched serving with per-row
             # prompt lengths; each row writes at its own slot).
@@ -116,12 +136,11 @@ class Attention(nn.Module):
             new_cache = {"k": ck, "v": cv, "index": idx + t}
             k, v = ck, cv
 
-        # GQA: repeat kv heads.
-        rep = cfg.num_heads // cfg.num_kv_heads
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-
         if cache is None:
+            # GQA kv stay at num_kv_heads: the Pallas kernels map q heads
+            # to their group row natively, and reference_attention's
+            # in-call repeat is a broadcast XLA fuses (its VJP performs
+            # the group sum for dk/dv).
             if cfg.use_flash_attention and attn_valid is None:
                 from ..ops.attention import trainable_flash_attention
 
@@ -130,6 +149,10 @@ class Attention(nn.Module):
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid)
         else:
+            # decode: repeat kv heads over the cached prefix.
+            rep = cfg.num_heads // cfg.num_kv_heads
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
             # decode: attend over the filled prefix only (per row when the
             # cache index is a [B] array).
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)

@@ -11,6 +11,15 @@ Used by the MLLM train/decode paths (models/llm.py). Design:
   fully-masked kv blocks via the loop upper bound. The forward also emits
   the per-row logsumexp needed by the backward.
 
+* GQA is native: k/v come in with `kv_heads <= heads` and are NEVER
+  materialized at `heads` width. The forward/dq kernels map each q head's
+  kv block spec to its group row (consecutive grid steps in the same
+  group reuse the resident kv block — one HBM fetch per GROUP, not per
+  head); the dk/dv kernels grid over (batch*kv_heads, k blocks) and load
+  the group's `rep = heads//kv_heads` q-head rows as one (rep, ...)
+  block, accumulating the group-summed dk/dv in f32 registers in-kernel
+  (no rep-wide dk/dv writes, no XLA segment-sum pass afterwards).
+
 * Backward (FlashAttention-2 style, no recomputation of the forward):
   dq kernel over (batch*heads, q blocks) and a fused dk/dv kernel over
   (batch*heads, k blocks), each re-materializing the probability block
@@ -41,6 +50,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+
+
+def _kv_row_map(h: int, kvh: int):
+    """Map a q-head grid row `bh` (over batch*heads) to its kv group row
+    in the `[batch*kv_heads, s, d]` layout. Identity for MHA."""
+    if h == kvh:
+        return lambda bh: bh
+    rep = h // kvh
+    return lambda bh: (bh // h) * kvh + (bh % h) // rep
 
 
 def _flash_fwd_kernel(
@@ -89,15 +107,18 @@ def _flash_fwd_kernel(
 
 def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
     """Shared forward: returns (o, lse) with lse = logsumexp of the scaled
-    scores per query row, shape [b*h, s], f32."""
+    scores per query row, shape [b*h, s], f32. k/v may carry fewer (GQA)
+    heads than q; their block specs map each q head to its group row."""
     b, h, s, d = q.shape
+    kvh = k.shape[1]
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
 
     qf = q.reshape(b * h, s, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
+    kf = k.reshape(b * kvh, s, d)
+    vf = v.reshape(b * kvh, s, d)
+    row = _kv_row_map(h, kvh)
 
     kernel = functools.partial(
         _flash_fwd_kernel, block_q=block_q, block_k=block_k, seq_len=s,
@@ -108,9 +129,9 @@ def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, s, d), lambda bh, qi: (row(bh), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, s, d), lambda bh, qi: (row(bh), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -141,8 +162,9 @@ def flash_attention(
     """Multi-head attention via the Pallas kernel.
 
     Args:
-      q, k, v: `[batch, heads, seq, head_dim]` (same seq for q and kv).
-        GQA callers should repeat kv heads before the call.
+      q: `[batch, heads, seq, head_dim]`.
+      k, v: `[batch, kv_heads, seq, head_dim]` with
+        `kv_heads` dividing `heads` (GQA native — do NOT repeat).
     Returns:
       `[batch, heads, seq, head_dim]`.
     """
@@ -194,8 +216,13 @@ def _flash_bwd_dq_kernel(
 
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
+    *, block_q: int, block_k: int, seq_len: int, causal: bool,
+    sm_scale: float, rep: int,
 ):
+    """Grid over (batch*kv_heads, k blocks). q/do/lse/delta blocks carry
+    the group's `rep` q-head rows; the static `for r` unroll sums the
+    group's dk/dv contributions in f32 registers (GQA-native: the summed
+    gradient is written once per KV head)."""
     ki = pl.program_id(1)
     k = k_ref[0].astype(jnp.float32)                      # [block_k, d]
     v = v_ref[0].astype(jnp.float32)                      # [block_k, d]
@@ -206,40 +233,45 @@ def _flash_bwd_dkv_kernel(
     # causal: query blocks strictly before this kv block see none of it.
     q_start = (ki * block_k) // block_q if causal else 0
 
-    def body(qj, carry):
-        dk_prev, dv_prev = carry
-        q = q_ref[0, pl.ds(qj * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(qj * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
-        s = (q @ k.T) * sm_scale                          # [block_q, block_k]
-        if causal:
-            q_ids = qj * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            k_ids = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dv_cur = dv_prev + p.T @ do
-        dp = do @ v.T
-        ds = p * (dp - delta) * sm_scale
-        dk_cur = dk_prev + ds.T @ q
-        return dk_cur, dv_cur
+    for r in range(rep):
+        def body(qj, carry):
+            dk_prev, dv_prev = carry
+            q = q_ref[r, pl.ds(qj * block_q, block_q), :].astype(jnp.float32)
+            do = do_ref[r, pl.ds(qj * block_q, block_q), :].astype(
+                jnp.float32)
+            lse = lse_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
+            delta = delta_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
+            s = (q @ k.T) * sm_scale                      # [block_q, block_k]
+            if causal:
+                q_ids = qj * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+            p = jnp.exp(s - lse)
+            dv_cur = dv_prev + p.T @ do
+            dp = do @ v.T
+            ds = p * (dp - delta) * sm_scale
+            dk_cur = dk_prev + ds.T @ q
+            return dk_cur, dv_cur
 
-    dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, (dk, dv))
+        dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, (dk, dv))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
 def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
     b, h, s, d = q.shape
+    kvh = k.shape[1]
+    rep = h // kvh
     block_q = min(block_q, s)
     block_k = min(block_k, s)
 
     qf = q.reshape(b * h, s, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
+    kf = k.reshape(b * kvh, s, d)
+    vf = v.reshape(b * kvh, s, d)
     dof = g.reshape(b * h, s, d)
+    row = _kv_row_map(h, kvh)
     # delta = rowsum(dO * O): one fused XLA elementwise pass, [b*h, s].
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1).reshape(b * h, 1, s)
@@ -253,9 +285,9 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, s, d), lambda bh, qi: (row(bh), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, s, d), lambda bh, qi: (row(bh), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -269,38 +301,41 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
     )(qf, kf, vf, dof, lse, delta)
 
-    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, **common)
+    # dk/dv: one grid row per KV head; q/do/lse/delta blocks carry the
+    # whole group (first-dim block size `rep` at block index bkv — the
+    # element offset rep*bkv is exactly the group's first q-head row).
+    dkv_kernel = functools.partial(_flash_bwd_dkv_kernel, rep=rep, **common)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b * h, s // block_k),
+        grid=(b * kvh, s // block_k),
         in_specs=[
-            pl.BlockSpec((1, s, d), lambda bh, ki: (bh, 0, 0),
+            pl.BlockSpec((rep, s, d), lambda bkv, ki: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda bh, ki: (bh, 0, 0),
+            pl.BlockSpec((rep, s, d), lambda bkv, ki: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bh, ki: (bh, 0, 0),
+            pl.BlockSpec((rep, 1, s), lambda bkv, ki: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bh, ki: (bh, 0, 0),
+            pl.BlockSpec((rep, 1, s), lambda bkv, ki: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+            jax.ShapeDtypeStruct((b * kvh, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * kvh, s, d), v.dtype),
         ],
     )(qf, kf, vf, dof, lse, delta)
 
-    return (dq.reshape(b, h, s, d), dk.reshape(b, h, s, d),
-            dv.reshape(b, h, s, d))
+    return (dq.reshape(b, h, s, d), dk.reshape(b, kvh, s, d),
+            dv.reshape(b, kvh, s, d))
 
 
 # ---------------------------------------------------------------------------
@@ -359,14 +394,16 @@ def _flash_fwd_xl_kernel(
 
 def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
     b, h, s, d = q.shape
+    kvh = k.shape[1]
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     assert s % block_q == 0 and s % block_k == 0, (s, block_q, block_k)
     num_k = s // block_k
 
     qf = q.reshape(b * h, s, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
+    kf = k.reshape(b * kvh, s, d)
+    vf = v.reshape(b * kvh, s, d)
+    row = _kv_row_map(h, kvh)
     kernel = functools.partial(
         _flash_fwd_xl_kernel, block_q=block_q, block_k=block_k,
         num_k=num_k, causal=causal, sm_scale=sm_scale)
@@ -376,9 +413,11 @@ def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, qi, ki: (row(bh), ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, qi, ki: (row(bh), ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -444,8 +483,11 @@ def _flash_bwd_dkv_xl_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, block_q: int, block_k: int, num_q: int, causal: bool,
-    sm_scale: float,
+    sm_scale: float, rep: int,
 ):
+    """Grid over (batch*kv_heads, k blocks, q blocks); the streamed q/do
+    blocks carry the group's `rep` q-head rows and the static `for r`
+    unroll accumulates the group-summed dk/dv in the f32 scratch."""
     ki, qj = pl.program_id(1), pl.program_id(2)
 
     @pl.when(qj == 0)
@@ -462,22 +504,26 @@ def _flash_bwd_dkv_xl_kernel(
     def _update():
         k = k_ref[0].astype(jnp.float32)
         v = v_ref[0].astype(jnp.float32)
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(qj * block_q, block_q)][:, None]
-        s = (q @ k.T) * sm_scale
-        if causal:
-            q_ids = qj * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            k_ids = ki * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1)
-            s = jnp.where(q_ids >= k_ids, s, NEG_INF)
-        p = jnp.exp(s - lse)
-        dv_scr[:] = dv_scr[:] + p.T @ do
-        dp = do @ v.T
-        ds = p * (dp - delta) * sm_scale
-        dk_scr[:] = dk_scr[:] + ds.T @ q
+        dk_acc, dv_acc = dk_scr[:], dv_scr[:]
+        for r in range(rep):
+            q = q_ref[r].astype(jnp.float32)
+            do = do_ref[r].astype(jnp.float32)
+            lse = lse_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
+            delta = delta_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
+            s = (q @ k.T) * sm_scale
+            if causal:
+                q_ids = qj * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                k_ids = ki * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1)
+                s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+            p = jnp.exp(s - lse)
+            dv_acc = dv_acc + p.T @ do
+            dp = do @ v.T
+            ds = p * (dp - delta) * sm_scale
+            dk_acc = dk_acc + ds.T @ q
+        dk_scr[:] = dk_acc
+        dv_scr[:] = dv_acc
 
     @pl.when(qj == num_q - 1)
     def _emit():
@@ -487,14 +533,17 @@ def _flash_bwd_dkv_xl_kernel(
 
 def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
     b, h, s, d = q.shape
+    kvh = k.shape[1]
+    rep = h // kvh
     block_q = min(block_q, s)
     block_k = min(block_k, s)
     num_q, num_k = s // block_q, s // block_k
 
     qf = q.reshape(b * h, s, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
+    kf = k.reshape(b * kvh, s, d)
+    vf = v.reshape(b * kvh, s, d)
     dof = g.reshape(b * h, s, d)
+    row = _kv_row_map(h, kvh)
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1).reshape(b * h, 1, s)
 
@@ -507,9 +556,11 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, qi, ki: (row(bh), ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, qi, ki: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d),
+                         lambda bh, qi, ki: (row(bh), ki, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda bh, qi, ki: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -525,50 +576,61 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
     )(qf, kf, vf, dof, lse, delta)
 
+    # dk/dv: one grid row per KV head; streamed q/do blocks carry the
+    # group (first-dim block size `rep` at block index bkv == element
+    # offset rep*bkv, the group's first q-head row).
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_xl_kernel, block_q=block_q, block_k=block_k,
-        num_q=num_q, causal=causal, sm_scale=sm_scale)
+        num_q=num_q, causal=causal, sm_scale=sm_scale, rep=rep)
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b * h, num_k, num_q),
+        grid=(b * kvh, num_k, num_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, ki, qj: (bh, qj, 0),
+            pl.BlockSpec((rep, block_q, d),
+                         lambda bkv, ki, qj: (bkv, qj, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki, qj: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki, qj: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, d), lambda bh, ki, qj: (bh, qj, 0),
+            pl.BlockSpec((rep, block_q, d),
+                         lambda bkv, ki, qj: (bkv, qj, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bh, ki, qj: (bh, 0, 0),
+            pl.BlockSpec((rep, 1, s), lambda bkv, ki, qj: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bh, ki, qj: (bh, 0, 0),
+            pl.BlockSpec((rep, 1, s), lambda bkv, ki, qj: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki, qj: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda bh, ki, qj: (bh, ki, 0),
+            pl.BlockSpec((1, block_k, d), lambda bkv, ki, qj: (bkv, ki, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, s, d), k.dtype),
-            jax.ShapeDtypeStruct((b * h, s, d), v.dtype),
+            jax.ShapeDtypeStruct((b * kvh, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b * kvh, s, d), v.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
     )(qf, kf, vf, dof, lse, delta)
 
-    return (dq.reshape(b, h, s, d), dk.reshape(b, h, s, d),
-            dv.reshape(b, h, s, d))
+    return (dq.reshape(b, h, s, d), dk.reshape(b, kvh, s, d),
+            dv.reshape(b, kvh, s, d))
 
 
 def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
     """XLA reference (differentiable) with identical semantics.
 
     `key_valid`: optional `[B, T]` bool marking real (non-pad) keys.
+    k/v may carry fewer (GQA) heads than q; they are repeated here (XLA
+    fuses the broadcast; its VJP performs the group sum for dk/dv).
     """
     d = q.shape[-1]
+    if k.shape[1] != q.shape[1]:
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     if sm_scale is None:
         sm_scale = d ** -0.5
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * sm_scale
@@ -599,14 +661,16 @@ def _xl_block(s: int) -> int:
 def trainable_flash_attention(q, k, v, causal=True):
     """Flash attention with Pallas kernels on both passes (dq and fused
     dk/dv backward; no forward recompute — the probability blocks are
-    re-materialized from the saved logsumexp). Shapes beyond the
-    resident-KV VMEM budget use the XL streaming kernels (3-D grid, K/V
-    blocks double-buffered by the pipeline — unbounded sequence length);
-    shapes that don't meet the block constraints at all fall back to XLA.
+    re-materialized from the saved logsumexp). GQA k/v (`kv_heads`
+    dividing `heads`) are consumed natively — pass them UNREPEATED; the
+    returned dk/dv carry `kv_heads`. Shapes beyond the resident-KV VMEM
+    budget use the XL streaming kernels (3-D grid, K/V blocks
+    double-buffered by the pipeline — unbounded sequence length); shapes
+    that don't meet the block constraints at all fall back to XLA.
     """
-    if _kernel_ok(q):
+    if _kernel_ok(q, k):
         sm_scale = q.shape[-1] ** -0.5
-        if _resident_ok(q):
+        if _resident_ok(q, k):
             o, _ = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
         else:
             # wide blocks: K/V HBM traffic scales with S/block_q fetches
@@ -617,27 +681,30 @@ def trainable_flash_attention(q, k, v, causal=True):
     return reference_attention(q, k, v, causal=causal)
 
 
-def _resident_ok(q) -> bool:
+def _resident_ok(q, k) -> bool:
     s, d = q.shape[2], q.shape[3]
-    # resident K/V (and Q/dO in the dkv kernel) must fit VMEM: see module
-    # docstring. 2^20 = 8K seq x 128 head dim.
-    return s * d <= 2 ** 20
+    rep = q.shape[1] // k.shape[1]
+    # resident K/V (fwd/dq kernels) and the group's Q/dO rows (dkv
+    # kernel: rep stacked rows) must fit VMEM: see module docstring.
+    # 2^20 = 8K seq x 128 head dim for MHA.
+    return rep * s * d <= 2 ** 20
 
 
-def _kernel_ok(q) -> bool:
+def _kernel_ok(q, k) -> bool:
     s, d = q.shape[2], q.shape[3]
     return s >= 128 and s % 128 == 0 and d % 8 == 0 \
+        and q.shape[1] % k.shape[1] == 0 \
         and jax.default_backend() == "tpu"
 
 
 def _tfa_fwd(q, k, v, causal):
-    if not _kernel_ok(q):
+    if not _kernel_ok(q, k):
         out, vjp = jax.vjp(
             lambda q_, k_, v_: reference_attention(q_, k_, v_, causal=causal),
             q, k, v)
         return out, (vjp, None)
     sm_scale = q.shape[-1] ** -0.5
-    if _resident_ok(q):
+    if _resident_ok(q, k):
         o, lse = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
     else:
         b = _xl_block(q.shape[2])
@@ -651,7 +718,7 @@ def _tfa_bwd(causal, residuals, g):
         return vjp(g)
     q, k, v, o, lse = saved
     sm_scale = q.shape[-1] ** -0.5
-    if _resident_ok(q):
+    if _resident_ok(q, k):
         return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, 128, 128)
     b = _xl_block(q.shape[2])
     return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, b, b)

@@ -114,18 +114,21 @@ class TestAttentionKernel:
                                    atol=2e-3)
 
     @pytest.mark.parametrize("causal", [True, False])
-    def test_flash_backward_matches_reference_grads(self, causal):
+    @pytest.mark.parametrize("kvh", [3, 1])
+    def test_flash_backward_matches_reference_grads(self, causal, kvh):
         """Fused Pallas dq and dk/dv kernels vs the XLA VJP (interpreter
-        mode on CPU; the same kernels run compiled on TPU)."""
+        mode on CPU; the same kernels run compiled on TPU). kvh < heads
+        exercises the GQA-native path: unrepeated kv in, group-summed
+        dk/dv out."""
         from jax.experimental.pallas import tpu as pltpu
 
         from multi_spatialmllm_tpu.ops import attention as A
 
         q = jax.random.normal(jax.random.key(0), (2, 3, 256, 64),
                               dtype=jnp.float32)
-        k = jax.random.normal(jax.random.key(1), (2, 3, 256, 64),
+        k = jax.random.normal(jax.random.key(1), (2, kvh, 256, 64),
                               dtype=jnp.float32)
-        v = jax.random.normal(jax.random.key(2), (2, 3, 256, 64),
+        v = jax.random.normal(jax.random.key(2), (2, kvh, 256, 64),
                               dtype=jnp.float32)
         g = jax.random.normal(jax.random.key(3), (2, 3, 256, 64),
                               dtype=jnp.float32)
@@ -134,6 +137,7 @@ class TestAttentionKernel:
             o, lse = A._flash_fwd(q, k, v, causal, sm, 128, 128)
             dq, dk, dv = A._flash_bwd(q, k, v, o, lse, g, causal, sm,
                                       128, 128)
+        assert dk.shape == k.shape and dv.shape == v.shape
         ref, vjp = jax.vjp(
             lambda q_, k_, v_: reference_attention(q_, k_, v_,
                                                    causal=causal), q, k, v)
@@ -255,18 +259,20 @@ class TestHFTokenizerAdapter:
 
 class TestFlashAttentionXL:
     @pytest.mark.parametrize("causal", [True, False])
-    def test_xl_kernels_match_reference(self, causal):
+    @pytest.mark.parametrize("kvh", [2, 1])
+    def test_xl_kernels_match_reference(self, causal, kvh):
         """Streaming (3-D grid) kernels vs the XLA VJP and vs the
-        resident-KV kernels (interpret mode; multi-block on both axes)."""
+        resident-KV kernels (interpret mode; multi-block on both axes;
+        kvh < heads exercises the GQA-native streaming path)."""
         from jax.experimental.pallas import tpu as pltpu
 
         from multi_spatialmllm_tpu.ops import attention as A
 
         q = jax.random.normal(jax.random.key(0), (1, 2, 512, 64),
                               dtype=jnp.float32)
-        k = jax.random.normal(jax.random.key(1), (1, 2, 512, 64),
+        k = jax.random.normal(jax.random.key(1), (1, kvh, 512, 64),
                               dtype=jnp.float32)
-        v = jax.random.normal(jax.random.key(2), (1, 2, 512, 64),
+        v = jax.random.normal(jax.random.key(2), (1, kvh, 512, 64),
                               dtype=jnp.float32)
         g = jax.random.normal(jax.random.key(3), (1, 2, 512, 64),
                               dtype=jnp.float32)
