@@ -135,3 +135,59 @@ class TestPipeline:
         n_eval = sum(1 for _ in open(os.path.join(
             d, "object_movement_coord.jsonl")))
         assert n_orig >= n_eval > 0
+
+
+class TestCoverageCLIMultiProcess:
+    def test_sharded_subprocess_run_equals_unsharded(self, tmp_path):
+        """ROADMAP gap: an ACTUAL multi-process coverage run. Two shard
+        subprocesses + a merge subprocess (the reference's
+        find_object_coverage.sh launch pattern, scripts/*:24-48) must
+        reproduce the single-process library result exactly — the
+        coverage rng is streamed per (scene, object), so sharding cannot
+        perturb it."""
+        import subprocess
+        import sys
+
+        from multi_spatialmllm_tpu.core.io import load_pickle
+        from multi_spatialmllm_tpu.core.scene import SceneStore
+        from multi_spatialmllm_tpu.core.synthetic import make_scene
+        from multi_spatialmllm_tpu.stages.coverage import (
+            build_object_coverage,
+        )
+        from multi_spatialmllm_tpu.stages.object_visibility import (
+            build_object_visibility,
+        )
+
+        scenes = [make_scene(scene_id=f"cov{i:04d}_00", seed=70 + i,
+                             n_images=6, n_background=600, n_objects=2)
+                  for i in range(3)]
+        store_dir = tmp_path / "store"
+        SceneStore.write(scenes, str(store_dir))
+        out = tmp_path / "cov"
+        env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+        repo = os.path.join(os.path.dirname(__file__), "..")
+
+        def run(*extra):
+            r = subprocess.run(
+                [sys.executable, "-m", "multi_spatialmllm_tpu", "coverage",
+                 "--output", str(out), *extra],
+                capture_output=True, text=True, env=env, cwd=repo)
+            assert r.returncode == 0, r.stderr[-800:]
+            return r.stdout
+
+        for i in (0, 1):
+            run("--scenes", str(store_dir), "--shard-index", str(i),
+                "--num-shards", "2")
+        # resume semantics: re-running a finished shard is a no-op
+        again = run("--scenes", str(store_dir), "--shard-index", "0",
+                    "--num-shards", "2")
+        assert "already done" in again
+        run("--merge")
+
+        ov = build_object_visibility(scenes)
+        want = dict(zip(("height", "length", "width"),
+                        build_object_coverage(scenes, ov, seed=0)))
+        for dim, w in want.items():
+            got = load_pickle(str(
+                out / f"merged_train_object_coverage_{dim}.pkl"))
+            assert got == w, dim
