@@ -149,27 +149,30 @@ class Attention(nn.Module):
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid)
         else:
-            # decode: repeat kv heads over the cached prefix.
-            rep = cfg.num_heads // cfg.num_kv_heads
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
             # decode: attend over the filled prefix only (per row when the
-            # cache index is a [B] array).
-            s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+            # cache index is a [B] array). GQA stays grouped: q is viewed
+            # as [B, KVH, rep, t, hd] so XLA batches the matmuls per kv
+            # group instead of materializing a repeated [B, H, L, hd]
+            # cache view every step.
+            kvh = cfg.num_kv_heads
+            rep = cfg.num_heads // kvh
+            qg = q.reshape(b, kvh, rep, t, hd)
+            s = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k).astype(jnp.float32)
             s = s * (hd ** -0.5)
             kv_len = k.shape[2]
             key_pos = jnp.arange(kv_len)
             idx = jnp.asarray(cache["index"], dtype=jnp.int32)
             if idx.ndim == 0:
-                valid = key_pos[None, None, None, :] <= \
-                    (idx + jnp.arange(t))[None, None, :, None]
+                valid = key_pos[None, None, None, None, :] <= \
+                    (idx + jnp.arange(t))[None, None, None, :, None]
             else:
                 cur = idx[:, None] + jnp.arange(t)              # [B, t]
-                valid = key_pos[None, None, None, :] <= \
-                    cur[:, None, :, None]
+                valid = key_pos[None, None, None, None, :] <= \
+                    cur[:, None, None, :, None]
             s = jnp.where(valid, s, -1e30)
             p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+            out = jnp.einsum("bgrqk,bgkd->bgrqd", p, v).reshape(
+                b, cfg.num_heads, t, hd)
 
         out = out.transpose(0, 2, 1, 3)      # [B, T, H, hd]
         return wo(out), new_cache
