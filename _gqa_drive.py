@@ -10,8 +10,12 @@ import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np, time, statistics
 from multi_spatialmllm_tpu.ops import attention as A
 
+import sys
 print("backend:", jax.default_backend(), flush=True)
 B, H, KVH, S, D = 2, 16, 4, 2048, 128
+if len(sys.argv) > 1:
+    B, H, KVH, S, D = map(int, sys.argv[1:6])
+print("shape:", (B, H, KVH, S, D), flush=True)
 q = jax.random.normal(jax.random.key(0), (B, H, S, D), dtype=jnp.bfloat16)
 k = jax.random.normal(jax.random.key(1), (B, KVH, S, D), dtype=jnp.bfloat16)
 v = jax.random.normal(jax.random.key(2), (B, KVH, S, D), dtype=jnp.bfloat16)
@@ -78,3 +82,55 @@ for name, a, b in (("dq", dq1, dq2), ("dk", dk1, dk2), ("dv", dv1, dv2)):
 timed("grad gqa-native ", lambda: g_gqa(q, k, v))
 timed("grad repeat+kern", lambda: g_rep(q, k, v))
 timed("grad xla        ", lambda: g_xla(q, k, v))
+
+# --- amortized: N chained iterations inside ONE dispatch --------------------
+# (per-iteration device time = (total - noop rtt) / N; the chain carries
+# q through the output so XLA cannot parallelize or elide iterations)
+N = 32
+
+
+def chain_fwd(attn):
+    @jax.jit
+    def run(q, k, v):
+        def body(qc, _):
+            return attn(qc, k, v).astype(qc.dtype), ()
+        out, _ = jax.lax.scan(body, q, None, length=N)
+        return out
+    return run
+
+
+def chain_grad(loss):
+    g = jax.grad(loss, argnums=(0, 1, 2))
+    @jax.jit
+    def run(q, k, v):
+        def body(qc, _):
+            dq, dk, dv = g(qc, k, v)
+            return qc + 1e-6 * dq.astype(qc.dtype), ()
+        out, _ = jax.lax.scan(body, q, None, length=N)
+        return out
+    return run
+
+
+def timed_n(name, run, n=6):
+    fn = lambda: run(q, k, v)
+    fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(jnp.sum(fn()).astype(jnp.float32))
+        ts.append(time.perf_counter() - t0)
+    med = statistics.median(ts)
+    print(f"{name}: {med*1e3:.1f} ms total, "
+          f"{(med*1e3)/N:.3f} ms/iter (x{N} in-jit)", flush=True)
+
+
+timed_n("fwd  gqa-native x32", chain_fwd(
+    lambda q_, k_, v_: A.trainable_flash_attention(q_, k_, v_, True)))
+timed_n("fwd  repeat+kern x32", chain_fwd(
+    lambda q_, k_, v_: A.trainable_flash_attention(
+        q_, jnp.repeat(k_, rep, axis=1), jnp.repeat(v_, rep, axis=1), True)))
+timed_n("fwd  xla         x32", chain_fwd(
+    lambda q_, k_, v_: A.reference_attention(q_, k_, v_, causal=True)))
+timed_n("grad gqa-native x32", chain_grad(loss_gqa))
+timed_n("grad repeat+kern x32", chain_grad(loss_rep))
+timed_n("grad xla         x32", chain_grad(loss_xla))

@@ -61,12 +61,39 @@ def _kv_row_map(h: int, kvh: int):
     return lambda bh: (bh // h) * kvh + (bh % h) // rep
 
 
+# Matmul helpers: operands stay in their NATIVE dtype (bf16 rides the
+# MXU's fast path — upcasting to f32 first would cost ~8x matmul
+# throughput) with f32 accumulation. Probability/score operands computed
+# in f32 are cast back to the value dtype for the MXU, exactly like the
+# XLA reference's `p.astype(q.dtype)`.
+
+def _dot_qk(a, b):
+    """[m, d] x [n, d] -> [m, n] f32 (contract the feature dim)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_pv(p, v):
+    """[m, k] x [k, d] -> [m, d] f32; p cast to v's dtype for the MXU."""
+    return jax.lax.dot_general(p.astype(v.dtype), v,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tq(a, b):
+    """[q, k] x [q, d] -> [k, d] f32 (contract the q dim: pᵀ@do, dsᵀ@q);
+    a cast to b's dtype for the MXU."""
+    return jax.lax.dot_general(a.astype(b.dtype), b,
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
 ):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32) * sm_scale          # [block_q, d]
+    q = q_ref[0]                                          # [block_q, d]
 
     m = jnp.full((block_q, 1), NEG_INF, dtype=jnp.float32)
     l = jnp.zeros((block_q, 1), dtype=jnp.float32)
@@ -81,9 +108,9 @@ def _flash_fwd_kernel(
 
     def body(ki, carry):
         m_prev, l_prev, acc_prev = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = q @ k.T                                       # [block_q, block_k]
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = _dot_qk(q, k) * sm_scale                      # [block_q, block_k]
         if causal:
             q_ids = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -94,7 +121,7 @@ def _flash_fwd_kernel(
         p = jnp.exp(s - m_cur)
         alpha = jnp.exp(m_prev - m_cur)
         l_cur = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_cur = acc_prev * alpha + p @ v
+        acc_cur = acc_prev * alpha + _dot_pv(p, v)
         return m_cur, l_cur, acc_cur
 
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m, l, acc))
@@ -183,8 +210,8 @@ def _flash_bwd_dq_kernel(
     *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
 ):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)                      # [block_q, d]
-    do = do_ref[0].astype(jnp.float32)                    # [block_q, d]
+    q = q_ref[0]                                          # [block_q, d]
+    do = do_ref[0]                                        # [block_q, d]
     lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
     delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
 
@@ -196,9 +223,9 @@ def _flash_bwd_dq_kernel(
         )
 
     def body(ki, acc_prev):
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        s = (q @ k.T) * sm_scale                          # [block_q, block_k]
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = _dot_qk(q, k) * sm_scale                      # [block_q, block_k]
         if causal:
             q_ids = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -206,9 +233,9 @@ def _flash_bwd_dq_kernel(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
         p = jnp.exp(s - lse)                              # exact softmax block
-        dp = do @ v.T                                     # [block_q, block_k]
+        dp = _dot_qk(do, v)                               # [block_q, block_k]
         ds = p * (dp - delta) * sm_scale
-        return acc_prev + ds @ k
+        return acc_prev + _dot_pv(ds, k)
 
     acc = jax.lax.fori_loop(0, num_k_blocks, body, acc)
     dq_ref[0] = acc.astype(dq_ref.dtype)
@@ -224,8 +251,8 @@ def _flash_bwd_dkv_kernel(
     group's dk/dv contributions in f32 registers (GQA-native: the summed
     gradient is written once per KV head)."""
     ki = pl.program_id(1)
-    k = k_ref[0].astype(jnp.float32)                      # [block_k, d]
-    v = v_ref[0].astype(jnp.float32)                      # [block_k, d]
+    k = k_ref[0]                                          # [block_k, d]
+    v = v_ref[0]                                          # [block_k, d]
 
     dk = jnp.zeros((block_k, k.shape[-1]), dtype=jnp.float32)
     dv = jnp.zeros((block_k, k.shape[-1]), dtype=jnp.float32)
@@ -236,12 +263,11 @@ def _flash_bwd_dkv_kernel(
     for r in range(rep):
         def body(qj, carry):
             dk_prev, dv_prev = carry
-            q = q_ref[r, pl.ds(qj * block_q, block_q), :].astype(jnp.float32)
-            do = do_ref[r, pl.ds(qj * block_q, block_q), :].astype(
-                jnp.float32)
+            q = q_ref[r, pl.ds(qj * block_q, block_q), :]
+            do = do_ref[r, pl.ds(qj * block_q, block_q), :]
             lse = lse_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
             delta = delta_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
-            s = (q @ k.T) * sm_scale                      # [block_q, block_k]
+            s = _dot_qk(q, k) * sm_scale                  # [block_q, block_k]
             if causal:
                 q_ids = qj * block_q + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 0)
@@ -249,10 +275,10 @@ def _flash_bwd_dkv_kernel(
                     jnp.int32, (block_q, block_k), 1)
                 s = jnp.where(q_ids >= k_ids, s, NEG_INF)
             p = jnp.exp(s - lse)
-            dv_cur = dv_prev + p.T @ do
-            dp = do @ v.T
+            dv_cur = dv_prev + _dot_tq(p, do)
+            dp = _dot_qk(do, v)
             ds = p * (dp - delta) * sm_scale
-            dk_cur = dk_prev + ds.T @ q
+            dk_cur = dk_prev + _dot_tq(ds, q)
             return dk_cur, dv_cur
 
         dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, (dk, dv))
@@ -366,10 +392,10 @@ def _flash_fwd_xl_kernel(
 
     @pl.when(needed)
     def _update():
-        q = q_ref[0].astype(jnp.float32) * sm_scale
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        s = q @ k.T
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = _dot_qk(q, k) * sm_scale
         if causal:
             q_ids = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -382,7 +408,7 @@ def _flash_fwd_xl_kernel(
         alpha = jnp.exp(m_prev - m_cur)
         m_scr[:] = m_cur
         l_scr[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + p @ v
+        acc_scr[:] = acc_scr[:] * alpha + _dot_pv(p, v)
 
     @pl.when(ki == num_k - 1)
     def _emit():
@@ -456,13 +482,13 @@ def _flash_bwd_dq_xl_kernel(
 
     @pl.when(needed)
     def _update():
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
         delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q)][:, None]
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        s = (q @ k.T) * sm_scale
+        k = k_ref[0]
+        v = v_ref[0]
+        s = _dot_qk(q, k) * sm_scale
         if causal:
             q_ids = qi * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -470,9 +496,9 @@ def _flash_bwd_dq_xl_kernel(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
         p = jnp.exp(s - lse)
-        dp = do @ v.T
+        dp = _dot_qk(do, v)
         ds = p * (dp - delta) * sm_scale
-        acc_scr[:] = acc_scr[:] + ds @ k
+        acc_scr[:] = acc_scr[:] + _dot_pv(ds, k)
 
     @pl.when(ki == num_k - 1)
     def _emit():
@@ -502,15 +528,15 @@ def _flash_bwd_dkv_xl_kernel(
 
     @pl.when(needed)
     def _update():
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        k = k_ref[0]
+        v = v_ref[0]
         dk_acc, dv_acc = dk_scr[:], dv_scr[:]
         for r in range(rep):
-            q = q_ref[r].astype(jnp.float32)
-            do = do_ref[r].astype(jnp.float32)
+            q = q_ref[r]
+            do = do_ref[r]
             lse = lse_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
             delta = delta_ref[r, 0, pl.ds(qj * block_q, block_q)][:, None]
-            s = (q @ k.T) * sm_scale
+            s = _dot_qk(q, k) * sm_scale
             if causal:
                 q_ids = qj * block_q + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 0)
@@ -518,10 +544,10 @@ def _flash_bwd_dkv_xl_kernel(
                     jnp.int32, (block_q, block_k), 1)
                 s = jnp.where(q_ids >= k_ids, s, NEG_INF)
             p = jnp.exp(s - lse)
-            dv_acc = dv_acc + p.T @ do
-            dp = do @ v.T
+            dv_acc = dv_acc + _dot_tq(p, do)
+            dp = _dot_qk(do, v)
             ds = p * (dp - delta) * sm_scale
-            dk_acc = dk_acc + ds.T @ q
+            dk_acc = dk_acc + _dot_tq(ds, q)
         dk_scr[:] = dk_acc
         dv_scr[:] = dv_acc
 
