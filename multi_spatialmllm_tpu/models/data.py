@@ -56,15 +56,15 @@ def render_conversation(
     return turns
 
 
-def encode_sample(
+def encode_unpadded(
     sample: dict,
     tokenizer: SpatialTokenizer,
     model_cfg: MLLMConfig,
     image_loader: Callable[[str], np.ndarray],
     config: DataConfig | None = None,
 ):
-    """One JSONL record -> (input_ids, labels, tiles, n_tiles) or None if
-    it does not fit the static budget."""
+    """One JSONL record -> (input_ids [L], labels [L], tiles [n,H,W,3])
+    at the sample's TRUE length, or None if it exceeds the budgets."""
     config = config or DataConfig()
     tile_stacks = []
     tiles_per_image = []
@@ -95,18 +95,123 @@ def encode_sample(
     if len(ids) > config.max_seq_len:
         return None
 
-    pad = config.max_seq_len - len(ids)
-    input_ids = np.asarray(ids + [tokenizer.pad_id] * pad, dtype=np.int32)
-    label_arr = np.asarray(labels + [IGNORE_INDEX] * pad, dtype=np.int32)
+    input_ids = np.asarray(ids, dtype=np.int32)
+    label_arr = np.asarray(labels, dtype=np.int32)
     # IMG_CONTEXT positions carry no text loss
     label_arr[input_ids == tokenizer.img_context_id] = IGNORE_INDEX
+    return input_ids, label_arr, np.concatenate(tile_stacks, axis=0)
 
-    tile_tensor = np.concatenate(tile_stacks, axis=0)
+
+def encode_sample(
+    sample: dict,
+    tokenizer: SpatialTokenizer,
+    model_cfg: MLLMConfig,
+    image_loader: Callable[[str], np.ndarray],
+    config: DataConfig | None = None,
+):
+    """One JSONL record -> (input_ids, labels, tiles, n_tiles) padded to
+    the static budget, or None if it does not fit."""
+    config = config or DataConfig()
+    enc = encode_unpadded(sample, tokenizer, model_cfg, image_loader,
+                          config)
+    if enc is None:
+        return None
+    ids, labels, tile_tensor = enc
+    total_tiles = tile_tensor.shape[0]
+
+    pad = config.max_seq_len - len(ids)
+    input_ids = np.concatenate(
+        [ids, np.full(pad, tokenizer.pad_id, dtype=np.int32)])
+    label_arr = np.concatenate(
+        [labels, np.full(pad, IGNORE_INDEX, dtype=np.int32)])
     pad_tiles = np.zeros(
         (config.max_tiles - total_tiles,) + tile_tensor.shape[1:],
         dtype=tile_tensor.dtype)
     tiles_out = np.concatenate([tile_tensor, pad_tiles], axis=0)
     return input_ids, label_arr, tiles_out, total_tiles
+
+
+def pack_samples(encoded, config: DataConfig, pad_id: int):
+    """Greedy in-order packing of `encode_unpadded` outputs into
+    static-shape rows (SFT sequence packing: several conversations share
+    one row behind a block-diagonal attention mask, so short samples stop
+    paying the full max_seq_len of padding).
+
+    Yields row dicts with `input_ids`/`labels` `[T]`, `segment_ids` `[T]`
+    (1-based per sample; 0 marks padding), `positions` `[T]` (RoPE
+    positions restart at 0 for each segment), and `tiles`
+    `[max_tiles, H, W, 3]` (each segment's tiles concatenated in segment
+    order — IMG_CONTEXT splicing indexes vision tokens by cumulative
+    count, so tile order must match segment order).
+    """
+    T, max_tiles = config.max_seq_len, config.max_tiles
+    row: list = []
+    used_tok = used_tiles = 0
+
+    def emit(row):
+        ids = np.full(T, pad_id, dtype=np.int32)
+        labels = np.full(T, IGNORE_INDEX, dtype=np.int32)
+        seg = np.zeros(T, dtype=np.int32)
+        pos = np.zeros(T, dtype=np.int32)
+        tile_parts = []
+        at = 0
+        for s, (e_ids, e_labels, e_tiles) in enumerate(row, start=1):
+            n = len(e_ids)
+            ids[at:at + n] = e_ids
+            labels[at:at + n] = e_labels
+            seg[at:at + n] = s
+            pos[at:at + n] = np.arange(n)
+            at += n
+            tile_parts.append(e_tiles)
+        tiles = np.concatenate(tile_parts, axis=0)
+        pad_tiles = np.zeros((max_tiles - tiles.shape[0],) + tiles.shape[1:],
+                             dtype=tiles.dtype)
+        return {
+            "input_ids": ids, "labels": labels, "segment_ids": seg,
+            "positions": pos,
+            "tiles": np.concatenate([tiles, pad_tiles], axis=0),
+        }
+
+    for enc in encoded:
+        if enc is None:
+            continue
+        e_ids, e_labels, e_tiles = enc
+        if used_tok + len(e_ids) > T or used_tiles + e_tiles.shape[0] > \
+                max_tiles:
+            if row:
+                yield emit(row)
+            row, used_tok, used_tiles = [], 0, 0
+        row.append((e_ids, e_labels, e_tiles))
+        used_tok += len(e_ids)
+        used_tiles += e_tiles.shape[0]
+    if row:
+        yield emit(row)
+
+
+def packed_batch_iterator(
+    samples: Sequence[dict],
+    tokenizer: SpatialTokenizer,
+    model_cfg: MLLMConfig,
+    image_loader: Callable[[str], np.ndarray],
+    batch_size: int,
+    config: DataConfig | None = None,
+    drop_remainder: bool = True,
+) -> Iterator[dict]:
+    """`batch_iterator` with sequence packing: batches additionally carry
+    `segment_ids` and `positions` `[B, T]` — feed them to the model so
+    attention is block-diagonal and RoPE restarts per segment
+    (MultiFrameMLLM.__call__ / parallel.train's loss both accept them)."""
+    config = config or DataConfig()
+    encoded = (encode_unpadded(s, tokenizer, model_cfg, image_loader,
+                               config) for s in samples)
+    buf: list[dict] = []
+    for row in pack_samples(encoded, config, tokenizer.pad_id):
+        buf.append(row)
+        if len(buf) == batch_size:
+            yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
+            buf = []
+    if buf and not drop_remainder:
+        yield {k: np.stack([r[k] for r in buf]) for k in buf[0]}
 
 
 def batch_iterator(

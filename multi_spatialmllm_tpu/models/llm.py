@@ -73,7 +73,8 @@ class Attention(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x, positions, attn_valid=None, cache=None):
+    def __call__(self, x, positions, attn_valid=None, cache=None,
+                 segment_ids=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         b, t, _ = x.shape
@@ -140,14 +141,17 @@ class Attention(nn.Module):
             # GQA kv stay at num_kv_heads: the Pallas kernels map q heads
             # to their group row natively, and reference_attention's
             # in-call repeat is a broadcast XLA fuses (its VJP performs
-            # the group sum for dk/dv).
-            if cfg.use_flash_attention and attn_valid is None:
+            # the group sum for dk/dv). `segment_ids` (packed training,
+            # models/data.pack_samples) makes the mask block-diagonal.
+            if cfg.use_flash_attention and attn_valid is None \
+                    and segment_ids is None:
                 from ..ops.attention import trainable_flash_attention
 
                 out = trainable_flash_attention(q, k, v, True)
             else:
                 out = reference_attention(q, k, v, causal=True,
-                                          key_valid=attn_valid)
+                                          key_valid=attn_valid,
+                                          segment_ids=segment_ids)
         else:
             # decode: attend over the filled prefix only (per row when the
             # cache index is a [B] array). GQA stays grouped: q is viewed
@@ -197,10 +201,12 @@ class DecoderLayer(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x, positions, attn_valid=None, cache=None):
+    def __call__(self, x, positions, attn_valid=None, cache=None,
+                 segment_ids=None):
         attn_out, new_cache = Attention(self.cfg, name="attn")(
             RMSNorm(self.cfg.norm_eps, name="attn_norm")(x),
-            positions, attn_valid=attn_valid, cache=cache)
+            positions, attn_valid=attn_valid, cache=cache,
+            segment_ids=segment_ids)
         x = x + attn_out
         x = x + MLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x))
@@ -228,7 +234,7 @@ class DecoderLM(nn.Module):
         return self.embed_table(input_ids)
 
     def __call__(self, input_ids=None, input_embeds=None, positions=None,
-                 attn_valid=None, caches=None):
+                 attn_valid=None, caches=None, segment_ids=None):
         if input_embeds is None:
             input_embeds = self.embed_table(input_ids)
         b, t, _ = input_embeds.shape
@@ -240,7 +246,7 @@ class DecoderLM(nn.Module):
         for i, layer in enumerate(self.layers):
             layer_cache = None if caches is None else caches[i]
             x, nc = layer(x, positions, attn_valid=attn_valid,
-                          cache=layer_cache)
+                          cache=layer_cache, segment_ids=segment_ids)
             new_caches.append(nc)
         x = self.final_norm(x)
         logits = self.lm_head(x)

@@ -88,16 +88,22 @@ class MultiFrameMLLM(nn.Module):
             vision_embeds, slot_order[..., None], axis=1)
         return jnp.where(is_ctx[..., None], gathered, embeds)
 
-    def __call__(self, input_ids: jax.Array, tiles: jax.Array):
+    def __call__(self, input_ids: jax.Array, tiles: jax.Array,
+                 positions: jax.Array | None = None,
+                 segment_ids: jax.Array | None = None):
         """Training forward.
 
         Args:
           input_ids: `[B, T]` with `img_context_id` at vision-token slots.
           tiles: `[B, N_tiles, H, W, 3]` image tiles; B*N_tiles*tokens_per_
             tile must equal the per-batch count of img_context positions.
+          positions / segment_ids: `[B, T]` for packed-sequence training
+            (models/data.pack_samples): per-segment RoPE positions and a
+            block-diagonal attention mask.
         Returns logits `[B, T, vocab]`.
         """
-        return self.llm(input_embeds=self.spliced_embeds(input_ids, tiles))
+        return self.llm(input_embeds=self.spliced_embeds(input_ids, tiles),
+                        positions=positions, segment_ids=segment_ids)
 
     def prefill(self, input_ids: jax.Array, tiles: jax.Array, caches,
                 true_length=None):
@@ -134,8 +140,11 @@ class MultiFrameMLLM(nn.Module):
 
 def loss_fn(model: MultiFrameMLLM, params, batch):
     """Masked next-token loss over a batch dict with `input_ids`, `tiles`,
-    `labels` (already shifted, -100 = ignore)."""
-    logits = model.apply(params, batch["input_ids"], batch["tiles"])
+    `labels` (already shifted, -100 = ignore); packed batches additionally
+    carry `positions` + `segment_ids`."""
+    logits = model.apply(params, batch["input_ids"], batch["tiles"],
+                         positions=batch.get("positions"),
+                         segment_ids=batch.get("segment_ids"))
     return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
 
 

@@ -645,10 +645,13 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
             dv.reshape(b, kvh, s, d))
 
 
-def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
+def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None,
+                        segment_ids=None):
     """XLA reference (differentiable) with identical semantics.
 
     `key_valid`: optional `[B, T]` bool marking real (non-pad) keys.
+    `segment_ids`: optional `[B, T]` int; queries attend only to keys in
+    the SAME segment (block-diagonal mask for packed-sequence training).
     k/v may carry fewer (GQA) heads than q; they are repeated here (XLA
     fuses the broadcast; its VJP performs the group sum for dk/dv).
     """
@@ -666,6 +669,9 @@ def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None):
         s = jnp.where(mask, s, NEG_INF)
     if key_valid is not None:
         s = jnp.where(key_valid[:, None, None, :], s, NEG_INF)
+    if segment_ids is not None:
+        same = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        s = jnp.where(same, s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
 

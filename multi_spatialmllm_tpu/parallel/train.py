@@ -66,7 +66,9 @@ def make_train_step(model: MultiFrameMLLM,
     metrics); batch arrays must lead with the global batch dim."""
 
     def loss_of(params, batch):
-        logits = model.apply(params, batch["input_ids"], batch["tiles"])
+        logits = model.apply(params, batch["input_ids"], batch["tiles"],
+                             positions=batch.get("positions"),
+                             segment_ids=batch.get("segment_ids"))
         return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
 
     def step(params, opt_state, batch):
@@ -81,10 +83,9 @@ def make_train_step(model: MultiFrameMLLM,
 
     return jax.jit(
         step,
-        in_shardings=(None, None,
-                      jax.tree_util.tree_map(lambda _: batch_sharding,
-                                             {"input_ids": 0, "tiles": 0,
-                                              "labels": 0})),
+        # prefix pytree: every batch leaf (incl. packed-batch extras like
+        # positions/segment_ids) leads with the global batch dim
+        in_shardings=(None, None, batch_sharding),
         out_shardings=(None, None,
                        {"loss": metric_sharding,
                         "grad_norm": metric_sharding}),

@@ -1,0 +1,223 @@
+"""Packed-sequence SFT training: pack_samples layout, block-diagonal
+attention parity with per-sample forwards, loss equivalence, and the
+sharded train step on packed batches. (The reference delegates SFT to
+InternVL-2's stack — packing is this repo's TPU-native training-
+throughput feature; see models/data.pack_samples.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.models import mllm as M
+from multi_spatialmllm_tpu.models.data import (
+    DataConfig,
+    IGNORE_INDEX,
+    encode_unpadded,
+    pack_samples,
+    packed_batch_iterator,
+)
+from multi_spatialmllm_tpu.models.llm import cross_entropy_loss
+from multi_spatialmllm_tpu.models.preprocess import PreprocessConfig
+from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return SpatialTokenizer()
+
+
+def _f32_cfg(tok):
+    return M.MLLMConfig(
+        vit=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                        num_layers=1, num_heads=2),
+        llm=M.LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_layers=2, num_heads=4, num_kv_heads=2,
+                        ffn_size=64, dtype="float32"),
+        img_context_id=tok.img_context_id,
+    )
+
+
+def _samples():
+    return [
+        {"image": ["s/0.jpg"],
+         "conversations": [
+             {"from": "human", "value": "<image>\nHow far is the point?"},
+             {"from": "gpt", "value": "It is `1234` mm away."}]},
+        {"image": ["s/1.jpg"],
+         "conversations": [
+             {"from": "human", "value": "<image>\nWhich moved left?"},
+             {"from": "gpt", "value": "The camera moved left."}]},
+        {"image": ["s/2.jpg"],
+         "conversations": [
+             {"from": "human", "value": "<image>\nDepth?"},
+             {"from": "gpt", "value": "`77` millimeters."}]},
+    ]
+
+
+def _loader(path):
+    seed = int(path.split("/")[-1].split(".")[0])
+    return np.random.default_rng(seed).integers(
+        0, 255, (56, 56, 3), dtype=np.uint8)
+
+
+def _dc(max_seq_len=160, max_tiles=4):
+    return DataConfig(max_seq_len=max_seq_len, max_tiles=max_tiles,
+                      preprocess=PreprocessConfig(tile_size=56, max_tiles=1,
+                                                  resize_hw=None))
+
+
+class TestPackSamples:
+    def test_layout_budgets_and_split(self):
+        tile = np.zeros((1, 4, 4, 3), dtype=np.float32)
+        enc = [
+            (np.arange(1, 6, dtype=np.int32),
+             np.full(5, IGNORE_INDEX, np.int32), tile),
+            (np.arange(10, 14, dtype=np.int32),
+             np.arange(10, 14, dtype=np.int32), tile),
+            (np.arange(20, 27, dtype=np.int32),
+             np.full(7, IGNORE_INDEX, np.int32), tile),
+        ]
+        cfg = _dc(max_seq_len=10, max_tiles=4)
+        rows = list(pack_samples(iter(enc), cfg, pad_id=0))
+        # 5+4 fit one row; 7 starts a second
+        assert len(rows) == 2
+        r0 = rows[0]
+        np.testing.assert_array_equal(r0["segment_ids"],
+                                      [1] * 5 + [2] * 4 + [0])
+        np.testing.assert_array_equal(r0["positions"],
+                                      list(range(5)) + list(range(4)) + [0])
+        np.testing.assert_array_equal(r0["input_ids"][:9],
+                                      list(range(1, 6)) +
+                                      list(range(10, 14)))
+        assert r0["input_ids"][9] == 0
+        assert r0["labels"][9] == IGNORE_INDEX
+        assert r0["tiles"].shape == (4, 4, 4, 3)
+        r1 = rows[1]
+        np.testing.assert_array_equal(r1["segment_ids"],
+                                      [1] * 7 + [0] * 3)
+
+    def test_tile_budget_forces_split(self):
+        tile3 = np.zeros((3, 4, 4, 3), dtype=np.float32)
+        enc = [(np.arange(3, dtype=np.int32),
+                np.full(3, IGNORE_INDEX, np.int32), tile3)] * 2
+        rows = list(pack_samples(iter(enc), _dc(max_seq_len=32,
+                                                max_tiles=4), pad_id=0))
+        assert len(rows) == 2          # 3+3 tiles exceed the 4-tile budget
+
+
+class TestPackedForwardParity:
+    def test_packed_logits_match_per_sample(self, tok):
+        """Each segment's logits inside a packed row equal the same
+        sample's solo forward: the block-diagonal mask and per-segment
+        RoPE restart make packing invisible to the model."""
+        cfg = _f32_cfg(tok)
+        model = M.MultiFrameMLLM(cfg)
+        dc = _dc()
+        encs = [encode_unpadded(s, tok, cfg, _loader, dc)
+                for s in _samples()]
+        assert all(e is not None for e in encs)
+        rows = list(pack_samples(iter(encs), dc, tok.pad_id))
+        assert len(rows) == 1          # all three fit one row
+        row = rows[0]
+
+        params = model.init(jax.random.key(0),
+                            row["input_ids"][None],
+                            row["tiles"][None])
+        packed = model.apply(params, row["input_ids"][None],
+                             row["tiles"][None],
+                             positions=row["positions"][None],
+                             segment_ids=row["segment_ids"][None])
+
+        at = 0
+        for seg, (ids, labels, tiles) in enumerate(encs, start=1):
+            solo = model.apply(params, ids[None], tiles[None])
+            got = np.asarray(packed[0, at:at + len(ids)])
+            np.testing.assert_allclose(got, np.asarray(solo[0]),
+                                       atol=2e-4, rtol=2e-4)
+            at += len(ids)
+
+    def test_packed_loss_equals_stitched_per_sample_loss(self, tok):
+        cfg = _f32_cfg(tok)
+        model = M.MultiFrameMLLM(cfg)
+        dc = _dc()
+        encs = [encode_unpadded(s, tok, cfg, _loader, dc)
+                for s in _samples()]
+        row = next(pack_samples(iter(encs), dc, tok.pad_id))
+        params = model.init(jax.random.key(0), row["input_ids"][None],
+                            row["tiles"][None])
+        packed = model.apply(params, row["input_ids"][None],
+                             row["tiles"][None],
+                             positions=row["positions"][None],
+                             segment_ids=row["segment_ids"][None])
+        packed_loss = float(cross_entropy_loss(
+            packed[:, :-1], row["labels"][None, 1:]))
+
+        total_nll = 0.0
+        total_cnt = 0
+        for ids, labels, tiles in encs:
+            solo = model.apply(params, ids[None], tiles[None])
+            loss = cross_entropy_loss(solo[:, :-1], labels[None, 1:])
+            cnt = int((labels[1:] != IGNORE_INDEX).sum())
+            total_nll += float(loss) * cnt
+            total_cnt += cnt
+        assert total_cnt > 0
+        np.testing.assert_allclose(packed_loss, total_nll / total_cnt,
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestPackedIterator:
+    def test_batches_have_segment_arrays_and_actually_pack(self, tok):
+        cfg = _f32_cfg(tok)
+        dc = _dc(max_seq_len=256, max_tiles=8)
+        batches = list(packed_batch_iterator(
+            _samples() * 4, tok, cfg, _loader, batch_size=1, config=dc,
+            drop_remainder=False))
+        n_rows = sum(b["input_ids"].shape[0] for b in batches)
+        assert n_rows < 12             # 12 samples packed into fewer rows
+        b = batches[0]
+        assert set(b) == {"input_ids", "labels", "segment_ids",
+                          "positions", "tiles"}
+        assert b["segment_ids"].max() >= 2
+        # packing efficiency: real (non-pad) tokens dominate the rows
+        # (unpacked, these ~30-token samples would fill 256-token rows
+        # at ~12%)
+        fill = (b["segment_ids"] > 0).mean()
+        assert fill > 0.6
+
+    def test_sharded_train_step_accepts_packed_batch(self, tok):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices (run scripts/test.sh)")
+        from multi_spatialmllm_tpu.parallel.mesh import make_mesh
+        from multi_spatialmllm_tpu.parallel.train import (
+            TrainConfig,
+            init_train_state,
+            make_train_step,
+        )
+
+        cfg = M.tiny_config()
+        tok_ = tok
+        dc = DataConfig(max_seq_len=96, max_tiles=4,
+                        preprocess=PreprocessConfig(tile_size=56,
+                                                    max_tiles=1,
+                                                    resize_hw=None))
+        vocab = -(-tok_.vocab_size // 8) * 8  # model-axis divisible
+        cfg = M.MLLMConfig(vit=cfg.vit,
+                           llm=M.LLMConfig(vocab_size=vocab,
+                                           hidden_size=128, num_layers=2,
+                                           num_heads=4, num_kv_heads=2,
+                                           ffn_size=256),
+                           img_context_id=tok_.img_context_id)
+        batch = next(packed_batch_iterator(
+            _samples() * 8, tok_, cfg, _loader, batch_size=4, config=dc))
+        assert batch["input_ids"].shape[0] == 4
+        mesh = make_mesh(n_data=4, n_model=2)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(warmup_steps=1), batch, mesh)
+        step = make_train_step(model, tx, mesh)
+        losses = []
+        for _ in range(3):
+            params, opt_state, metrics = step(params, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
