@@ -143,11 +143,18 @@ class Attention(nn.Module):
             # in-call repeat is a broadcast XLA fuses (its VJP performs
             # the group sum for dk/dv). `segment_ids` (packed training,
             # models/data.pack_samples) makes the mask block-diagonal.
-            if cfg.use_flash_attention and attn_valid is None \
-                    and segment_ids is None:
-                from ..ops.attention import trainable_flash_attention
+            if cfg.use_flash_attention and attn_valid is None:
+                if segment_ids is None:
+                    from ..ops.attention import trainable_flash_attention
 
-                out = trainable_flash_attention(q, k, v, True)
+                    out = trainable_flash_attention(q, k, v, True)
+                else:
+                    from ..ops.attention import (
+                        trainable_flash_attention_packed,
+                    )
+
+                    out = trainable_flash_attention_packed(q, k, v,
+                                                           segment_ids)
             else:
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid,

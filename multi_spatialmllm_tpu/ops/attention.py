@@ -89,8 +89,9 @@ def _dot_tq(a, b):
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref,
-    *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
+    q_ref, k_ref, v_ref, seg_ref, o_ref, lse_ref,
+    *, block_q: int, block_k: int, seq_len: int, causal: bool,
+    sm_scale: float, segmented: bool,
 ):
     qi = pl.program_id(1)
     q = q_ref[0]                                          # [block_q, d]
@@ -105,6 +106,19 @@ def _flash_fwd_kernel(
         num_k_blocks = jnp.minimum(
             num_k_blocks, (qi * block_q + block_q + block_k - 1) // block_k
         )
+    k_start = 0
+    seg_q = None
+    if segmented:
+        # packed rows: segment ids are nondecreasing, so kv blocks whose
+        # last segment precedes this q block's first are fully masked —
+        # start the loop past them (block-diagonal complexity).
+        seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        # ids are nondecreasing: block max == last element, block min ==
+        # first (Mosaic cannot lower unaligned scalar loads, so use
+        # aligned full-row loads + reductions)
+        seg_ends = jnp.max(seg_ref[0, 0, :].reshape(
+            seq_len // block_k, block_k), axis=1)
+        k_start = jnp.sum(seg_ends < jnp.min(seg_q), dtype=jnp.int32)
 
     def body(ki, carry):
         m_prev, l_prev, acc_prev = carry
@@ -117,6 +131,9 @@ def _flash_fwd_kernel(
             k_ids = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        if segmented:
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(seg_q[:, None] == seg_k[None, :], s, NEG_INF)
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_cur)
         alpha = jnp.exp(m_prev - m_cur)
@@ -124,7 +141,7 @@ def _flash_fwd_kernel(
         acc_cur = acc_prev * alpha + _dot_pv(p, v)
         return m_cur, l_cur, acc_cur
 
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m, l, acc))
+    m, l, acc = jax.lax.fori_loop(k_start, num_k_blocks, body, (m, l, acc))
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     # lse rides in a [1, 1, S] full-row block (TPU tiling forbids
@@ -132,10 +149,22 @@ def _flash_fwd_kernel(
     lse_ref[0, 0, pl.ds(qi * block_q, block_q)] = (m + jnp.log(l_safe))[:, 0]
 
 
-def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
+def _seg_rows(segment_ids, b, s):
+    """`[B, S]` segment ids (or None) -> ([b, 1, s] int32, segmented flag).
+    A zero row keeps one code path; the `segmented` static flag removes
+    the mask logic entirely from the unsegmented kernels."""
+    if segment_ids is None:
+        return jnp.zeros((b, 1, s), dtype=jnp.int32), False
+    return segment_ids.astype(jnp.int32).reshape(b, 1, s), True
+
+
+def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k,
+               segment_ids=None):
     """Shared forward: returns (o, lse) with lse = logsumexp of the scaled
     scores per query row, shape [b*h, s], f32. k/v may carry fewer (GQA)
-    heads than q; their block specs map each q head to its group row."""
+    heads than q; their block specs map each q head to its group row.
+    `segment_ids` `[B, S]` (nondecreasing per row — packed layout) makes
+    the mask block-diagonal and skips fully-masked kv blocks."""
     b, h, s, d = q.shape
     kvh = k.shape[1]
     block_q = min(block_q, s)
@@ -146,10 +175,11 @@ def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
     kf = k.reshape(b * kvh, s, d)
     vf = v.reshape(b * kvh, s, d)
     row = _kv_row_map(h, kvh)
+    seg, segmented = _seg_rows(segment_ids, b, s)
 
     kernel = functools.partial(
         _flash_fwd_kernel, block_q=block_q, block_k=block_k, seq_len=s,
-        causal=causal, sm_scale=sm_scale)
+        causal=causal, sm_scale=sm_scale, segmented=segmented)
     o, lse = pl.pallas_call(
         kernel,
         grid=(b * h, s // block_q),
@@ -159,6 +189,8 @@ def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
             pl.BlockSpec((1, s, d), lambda bh, qi: (row(bh), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, s, d), lambda bh, qi: (row(bh), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi: (bh // h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -171,7 +203,7 @@ def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k):
             jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, 1, s), jnp.float32),
         ],
-    )(qf, kf, vf)
+    )(qf, kf, vf, seg)
     return o.reshape(b, h, s, d), lse
 
 
@@ -206,8 +238,9 @@ def flash_attention(
 # ---------------------------------------------------------------------------
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, block_q: int, block_k: int, seq_len: int, causal: bool, sm_scale: float,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seg_ref, dq_ref,
+    *, block_q: int, block_k: int, seq_len: int, causal: bool,
+    sm_scale: float, segmented: bool,
 ):
     qi = pl.program_id(1)
     q = q_ref[0]                                          # [block_q, d]
@@ -221,6 +254,16 @@ def _flash_bwd_dq_kernel(
         num_k_blocks = jnp.minimum(
             num_k_blocks, (qi * block_q + block_q + block_k - 1) // block_k
         )
+    k_start = 0
+    seg_q = None
+    if segmented:
+        seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        # ids are nondecreasing: block max == last element, block min ==
+        # first (Mosaic cannot lower unaligned scalar loads, so use
+        # aligned full-row loads + reductions)
+        seg_ends = jnp.max(seg_ref[0, 0, :].reshape(
+            seq_len // block_k, block_k), axis=1)
+        k_start = jnp.sum(seg_ends < jnp.min(seg_q), dtype=jnp.int32)
 
     def body(ki, acc_prev):
         k = k_ref[0, pl.ds(ki * block_k, block_k), :]
@@ -232,19 +275,23 @@ def _flash_bwd_dq_kernel(
             k_ids = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        if segmented:
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(seg_q[:, None] == seg_k[None, :], s, NEG_INF)
         p = jnp.exp(s - lse)                              # exact softmax block
         dp = _dot_qk(do, v)                               # [block_q, block_k]
         ds = p * (dp - delta) * sm_scale
         return acc_prev + _dot_pv(ds, k)
 
-    acc = jax.lax.fori_loop(0, num_k_blocks, body, acc)
+    acc = jax.lax.fori_loop(k_start, num_k_blocks, body, acc)
     dq_ref[0] = acc.astype(dq_ref.dtype)
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seg_ref, dk_ref,
+    dv_ref,
     *, block_q: int, block_k: int, seq_len: int, causal: bool,
-    sm_scale: float, rep: int,
+    sm_scale: float, rep: int, segmented: bool,
 ):
     """Grid over (batch*kv_heads, k blocks). q/do/lse/delta blocks carry
     the group's `rep` q-head rows; the static `for r` unroll sums the
@@ -259,6 +306,15 @@ def _flash_bwd_dkv_kernel(
     num_q_blocks = pl.cdiv(seq_len, block_q)
     # causal: query blocks strictly before this kv block see none of it.
     q_start = (ki * block_k) // block_q if causal else 0
+    q_end = num_q_blocks
+    seg_k = None
+    if segmented:
+        # q blocks whose first segment is past this kv block's last are
+        # fully masked (ids nondecreasing): stop the loop before them.
+        seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+        seg_starts = jnp.min(seg_ref[0, 0, :].reshape(
+            num_q_blocks, block_q), axis=1)
+        q_end = jnp.sum(seg_starts <= jnp.max(seg_k), dtype=jnp.int32)
 
     for r in range(rep):
         def body(qj, carry):
@@ -274,6 +330,9 @@ def _flash_bwd_dkv_kernel(
                 k_ids = ki * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 1)
                 s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+            if segmented:
+                seg_q = seg_ref[0, 0, pl.ds(qj * block_q, block_q)]
+                s = jnp.where(seg_q[:, None] == seg_k[None, :], s, NEG_INF)
             p = jnp.exp(s - lse)
             dv_cur = dv_prev + _dot_tq(p, do)
             dp = _dot_qk(do, v)
@@ -281,12 +340,13 @@ def _flash_bwd_dkv_kernel(
             dk_cur = dk_prev + _dot_tq(ds, q)
             return dk_cur, dv_cur
 
-        dk, dv = jax.lax.fori_loop(q_start, num_q_blocks, body, (dk, dv))
+        dk, dv = jax.lax.fori_loop(q_start, q_end, body, (dk, dv))
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
+def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k,
+               segment_ids=None):
     b, h, s, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
@@ -298,12 +358,13 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
     vf = v.reshape(b * kvh, s, d)
     dof = g.reshape(b * h, s, d)
     row = _kv_row_map(h, kvh)
+    seg, segmented = _seg_rows(segment_ids, b, s)
     # delta = rowsum(dO * O): one fused XLA elementwise pass, [b*h, s].
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1).reshape(b * h, 1, s)
 
     common = dict(block_q=block_q, block_k=block_k, seq_len=s,
-                  causal=causal, sm_scale=sm_scale)
+                  causal=causal, sm_scale=sm_scale, segmented=segmented)
     dq_kernel = functools.partial(_flash_bwd_dq_kernel, **common)
     dq = pl.pallas_call(
         dq_kernel,
@@ -321,11 +382,13 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, qi: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
-    )(qf, kf, vf, dof, lse, delta)
+    )(qf, kf, vf, dof, lse, delta, seg)
 
     # dk/dv: one grid row per KV head; q/do/lse/delta blocks carry the
     # whole group (first-dim block size `rep` at block index bkv — the
@@ -347,6 +410,8 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rep, 1, s), lambda bkv, ki: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bkv, ki: (bkv // kvh, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda bkv, ki: (bkv, ki, 0),
@@ -358,7 +423,7 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
             jax.ShapeDtypeStruct((b * kvh, s, d), k.dtype),
             jax.ShapeDtypeStruct((b * kvh, s, d), v.dtype),
         ],
-    )(qf, kf, vf, dof, lse, delta)
+    )(qf, kf, vf, dof, lse, delta, seg)
 
     return (dq.reshape(b, h, s, d), dk.reshape(b, kvh, s, d),
             dv.reshape(b, kvh, s, d))
@@ -374,9 +439,9 @@ def _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 def _flash_fwd_xl_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    q_ref, k_ref, v_ref, seg_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, block_q: int, block_k: int, num_k: int, causal: bool,
-    sm_scale: float,
+    sm_scale: float, segmented: bool,
 ):
     qi, ki = pl.program_id(1), pl.program_id(2)
 
@@ -389,6 +454,15 @@ def _flash_fwd_xl_kernel(
     needed = True
     if causal:
         needed = ki * block_k <= qi * block_q + block_q - 1
+    if segmented:
+        # fully-masked block (ids nondecreasing): skip its compute
+        seg_q_blk = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        seg_k_blk = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+        seg_q_first, seg_q_last = jnp.min(seg_q_blk), jnp.max(seg_q_blk)
+        seg_k_first, seg_k_last = jnp.min(seg_k_blk), jnp.max(seg_k_blk)
+        needed = jnp.logical_and(
+            needed, jnp.logical_and(seg_q_last >= seg_k_first,
+                                    seg_q_first <= seg_k_last))
 
     @pl.when(needed)
     def _update():
@@ -402,6 +476,10 @@ def _flash_fwd_xl_kernel(
             k_ids = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        if segmented:
+            seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(seg_q[:, None] == seg_k[None, :], s, NEG_INF)
         m_prev, l_prev = m_scr[:], l_scr[:]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_cur)
@@ -418,7 +496,8 @@ def _flash_fwd_xl_kernel(
             (m_scr[:] + jnp.log(l_safe))[:, 0]
 
 
-def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
+def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k,
+                  segment_ids=None):
     b, h, s, d = q.shape
     kvh = k.shape[1]
     block_q = min(block_q, s)
@@ -430,9 +509,10 @@ def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
     kf = k.reshape(b * kvh, s, d)
     vf = v.reshape(b * kvh, s, d)
     row = _kv_row_map(h, kvh)
+    seg, segmented = _seg_rows(segment_ids, b, s)
     kernel = functools.partial(
         _flash_fwd_xl_kernel, block_q=block_q, block_k=block_k,
-        num_k=num_k, causal=causal, sm_scale=sm_scale)
+        num_k=num_k, causal=causal, sm_scale=sm_scale, segmented=segmented)
     o, lse = pl.pallas_call(
         kernel,
         grid=(b * h, s // block_q, num_k),
@@ -444,6 +524,8 @@ def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d),
                          lambda bh, qi, ki: (row(bh), ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi, ki: (bh // h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -461,14 +543,15 @@ def _flash_fwd_xl(q, k, v, causal, sm_scale, block_q, block_k):
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
-    )(qf, kf, vf)
+    )(qf, kf, vf, seg)
     return o.reshape(b, h, s, d), lse
 
 
 def _flash_bwd_dq_xl_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seg_ref, dq_ref,
+    acc_scr,
     *, block_q: int, block_k: int, num_k: int, causal: bool,
-    sm_scale: float,
+    sm_scale: float, segmented: bool,
 ):
     qi, ki = pl.program_id(1), pl.program_id(2)
 
@@ -479,6 +562,14 @@ def _flash_bwd_dq_xl_kernel(
     needed = True
     if causal:
         needed = ki * block_k <= qi * block_q + block_q - 1
+    if segmented:
+        seg_q_blk = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+        seg_k_blk = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+        seg_q_first, seg_q_last = jnp.min(seg_q_blk), jnp.max(seg_q_blk)
+        seg_k_first, seg_k_last = jnp.min(seg_k_blk), jnp.max(seg_k_blk)
+        needed = jnp.logical_and(
+            needed, jnp.logical_and(seg_q_last >= seg_k_first,
+                                    seg_q_first <= seg_k_last))
 
     @pl.when(needed)
     def _update():
@@ -495,6 +586,10 @@ def _flash_bwd_dq_xl_kernel(
             k_ids = ki * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1)
             s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+        if segmented:
+            seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            s = jnp.where(seg_q[:, None] == seg_k[None, :], s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = _dot_qk(do, v)
         ds = p * (dp - delta) * sm_scale
@@ -506,10 +601,10 @@ def _flash_bwd_dq_xl_kernel(
 
 
 def _flash_bwd_dkv_xl_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seg_ref, dk_ref,
+    dv_ref, dk_scr, dv_scr,
     *, block_q: int, block_k: int, num_q: int, causal: bool,
-    sm_scale: float, rep: int,
+    sm_scale: float, rep: int, segmented: bool,
 ):
     """Grid over (batch*kv_heads, k blocks, q blocks); the streamed q/do
     blocks carry the group's `rep` q-head rows and the static `for r`
@@ -525,11 +620,23 @@ def _flash_bwd_dkv_xl_kernel(
     if causal:
         # query blocks strictly before this kv block see none of it
         needed = qj * block_q + block_q - 1 >= ki * block_k
+    if segmented:
+        seg_q_blk = seg_ref[0, 0, pl.ds(qj * block_q, block_q)]
+        seg_k_blk = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+        seg_q_first, seg_q_last = jnp.min(seg_q_blk), jnp.max(seg_q_blk)
+        seg_k_first, seg_k_last = jnp.min(seg_k_blk), jnp.max(seg_k_blk)
+        needed = jnp.logical_and(
+            needed, jnp.logical_and(seg_q_last >= seg_k_first,
+                                    seg_q_first <= seg_k_last))
 
     @pl.when(needed)
     def _update():
         k = k_ref[0]
         v = v_ref[0]
+        if segmented:
+            seg_q = seg_ref[0, 0, pl.ds(qj * block_q, block_q)]
+            seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
+            seg_mask = seg_q[:, None] == seg_k[None, :]
         dk_acc, dv_acc = dk_scr[:], dv_scr[:]
         for r in range(rep):
             q = q_ref[r]
@@ -543,6 +650,8 @@ def _flash_bwd_dkv_xl_kernel(
                 k_ids = ki * block_k + jax.lax.broadcasted_iota(
                     jnp.int32, (block_q, block_k), 1)
                 s = jnp.where(q_ids >= k_ids, s, NEG_INF)
+            if segmented:
+                s = jnp.where(seg_mask, s, NEG_INF)
             p = jnp.exp(s - lse)
             dv_acc = dv_acc + _dot_tq(p, do)
             dp = _dot_qk(do, v)
@@ -557,7 +666,8 @@ def _flash_bwd_dkv_xl_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
+def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k,
+                  segment_ids=None):
     b, h, s, d = q.shape
     kvh = k.shape[1]
     rep = h // kvh
@@ -570,12 +680,13 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
     vf = v.reshape(b * kvh, s, d)
     dof = g.reshape(b * h, s, d)
     row = _kv_row_map(h, kvh)
+    seg, segmented = _seg_rows(segment_ids, b, s)
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1).reshape(b * h, 1, s)
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_xl_kernel, block_q=block_q, block_k=block_k,
-        num_k=num_k, causal=causal, sm_scale=sm_scale)
+        num_k=num_k, causal=causal, sm_scale=sm_scale, segmented=segmented)
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b * h, num_q, num_k),
@@ -594,20 +705,23 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s), lambda bh, qi, ki: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bh, qi, ki: (bh // h, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda bh, qi, ki: (bh, qi, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-    )(qf, kf, vf, dof, lse, delta)
+    )(qf, kf, vf, dof, lse, delta, seg)
 
     # dk/dv: one grid row per KV head; streamed q/do blocks carry the
     # group (first-dim block size `rep` at block index bkv == element
     # offset rep*bkv, the group's first q-head row).
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_xl_kernel, block_q=block_q, block_k=block_k,
-        num_q=num_q, causal=causal, sm_scale=sm_scale, rep=rep)
+        num_q=num_q, causal=causal, sm_scale=sm_scale, rep=rep,
+        segmented=segmented)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b * kvh, num_k, num_q),
@@ -626,6 +740,8 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rep, 1, s), lambda bkv, ki, qj: (bkv, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bkv, ki, qj: (bkv // kvh, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda bkv, ki, qj: (bkv, ki, 0),
@@ -639,7 +755,7 @@ def _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, block_q, block_k):
         ],
         scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
                         pltpu.VMEM((block_k, d), jnp.float32)],
-    )(qf, kf, vf, dof, lse, delta)
+    )(qf, kf, vf, dof, lse, delta, seg)
 
     return (dq.reshape(b, h, s, d), dk.reshape(b, kvh, s, d),
             dv.reshape(b, kvh, s, d))
@@ -757,3 +873,64 @@ def _tfa_bwd(causal, residuals, g):
 
 
 trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)
+
+
+@jax.custom_vjp
+def trainable_flash_attention_packed(q, k, v, segment_ids):
+    """Causal + block-diagonal flash attention for PACKED rows
+    (models/data.pack_samples): queries attend only to keys in the same
+    segment. Segment ids must be nondecreasing per row — the kernels use
+    that to skip fully-masked kv blocks (block-diagonal complexity, not
+    S^2/2). GQA-native like trainable_flash_attention; falls back to the
+    XLA reference off-TPU or for non-kernel shapes."""
+    if _kernel_ok(q, k):
+        sm_scale = q.shape[-1] ** -0.5
+        if _resident_ok(q, k):
+            o, _ = _flash_fwd(q, k, v, True, sm_scale, 128, 128,
+                              segment_ids=segment_ids)
+        else:
+            bq = _xl_block(q.shape[2])
+            o, _ = _flash_fwd_xl(q, k, v, True, sm_scale, bq, bq,
+                                 segment_ids=segment_ids)
+        return o
+    return reference_attention(q, k, v, causal=True,
+                               segment_ids=segment_ids)
+
+
+def _tfap_fwd(q, k, v, segment_ids):
+    if not _kernel_ok(q, k):
+        out, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(
+                q_, k_, v_, causal=True, segment_ids=segment_ids), q, k, v)
+        return out, (vjp, None, segment_ids)
+    sm_scale = q.shape[-1] ** -0.5
+    if _resident_ok(q, k):
+        o, lse = _flash_fwd(q, k, v, True, sm_scale, 128, 128,
+                            segment_ids=segment_ids)
+    else:
+        bq = _xl_block(q.shape[2])
+        o, lse = _flash_fwd_xl(q, k, v, True, sm_scale, bq, bq,
+                               segment_ids=segment_ids)
+    return o, (None, (q, k, v, o, lse), segment_ids)
+
+
+def _tfap_bwd(residuals, g):
+    import numpy as np
+
+    vjp, saved, segment_ids = residuals
+    dseg = np.zeros(segment_ids.shape, dtype=jax.dtypes.float0)
+    if vjp is not None:
+        return (*vjp(g), dseg)
+    q, k, v, o, lse = saved
+    sm_scale = q.shape[-1] ** -0.5
+    if _resident_ok(q, k):
+        dq, dk, dv = _flash_bwd(q, k, v, o, lse, g, True, sm_scale,
+                                128, 128, segment_ids=segment_ids)
+    else:
+        bq = _xl_block(q.shape[2])
+        dq, dk, dv = _flash_bwd_xl(q, k, v, o, lse, g, True, sm_scale,
+                                   bq, bq, segment_ids=segment_ids)
+    return dq, dk, dv, dseg
+
+
+trainable_flash_attention_packed.defvjp(_tfap_fwd, _tfap_bwd)

@@ -221,3 +221,110 @@ class TestPackedIterator:
             losses.append(float(metrics["loss"]))
         assert all(np.isfinite(l) for l in losses)
         assert losses[-1] < losses[0]
+
+
+class TestSegmentedFlashKernels:
+    """The Pallas kernels with segment_ids (block-diagonal + causal,
+    fully-masked-block skipping) vs the XLA segmented reference —
+    interpret mode on CPU; the same kernels run compiled on TPU."""
+
+    def _data(self, s, kvh, key0=0):
+        q = jax.random.normal(jax.random.key(key0), (1, 2, s, 64),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.key(key0 + 1), (1, kvh, s, 64),
+                              dtype=jnp.float32)
+        v = jax.random.normal(jax.random.key(key0 + 2), (1, kvh, s, 64),
+                              dtype=jnp.float32)
+        g = jax.random.normal(jax.random.key(key0 + 3), (1, 2, s, 64),
+                              dtype=jnp.float32)
+        return q, k, v, g
+
+    @pytest.mark.parametrize("kvh", [2, 1])
+    def test_resident_kernels_match_reference(self, kvh):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops import attention as A
+        from multi_spatialmllm_tpu.ops.attention import reference_attention
+
+        s = 256
+        q, k, v, g = self._data(s, kvh)
+        # segments cross the 128-wide block boundary on purpose
+        seg = np.concatenate([np.full(100, 1), np.full(60, 2),
+                              np.full(96, 3)]).astype(np.int32)[None]
+        sm = 64 ** -0.5
+        with pltpu.force_tpu_interpret_mode():
+            o, lse = A._flash_fwd(q, k, v, True, sm, 128, 128,
+                                  segment_ids=jnp.asarray(seg))
+            dq, dk, dv = A._flash_bwd(q, k, v, o, lse, g, True, sm,
+                                      128, 128,
+                                      segment_ids=jnp.asarray(seg))
+        ref, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(
+                q_, k_, v_, causal=True, segment_ids=jnp.asarray(seg)),
+            q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
+                                   atol=2e-4)
+
+    @pytest.mark.parametrize("kvh", [2, 1])
+    def test_xl_kernels_match_reference(self, kvh):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops import attention as A
+        from multi_spatialmllm_tpu.ops.attention import reference_attention
+
+        s = 512
+        q, k, v, g = self._data(s, kvh, key0=10)
+        seg = np.concatenate([np.full(200, 1), np.full(112, 2),
+                              np.full(200, 3)]).astype(np.int32)[None]
+        sm = 64 ** -0.5
+        with pltpu.force_tpu_interpret_mode():
+            o, lse = A._flash_fwd_xl(q, k, v, True, sm, 128, 128,
+                                     segment_ids=jnp.asarray(seg))
+            dq, dk, dv = A._flash_bwd_xl(q, k, v, o, lse, g, True, sm,
+                                         128, 128,
+                                         segment_ids=jnp.asarray(seg))
+        ref, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(
+                q_, k_, v_, causal=True, segment_ids=jnp.asarray(seg)),
+            q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
+                                   atol=2e-4)
+
+    def test_packed_wrapper_grads_off_tpu_fallback(self):
+        """Off-TPU the packed wrapper routes to the XLA reference with a
+        float0 cotangent for segment_ids (int input)."""
+        from multi_spatialmllm_tpu.ops.attention import (
+            reference_attention,
+            trainable_flash_attention_packed,
+        )
+
+        q, k, v, g = self._data(256, 1, key0=20)
+        seg = jnp.asarray(np.repeat([1, 2], 128)[None].astype(np.int32))
+
+        def loss(q_, k_, v_):
+            return jnp.sum(trainable_flash_attention_packed(
+                q_, k_, v_, seg))
+
+        def ref_loss(q_, k_, v_):
+            return jnp.sum(reference_attention(q_, k_, v_, causal=True,
+                                               segment_ids=seg))
+
+        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
