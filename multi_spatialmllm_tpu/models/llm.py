@@ -121,6 +121,7 @@ class Attention(nn.Module):
             # decode: append at cache["index"] — a scalar (all rows share a
             # position) or a [B] array (batched serving with per-row
             # prompt lengths; each row writes at its own slot).
+            k_new, v_new = k, v            # fresh prompt kv (prefill path)
             idx = jnp.asarray(cache["index"], dtype=jnp.int32)
             zero = jnp.zeros((), dtype=jnp.int32)
             if idx.ndim == 0:
@@ -159,6 +160,20 @@ class Attention(nn.Module):
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid,
                                           segment_ids=segment_ids)
+        elif t > 1:
+            # prompt prefill (cache index starts at 0; both prefill entry
+            # points guarantee it): attend causally within the fresh
+            # prompt kv instead of the masked full-cache einsum — flash
+            # on TPU, and even the XLA fallback works over t keys rather
+            # than max_len. Right padding + causal means logits at real
+            # positions are unaffected by pad rows, whose logits the
+            # caller discards (cache index rewinds to true_length).
+            if cfg.use_flash_attention:
+                from ..ops.attention import trainable_flash_attention
+
+                out = trainable_flash_attention(q, k_new, v_new, True)
+            else:
+                out = reference_attention(q, k_new, v_new, causal=True)
         else:
             # decode: attend over the filled prefix only (per row when the
             # cache index is a [B] array). GQA stays grouped: q is viewed
