@@ -105,6 +105,23 @@ class Attention(nn.Module):
             idx = jnp.asarray(cache["index"], dtype=jnp.int32)   # [B]
             pt = cache["page_table"]                             # [B, PPS]
             ps = cache["k_pages"].shape[2]
+            from ..ops.paged_attention import (
+                paged_decode_attention, paged_kernel_ok,
+            )
+
+            if paged_kernel_ok(q, cache["k_pages"]):
+                # Pallas kernel: the new kv row is landed by the kernel
+                # itself (pools aliased in place — an XLA-side scatter
+                # makes XLA relayout-copy the full pools around the
+                # kernel call every step) and the page copies stream only
+                # the slot's live pages — no materialized window gather.
+                out, kp, vp = paged_decode_attention(
+                    q, cache["k_pages"], cache["v_pages"], pt, idx,
+                    k_new=k[:, :, 0, :], v_new=v[:, :, 0, :])
+                new_cache = {"k_pages": kp, "v_pages": vp,
+                             "page_table": pt, "index": idx + 1}
+                out = out.transpose(0, 2, 1, 3)
+                return wo(out), new_cache
             page = jnp.take_along_axis(pt, (idx // ps)[:, None],
                                        axis=1)[:, 0]             # [B]
             off = idx % ps

@@ -78,6 +78,128 @@ def _expected(model, params, requests, eos, max_new):
     return want
 
 
+class TestPagedDecodeKernel:
+    """Pallas paged-attention decode kernel vs the XLA gather path
+    (interpret mode on CPU; the same kernel runs compiled on TPU —
+    _paged_drive.py)."""
+
+    @staticmethod
+    def _window_reference(q, kp, vp, pt, idx):
+        """The models/llm.py gather path, verbatim semantics."""
+        b, h, _, hd = q.shape
+        kvh, ps = kp.shape[1], kp.shape[2]
+        rep = h // kvh
+        kw = kp[pt]                           # [B, PPS, KVH, ps, hd]
+        vw = vp[pt]
+        win = kw.shape[1] * kw.shape[3]
+        k = kw.transpose(0, 2, 1, 3, 4).reshape(b, kvh, win, hd)
+        v = vw.transpose(0, 2, 1, 3, 4).reshape(b, kvh, win, hd)
+        qg = q.reshape(b, kvh, rep, 1, hd)
+        s = jnp.einsum("bgrqd,bgkd->bgrqk", qg, k).astype(jnp.float32)
+        s = s * (hd ** -0.5)
+        valid = jnp.arange(win)[None, None, None, None, :] <= \
+            idx[:, None, None, None, None]
+        s = jnp.where(valid, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        return jnp.einsum("bgrqk,bgkd->bgrqd", p, v).reshape(b, h, 1, hd)
+
+    @pytest.mark.parametrize("kvh,h", [(2, 4), (3, 3)])
+    def test_matches_window_reference(self, kvh, h):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            paged_decode_attention,
+        )
+
+        b, ps, pps, pool, hd = 3, 16, 4, 12, 64
+        keys = jax.random.split(jax.random.key(0), 3)
+        q = jax.random.normal(keys[0], (b, h, 1, hd), dtype=jnp.float32)
+        kp = jax.random.normal(keys[1], (pool, kvh, ps, hd),
+                               dtype=jnp.float32)
+        vp = jax.random.normal(keys[2], (pool, kvh, ps, hd),
+                               dtype=jnp.float32)
+        # distinct pages per slot, unallocated tails at the sink; rows
+        # exercise mid-page, page-boundary, and single-page positions
+        pt = jnp.asarray([[1, 4, 7, 0],
+                          [2, 5, 0, 0],
+                          [3, 0, 0, 0]], dtype=jnp.int32)
+        idx = jnp.asarray([ps * 2 + 5, ps * 2 - 1, 3], dtype=jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out = paged_decode_attention(q, kp, vp, pt, idx)
+        want = self._window_reference(q, kp, vp, pt, idx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_fused_write_matches_scatter_then_attend(self):
+        """k_new/v_new: the kernel lands the new kv rows in the pools
+        itself (aliased) — must equal an XLA scatter followed by the
+        window reference, and the returned pools must equal the
+        scattered pools exactly."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            paged_decode_attention,
+        )
+
+        b, h, kvh, ps, pool, hd = 3, 4, 2, 16, 12, 64
+        keys = jax.random.split(jax.random.key(2), 5)
+        q = jax.random.normal(keys[0], (b, h, 1, hd), dtype=jnp.float32)
+        kp = jax.random.normal(keys[1], (pool, kvh, ps, hd),
+                               dtype=jnp.float32)
+        vp = jax.random.normal(keys[2], (pool, kvh, ps, hd),
+                               dtype=jnp.float32)
+        kn = jax.random.normal(keys[3], (b, kvh, hd), dtype=jnp.float32)
+        vn = jax.random.normal(keys[4], (b, kvh, hd), dtype=jnp.float32)
+        pt = jnp.asarray([[1, 4, 7, 0],
+                          [2, 5, 0, 0],
+                          [3, 0, 0, 0]], dtype=jnp.int32)
+        # positions to write: mid-page, first row of a fresh page, page 0
+        idx = jnp.asarray([ps * 2 + 5, ps * 2, 3], dtype=jnp.int32)
+        page = jnp.take_along_axis(pt, (idx // ps)[:, None], axis=1)[:, 0]
+        off = idx % ps
+        kp_ref = kp.at[page, :, off, :].set(kn)
+        vp_ref = vp.at[page, :, off, :].set(vn)
+        want = self._window_reference(q, kp_ref, vp_ref, pt, idx)
+        with pltpu.force_tpu_interpret_mode():
+            out, kp2, vp2 = paged_decode_attention(
+                q, kp, vp, pt, idx, k_new=kn, v_new=vn)
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp_ref))
+        np.testing.assert_array_equal(np.asarray(vp2), np.asarray(vp_ref))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_garbage_beyond_index_is_ignored(self):
+        """Pages allocated ahead of the decode horizon hold garbage; the
+        kernel's per-position mask must not admit it (and the sink page
+        contents must never matter)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            paged_decode_attention,
+        )
+
+        b, h, kvh, ps, pool, hd = 1, 2, 1, 8, 6, 32
+        keys = jax.random.split(jax.random.key(1), 3)
+        q = jax.random.normal(keys[0], (b, h, 1, hd), dtype=jnp.float32)
+        kp = jax.random.normal(keys[1], (pool, kvh, ps, hd),
+                               dtype=jnp.float32)
+        vp = jax.random.normal(keys[2], (pool, kvh, ps, hd),
+                               dtype=jnp.float32)
+        pt = jnp.asarray([[1, 2, 3]], dtype=jnp.int32)
+        idx = jnp.asarray([ps + 2], dtype=jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out = paged_decode_attention(q, kp, vp, pt, idx)
+        # poison everything the mask must hide: the trailing page, the
+        # sink page, and the rows of page 2 past the index
+        poison = kp.at[3].set(1e4).at[0].set(-1e4)
+        poison = poison.at[2, :, 3:].set(1e4)
+        vpois = vp.at[3].set(1e4).at[0].set(-1e4).at[2, :, 3:].set(1e4)
+        with pltpu.force_tpu_interpret_mode():
+            out2 = paged_decode_attention(q, poison, vpois, pt, idx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   atol=1e-6)
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
