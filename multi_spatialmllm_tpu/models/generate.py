@@ -1,4 +1,4 @@
-"""Greedy decoding for the multi-frame MLLM (KV-cache based).
+"""Greedy and sampled decoding for the multi-frame MLLM (KV-cache based).
 
 Prefill runs once over the (optionally padded) prompt with pad keys masked
 out of attention; the whole decode loop then runs INSIDE one jitted
@@ -166,3 +166,140 @@ def _generate(model, params, input_ids, tiles, lens, max_new_tokens,
     run = _decode_fn(model, b, int(max_new_tokens),
                      None if eos_id is None else int(eos_id))
     return run(params, next_token, caches, lens)
+
+
+# ---------------------------------------------------------------------------
+# Sampling (temperature / top-k / top-p) — same one-dispatch while_loop
+# decoder as greedy, with a PRNG key threaded through the carry.
+# ---------------------------------------------------------------------------
+
+
+def _mask_logits(logits, temperature, top_k, top_p):
+    """`[B, V]` f32 logits -> masked/scaled logits to sample from.
+
+    Order matches the common serving stacks (and HF defaults):
+    temperature scaling, then top-k truncation, then top-p (nucleus)
+    truncation on the renormalized distribution. `top_k`/`top_p` are
+    static (None disables); `temperature` is traced (no recompiles per
+    value)."""
+    logits = logits.astype(jnp.float32)
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs  # exclusive cumsum
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True) - 1
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
+
+
+def _draw(key, logits, temperature, top_k, top_p):
+    """Sample `[B]` token ids from `[B, V]` logits; `temperature == 0`
+    is EXACT argmax (greedy), not a limit of the scaled distribution."""
+    masked = _mask_logits(logits, temperature, top_k, top_p)
+    sampled = jax.random.categorical(key, masked, axis=-1)
+    greedy = jnp.argmax(masked, axis=-1)
+    return jnp.where(temperature > 0, sampled, greedy)
+
+
+@functools.lru_cache(maxsize=32)
+def _sample_decode_fn(model: MultiFrameMLLM, b: int, max_new_tokens: int,
+                      eos_id: int | None, top_k: int | None,
+                      top_p: float | None):
+    """Compiled sampling decode loop (see _decode_fn for the early-exit
+    semantics, which are identical)."""
+    fill = eos_id if eos_id is not None else 0
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(params, first_token, caches, positions, key, temperature):
+        out0 = jnp.full((b, max_new_tokens), fill, dtype=first_token.dtype)
+        out0 = out0.at[:, 0].set(first_token[:, 0])
+
+        def cond(carry):
+            i, out, caches, positions, key = carry
+            more = i < max_new_tokens
+            if eos_id is None:
+                return more
+            emitted = jnp.arange(max_new_tokens) < i
+            ever_eos = jnp.any((out == eos_id) & emitted[None, :], axis=1)
+            return more & ~jnp.all(ever_eos)
+
+        def body(carry):
+            i, out, caches, positions, key = carry
+            last = jnp.take_along_axis(
+                out, jnp.broadcast_to((i - 1)[None, None], (b, 1)), axis=1)
+            caches = [{"k": c["k"], "v": c["v"], "index": positions}
+                      for c in caches]
+            logits, caches = model.apply(
+                params, last, positions[:, None], caches,
+                method=lambda m, tok, pos, cc:
+                    m.llm(input_embeds=m.llm.embed(tok), positions=pos,
+                          caches=cc))
+            key, sub = jax.random.split(key)
+            token = _draw(sub, logits[:, -1], temperature, top_k,
+                          top_p)[:, None]
+            token = token.astype(out.dtype)
+            out = jax.lax.dynamic_update_slice(
+                out, token, (jnp.zeros((), jnp.int32), i))
+            return i + 1, out, caches, positions + 1, key
+
+        i0 = jnp.asarray(1, jnp.int32)
+        _, out, _, _, _ = jax.lax.while_loop(
+            cond, body, (i0, out0, caches, positions, key))
+        return out
+
+    return run
+
+
+def sample_generate(
+    model: MultiFrameMLLM,
+    params,
+    input_ids: jax.Array,
+    tiles: jax.Array,
+    key: jax.Array,
+    max_new_tokens: int = 32,
+    eos_id: int | None = None,
+    prompt_lens=None,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
+):
+    """Sampled decoding: temperature scaling + optional top-k / top-p
+    (nucleus) truncation, drawn with `key` (reproducible for a fixed
+    key). `temperature=0` takes an exact argmax path and reproduces
+    `greedy_generate` bit for bit; the first token is drawn from the
+    prefill logits with the same rule as every later one.
+
+    `prompt_lens`: optional `[B]` per-row real lengths of a right-padded
+    prompt (same contract as `greedy_generate_batched`); defaults to the
+    full width for every row.
+
+    The reference has no generation stack at all (training/eval delegate
+    to InternVL-2, /root/reference/README.md:194-200); sampling is
+    beyond-reference serving surface. MultiSPA evaluation itself stays
+    greedy (models/runner.py) for answer parity.
+    """
+    b, t = input_ids.shape
+    if prompt_lens is None:
+        lens = jnp.full((b,), t, dtype=jnp.int32)
+    else:
+        lens = jnp.asarray(prompt_lens, dtype=jnp.int32)
+        assert lens.shape == (b,), (lens.shape, b)
+    caches = init_cache(model.cfg.llm, b, t + max_new_tokens)
+    logits, caches = _prefill_fn(model)(params, input_ids, tiles, caches,
+                                        lens)
+    first_logits = jnp.take_along_axis(
+        logits, (lens - 1)[:, None, None], axis=1)[:, 0]       # [B, V]
+    key, sub = jax.random.split(jnp.asarray(key))
+    temperature = jnp.asarray(temperature, jnp.float32)
+    first = _draw(sub, first_logits, temperature, top_k, top_p)[:, None]
+    first = first.astype(input_ids.dtype)
+    run = _sample_decode_fn(model, b, int(max_new_tokens),
+                            None if eos_id is None else int(eos_id),
+                            None if top_k is None else int(top_k),
+                            None if top_p is None else float(top_p))
+    return run(params, first, caches, lens, key, temperature)

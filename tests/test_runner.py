@@ -27,6 +27,116 @@ class TestPaddedPrefill:
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(padded))
 
 
+class TestSampling:
+    """sample_generate: temperature / top-k / top-p truncated sampling
+    (beyond-reference serving surface; greedy stays the eval path)."""
+
+    @staticmethod
+    def _setup(batch=2, seq_len=30):
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        b = M.make_example_batch(cfg, batch=batch, n_tiles=1,
+                                 seq_len=seq_len)
+        params = model.init(jax.random.key(0), b["input_ids"], b["tiles"])
+        return cfg, model, params, b
+
+    def test_near_zero_temperature_equals_greedy(self):
+        from multi_spatialmllm_tpu.models.generate import sample_generate
+
+        cfg, model, params, b = self._setup()
+        greedy = greedy_generate(model, params, b["input_ids"], b["tiles"],
+                                 max_new_tokens=5)
+        sampled = sample_generate(model, params, b["input_ids"],
+                                  b["tiles"], jax.random.key(7),
+                                  max_new_tokens=5, temperature=0.0)
+        np.testing.assert_array_equal(np.asarray(greedy),
+                                      np.asarray(sampled))
+
+    def test_top_k_one_equals_greedy(self):
+        from multi_spatialmllm_tpu.models.generate import sample_generate
+
+        cfg, model, params, b = self._setup()
+        greedy = greedy_generate(model, params, b["input_ids"], b["tiles"],
+                                 max_new_tokens=5)
+        sampled = sample_generate(model, params, b["input_ids"],
+                                  b["tiles"], jax.random.key(3),
+                                  max_new_tokens=5, temperature=2.0,
+                                  top_k=1)
+        np.testing.assert_array_equal(np.asarray(greedy),
+                                      np.asarray(sampled))
+
+    def test_top_p_draw_support(self):
+        """_draw on a hand distribution: a vanishing nucleus collapses
+        to the argmax for every key, and a 0.6 nucleus only ever emits
+        tokens from the exact expected support (both of which appear)."""
+        from multi_spatialmllm_tpu.models.generate import _draw
+
+        logits = jnp.log(jnp.asarray(
+            [[0.05, 0.45, 0.05, 0.35, 0.10],
+             [0.70, 0.05, 0.15, 0.05, 0.05]]))
+        t = jnp.asarray(1.0, jnp.float32)
+        seen = set()
+        for s in range(30):
+            tok = np.asarray(_draw(jax.random.key(s), logits, t,
+                                   None, 1e-9))
+            np.testing.assert_array_equal(tok, [1, 0])
+            tok = np.asarray(_draw(jax.random.key(s), logits, t,
+                                   None, 0.6))
+            # row 0 nucleus: {1 (.45), 3 (.35)}; row 1: {0 (.70)}
+            assert tok[0] in (1, 3) and tok[1] == 0
+            seen.add(int(tok[0]))
+        assert seen == {1, 3}
+
+    def test_reproducible_and_key_sensitive(self):
+        from multi_spatialmllm_tpu.models.generate import sample_generate
+
+        cfg, model, params, b = self._setup()
+        kw = dict(max_new_tokens=8, temperature=5.0)
+        a1 = sample_generate(model, params, b["input_ids"], b["tiles"],
+                             jax.random.key(1), **kw)
+        a2 = sample_generate(model, params, b["input_ids"], b["tiles"],
+                             jax.random.key(1), **kw)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        b2 = sample_generate(model, params, b["input_ids"], b["tiles"],
+                             jax.random.key(2), **kw)
+        assert not np.array_equal(np.asarray(a1), np.asarray(b2))
+
+    def test_mask_logits_truncation(self):
+        """Hand-checked top-k and nucleus masks on a known row."""
+        from multi_spatialmllm_tpu.models.generate import _mask_logits
+
+        logits = jnp.log(jnp.asarray([[0.4, 0.3, 0.2, 0.05, 0.05]]))
+        t = jnp.asarray(1.0, jnp.float32)
+        m = np.asarray(_mask_logits(logits, t, 2, None))
+        assert np.isfinite(m[0, :2]).all() and np.isinf(m[0, 2:]).all()
+        # nucleus 0.65: keep tokens until exclusive mass reaches 0.65
+        # (0.4, then 0.3 since 0.4 < 0.65; 0.2's exclusive mass 0.7 > .65)
+        m = np.asarray(_mask_logits(logits, t, None, 0.65))
+        assert np.isfinite(m[0, :2]).all() and np.isinf(m[0, 2:]).all()
+        # nucleus 0.95 keeps the first three plus the tied 0.05s' cutoff
+        m = np.asarray(_mask_logits(logits, t, None, 0.9))
+        assert np.isfinite(m[0, :3]).all()
+        # every kept token respects the sampled support (>= cutoff logit)
+        assert np.isinf(m[0, 4]) or np.isfinite(m[0, 3])
+
+    def test_per_row_prompt_lens(self):
+        """Right-padded rows with per-row lengths sample from each row's
+        true last-token logits (near-zero temperature vs per-row greedy)."""
+        from multi_spatialmllm_tpu.models.generate import sample_generate
+
+        cfg, model, params, b = self._setup(batch=1, seq_len=28)
+        ids = np.asarray(b["input_ids"])
+        padded = pad_to_bucket(ids, 16, 0)
+        greedy = greedy_generate(model, params, b["input_ids"], b["tiles"],
+                                 max_new_tokens=4)
+        sampled = sample_generate(model, params, jnp.asarray(padded),
+                                  b["tiles"], jax.random.key(5),
+                                  max_new_tokens=4, temperature=0.0,
+                                  prompt_lens=np.asarray([28]))
+        np.testing.assert_array_equal(np.asarray(greedy),
+                                      np.asarray(sampled))
+
+
 class TestRunEval:
     def test_end_to_end_scoring(self, rng):
         from multi_spatialmllm_tpu.models.runner import (
