@@ -34,6 +34,10 @@ def main() -> None:
                              "default: generate a tiny random fixture")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--lora-rank", type=int, default=0,
+                        help="LoRA adapter rank (0 = full finetune); the "
+                             "reference's main-paper runs use LoRA "
+                             "(README.md:199)")
     args = parser.parse_args()
 
     import multi_spatialmllm_tpu
@@ -124,15 +128,47 @@ def main() -> None:
 
         from multi_spatialmllm_tpu.models.mllm import loss_fn
 
-        tx = optax.adamw(1e-4)
-        opt_state = tx.init(params)
+        if args.lora_rank:
+            # adapter-only training (parallel/lora.py): grads + optimizer
+            # state cover the adapters; the base stays frozen
+            from multi_spatialmllm_tpu.parallel.lora import (
+                LoRAConfig,
+                init_lora,
+                lora_param_count,
+                merge_lora,
+            )
 
-        @jax.jit
-        def step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(model, p, batch))(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            lcfg = LoRAConfig(rank=args.lora_rank)
+            lora = init_lora(params, lcfg, jax.random.key(1))
+            print(f"LoRA rank {lcfg.rank}: "
+                  f"{lora_param_count(lora):,} trainable parameters")
+            tx = optax.adamw(1e-3)
+            opt_state = tx.init(lora)
+
+            @jax.jit
+            def step(lora, opt_state, batch):
+                loss, grads = jax.value_and_grad(
+                    lambda lo: loss_fn(
+                        model, merge_lora(params, lo, lcfg),
+                        batch))(lora)
+                updates, opt_state = tx.update(grads, opt_state, lora)
+                return (optax.apply_updates(lora, updates), opt_state,
+                        loss)
+
+            trained = lora
+        else:
+            tx = optax.adamw(1e-4)
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def step(params, opt_state, batch):
+                loss, grads = jax.value_and_grad(
+                    lambda p: loss_fn(model, p, batch))(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state,
+                        loss)
+
+            trained = params
 
         i = 0
         losses = []
@@ -140,11 +176,15 @@ def main() -> None:
             for batch in prefetch_batches(samples, tok, cfg, loader,
                                           args.batch_size, dc):
                 batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-                params, opt_state, loss = step(params, opt_state, batch)
+                trained, opt_state, loss = step(trained, opt_state, batch)
                 losses.append(float(loss))
                 i += 1
                 if i >= args.steps:
                     break
+        if args.lora_rank:
+            params = merge_lora(params, trained, lcfg)  # mergeable export
+        else:
+            params = trained
         print(f"fine-tuned {args.steps} steps: loss "
               f"{losses[0]:.3f} -> {losses[-1]:.3f}")
         assert losses[-1] < losses[0], "loss did not improve"

@@ -2,9 +2,10 @@
 
 TPU-native replacement for the reference's delegated DeepSpeed training
 (README.md:194-200): one jit-compiled step over a (data, model) mesh —
-batch sharded on "data", parameters per parallel/sharding.py, optimizer
-AdamW with optional LoRA-style trainable-mask (the reference's main-paper
-runs use LoRA; full finetune is the default here).
+batch sharded on "data", parameters per parallel/sharding.py, AdamW.
+Full finetune is the default; the reference's main-paper LoRA mode
+(README.md:199) lives in parallel/lora.py (adapter-only grads/optimizer
+state, zero-init identity, mergeable export).
 """
 
 from __future__ import annotations
