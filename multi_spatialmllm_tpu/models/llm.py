@@ -171,8 +171,8 @@ class Attention(nn.Module):
                         trainable_flash_attention_packed,
                     )
 
-                    out = trainable_flash_attention_packed(q, k, v,
-                                                           segment_ids)
+                    out = trainable_flash_attention_packed(
+                        q, k, v, segment_ids, True)
             else:
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid,

@@ -182,7 +182,7 @@ def flagship_config() -> MLLMConfig:
     (8K seq x 128 head dim) the XL streaming kernels take over, and
     off-TPU the XLA path is used automatically."""
     vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
-                    num_layers=24, num_heads=16)
+                    num_layers=24, num_heads=16, use_flash_attention=True)
     llm = LLMConfig(vocab_size=92544, hidden_size=4096, num_layers=32,
                     num_heads=32, num_kv_heads=8, ffn_size=14336,
                     max_seq_len=8192, use_flash_attention=True)

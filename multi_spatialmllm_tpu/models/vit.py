@@ -26,6 +26,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-6
     dtype: str = "bfloat16"
+    use_flash_attention: bool = False  # Pallas kernels on TPU (see below)
 
     @property
     def num_patches(self) -> int:
@@ -49,7 +50,28 @@ class ViTBlock(nn.Module):
         qkv = nn.DenseGeneral((3, cfg.num_heads, hd), axis=-1, dtype=dtype,
                               name="qkv")(h)
         q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
-        attn = reference_attention(q, k, v, causal=False)
+        if cfg.use_flash_attention:
+            # the token count (1 cls + grid^2 = 1025 at 448/14) is not
+            # kernel-aligned: pad to a multiple of 128 with the pads in
+            # their OWN segment — the segment-aware kernels then mask
+            # them out exactly AND skip the fully-masked blocks on both
+            # sides, so the XLA path's [B, H, T, T] f32 score tensor is
+            # never materialized. Off-TPU this falls back to the masked
+            # XLA reference (same math; tested equal to the unpadded
+            # path).
+            from ..ops.attention import trainable_flash_attention_packed
+
+            pad = (-t) % 128
+            qp, kp, vp = (
+                jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                for a in (q, k, v))
+            seg = jnp.concatenate(
+                [jnp.zeros((b, t), jnp.int32),
+                 jnp.ones((b, pad), jnp.int32)], axis=1)
+            attn = trainable_flash_attention_packed(
+                qp, kp, vp, seg, False)[:, :, :t]
+        else:
+            attn = reference_attention(q, k, v, causal=False)
         attn = attn.transpose(0, 2, 1, 3)
         x = x + nn.DenseGeneral(d, axis=(-2, -1), dtype=dtype,
                                 name="proj")(attn)

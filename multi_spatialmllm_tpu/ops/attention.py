@@ -111,14 +111,21 @@ def _flash_fwd_kernel(
     if segmented:
         # packed rows: segment ids are nondecreasing, so kv blocks whose
         # last segment precedes this q block's first are fully masked —
-        # start the loop past them (block-diagonal complexity).
+        # start the loop past them — and kv blocks whose first segment
+        # exceeds this q block's last are fully masked too — stop before
+        # them (block-diagonal complexity; the suffix bound is what
+        # skips trailing pad segments in non-causal use, e.g. the ViT).
         seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
         # ids are nondecreasing: block max == last element, block min ==
         # first (Mosaic cannot lower unaligned scalar loads, so use
         # aligned full-row loads + reductions)
-        seg_ends = jnp.max(seg_ref[0, 0, :].reshape(
-            seq_len // block_k, block_k), axis=1)
+        seg_blocks = seg_ref[0, 0, :].reshape(seq_len // block_k, block_k)
+        seg_ends = jnp.max(seg_blocks, axis=1)
+        seg_starts = jnp.min(seg_blocks, axis=1)
         k_start = jnp.sum(seg_ends < jnp.min(seg_q), dtype=jnp.int32)
+        num_k_blocks = jnp.minimum(
+            num_k_blocks,
+            jnp.sum(seg_starts <= jnp.max(seg_q), dtype=jnp.int32))
 
     def body(ki, carry):
         m_prev, l_prev, acc_prev = carry
@@ -260,10 +267,15 @@ def _flash_bwd_dq_kernel(
         seg_q = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]
         # ids are nondecreasing: block max == last element, block min ==
         # first (Mosaic cannot lower unaligned scalar loads, so use
-        # aligned full-row loads + reductions)
-        seg_ends = jnp.max(seg_ref[0, 0, :].reshape(
-            seq_len // block_k, block_k), axis=1)
+        # aligned full-row loads + reductions); prefix AND suffix
+        # fully-masked kv blocks are skipped (see _flash_fwd_kernel)
+        seg_blocks = seg_ref[0, 0, :].reshape(seq_len // block_k, block_k)
+        seg_ends = jnp.max(seg_blocks, axis=1)
+        seg_starts = jnp.min(seg_blocks, axis=1)
         k_start = jnp.sum(seg_ends < jnp.min(seg_q), dtype=jnp.int32)
+        num_k_blocks = jnp.minimum(
+            num_k_blocks,
+            jnp.sum(seg_starts <= jnp.max(seg_q), dtype=jnp.int32))
 
     def body(ki, acc_prev):
         k = k_ref[0, pl.ds(ki * block_k, block_k), :]
@@ -310,11 +322,19 @@ def _flash_bwd_dkv_kernel(
     seg_k = None
     if segmented:
         # q blocks whose first segment is past this kv block's last are
-        # fully masked (ids nondecreasing): stop the loop before them.
+        # fully masked (ids nondecreasing): stop the loop before them —
+        # and q blocks whose last segment precedes this kv block's first
+        # are fully masked too: start past them (the prefix bound is
+        # what skips the all-real q blocks for trailing pad kv in
+        # non-causal use, e.g. the ViT).
         seg_k = seg_ref[0, 0, pl.ds(ki * block_k, block_k)]
-        seg_starts = jnp.min(seg_ref[0, 0, :].reshape(
-            num_q_blocks, block_q), axis=1)
+        seg_blocks = seg_ref[0, 0, :].reshape(num_q_blocks, block_q)
+        seg_starts = jnp.min(seg_blocks, axis=1)
+        seg_ends = jnp.max(seg_blocks, axis=1)
         q_end = jnp.sum(seg_starts <= jnp.max(seg_k), dtype=jnp.int32)
+        q_start = jnp.maximum(
+            q_start,
+            jnp.sum(seg_ends < jnp.min(seg_k), dtype=jnp.int32))
 
     for r in range(rep):
         def body(qj, carry):
@@ -796,6 +816,23 @@ def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None,
 # Trainable wrapper: Pallas forward + Pallas fused backward
 # ---------------------------------------------------------------------------
 
+def _seg_block(s: int, causal: bool) -> int:
+    """Block size for the segmented resident kernels. Causal keeps 128
+    (fine blocks skip more of the triangle). Non-causal (the padded-ViT
+    use) prefers ONE block per row when the f32 score tile fits VMEM —
+    at S~1152/hd=64 that measured 1.8x fwd / 1.7x grad over XLA where
+    128-wide blocks were 3x SLOWER (per-block vector-op overhead, not
+    flops, dominates at these sizes) — else the widest divisor."""
+    if causal:
+        return 128
+    if s * s * 4 <= 6 * 2 ** 20:
+        return s
+    for c in (512, 384, 256):
+        if s % c == 0:
+            return c
+    return 128
+
+
 def _xl_block(s: int) -> int:
     """Largest of 512/256/128 dividing s (wider blocks cut the streaming
     path's K/V re-fetch traffic; _kernel_ok guarantees s % 128 == 0)."""
@@ -875,46 +912,56 @@ def _tfa_bwd(causal, residuals, g):
 trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)
 
 
-@jax.custom_vjp
-def trainable_flash_attention_packed(q, k, v, segment_ids):
-    """Causal + block-diagonal flash attention for PACKED rows
-    (models/data.pack_samples): queries attend only to keys in the same
-    segment. Segment ids must be nondecreasing per row — the kernels use
-    that to skip fully-masked kv blocks (block-diagonal complexity, not
-    S^2/2). GQA-native like trainable_flash_attention; falls back to the
-    XLA reference off-TPU or for non-kernel shapes."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def trainable_flash_attention_packed(q, k, v, segment_ids, causal):
+    """Block-diagonal flash attention for SEGMENTED rows: queries attend
+    only to keys in the same segment, combined with a causal mask by
+    default (packed-sequence training, models/data.pack_samples) or
+    bidirectional with `causal=False` (e.g. the ViT encoder over
+    pad-extended token rows, models/vit.py). Segment ids must be
+    nondecreasing per row — the kernels use that to skip fully-masked kv
+    blocks on BOTH sides (block-diagonal complexity, not S^2). GQA-native
+    like trainable_flash_attention; falls back to the XLA reference
+    off-TPU or for non-kernel shapes. `causal` is REQUIRED positional:
+    custom_vjp does not apply Python defaults, so a default would shift
+    bindings when omitted."""
     if _kernel_ok(q, k):
         sm_scale = q.shape[-1] ** -0.5
         if _resident_ok(q, k):
-            o, _ = _flash_fwd(q, k, v, True, sm_scale, 128, 128,
+            b = _seg_block(q.shape[2], causal)
+            o, _ = _flash_fwd(q, k, v, causal, sm_scale, b, b,
                               segment_ids=segment_ids)
         else:
             bq = _xl_block(q.shape[2])
-            o, _ = _flash_fwd_xl(q, k, v, True, sm_scale, bq, bq,
+            o, _ = _flash_fwd_xl(q, k, v, causal, sm_scale, bq, bq,
                                  segment_ids=segment_ids)
         return o
-    return reference_attention(q, k, v, causal=True,
+    return reference_attention(q, k, v, causal=causal,
                                segment_ids=segment_ids)
 
 
-def _tfap_fwd(q, k, v, segment_ids):
+def _tfap_fwd(q, k, v, segment_ids, causal):
+    # nondiff_argnums stay in their ORIGINAL positions for the fwd rule
+    # (only the bwd rule receives them prepended)
     if not _kernel_ok(q, k):
         out, vjp = jax.vjp(
             lambda q_, k_, v_: reference_attention(
-                q_, k_, v_, causal=True, segment_ids=segment_ids), q, k, v)
+                q_, k_, v_, causal=causal, segment_ids=segment_ids),
+            q, k, v)
         return out, (vjp, None, segment_ids)
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q, k):
-        o, lse = _flash_fwd(q, k, v, True, sm_scale, 128, 128,
+        b = _seg_block(q.shape[2], causal)
+        o, lse = _flash_fwd(q, k, v, causal, sm_scale, b, b,
                             segment_ids=segment_ids)
     else:
         bq = _xl_block(q.shape[2])
-        o, lse = _flash_fwd_xl(q, k, v, True, sm_scale, bq, bq,
+        o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, bq, bq,
                                segment_ids=segment_ids)
     return o, (None, (q, k, v, o, lse), segment_ids)
 
 
-def _tfap_bwd(residuals, g):
+def _tfap_bwd(causal, residuals, g):
     import numpy as np
 
     vjp, saved, segment_ids = residuals
@@ -924,11 +971,12 @@ def _tfap_bwd(residuals, g):
     q, k, v, o, lse = saved
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q, k):
-        dq, dk, dv = _flash_bwd(q, k, v, o, lse, g, True, sm_scale,
-                                128, 128, segment_ids=segment_ids)
+        b = _seg_block(q.shape[2], causal)
+        dq, dk, dv = _flash_bwd(q, k, v, o, lse, g, causal, sm_scale,
+                                b, b, segment_ids=segment_ids)
     else:
         bq = _xl_block(q.shape[2])
-        dq, dk, dv = _flash_bwd_xl(q, k, v, o, lse, g, True, sm_scale,
+        dq, dk, dv = _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale,
                                    bq, bq, segment_ids=segment_ids)
     return dq, dk, dv, dseg
 

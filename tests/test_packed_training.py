@@ -304,6 +304,67 @@ class TestSegmentedFlashKernels:
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
                                    atol=2e-4)
 
+    @pytest.mark.parametrize("kvh", [2, 1])
+    def test_noncausal_segmented_matches_reference(self, kvh):
+        """causal=False + trailing-pad segment (the ViT use: real tokens
+        in segment 0, pads in segment 1) — bidirectional block-diagonal
+        attention, with the suffix/prefix block skips active."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops import attention as A
+        from multi_spatialmllm_tpu.ops.attention import reference_attention
+
+        s = 384
+        q, k, v, g = self._data(s, kvh, key0=20)
+        # 260 real tokens + 124 pads: the pad boundary crosses block 2
+        seg = np.concatenate([np.zeros(260), np.ones(124)]) \
+            .astype(np.int32)[None]
+        sm = 64 ** -0.5
+        with pltpu.force_tpu_interpret_mode():
+            o, lse = A._flash_fwd(q, k, v, False, sm, 128, 128,
+                                  segment_ids=jnp.asarray(seg))
+            dq, dk, dv = A._flash_bwd(q, k, v, o, lse, g, False, sm,
+                                      128, 128,
+                                      segment_ids=jnp.asarray(seg))
+            oxl, lsexl = A._flash_fwd_xl(q, k, v, False, sm, 128, 128,
+                                         segment_ids=jnp.asarray(seg))
+        ref, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(
+                q_, k_, v_, causal=False, segment_ids=jnp.asarray(seg)),
+            q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(oxl), np.asarray(ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
+                                   atol=2e-4)
+
+    def test_vit_flash_flag_matches_unpadded_path(self):
+        """ViT forward with use_flash_attention (off-TPU: the masked XLA
+        fallback over the pad-extended row) equals the plain path."""
+        from multi_spatialmllm_tpu.models.vit import (
+            ViTConfig,
+            VisionTransformer,
+        )
+
+        base = ViTConfig(image_size=56, patch_size=14, hidden_size=64,
+                         num_layers=2, num_heads=4, dtype="float32")
+        vit0 = VisionTransformer(base)
+        vit1 = VisionTransformer(
+            ViTConfig(**{**base.__dict__, "use_flash_attention": True}))
+        px = jax.random.normal(jax.random.key(0), (2, 56, 56, 3),
+                               dtype=jnp.float32)
+        params = vit0.init(jax.random.key(1), px)
+        a = vit0.apply(params, px)
+        b = vit1.apply(params, px)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
     def test_packed_wrapper_grads_off_tpu_fallback(self):
         """Off-TPU the packed wrapper routes to the XLA reference with a
         float0 cotangent for segment_ids (int input)."""
@@ -317,7 +378,7 @@ class TestSegmentedFlashKernels:
 
         def loss(q_, k_, v_):
             return jnp.sum(trainable_flash_attention_packed(
-                q_, k_, v_, seg))
+                q_, k_, v_, seg, True))
 
         def ref_loss(q_, k_, v_):
             return jnp.sum(reference_attention(q_, k_, v_, causal=True,
