@@ -10,12 +10,12 @@ v = jax.random.normal(jax.random.key(2), (B, KVH, S, D), dtype=jnp.bfloat16)
 # 16 packed segments of 256 tokens
 seg = jnp.asarray(np.repeat(np.arange(1, 17), S // 16)[None].repeat(B, 0).astype(np.int32))
 
-o_seg = jax.jit(lambda q,k,v: A.trainable_flash_attention_packed(q, k, v, seg))(q, k, v)
+o_seg = jax.jit(lambda q,k,v: A.trainable_flash_attention_packed(q, k, v, seg, True))(q, k, v)
 o_ref = jax.jit(lambda q,k,v: A.reference_attention(q, k, v, causal=True, segment_ids=seg))(q, k, v)
 print("fwd max diff vs xla:", float(jnp.abs(o_seg.astype(jnp.float32)-o_ref.astype(jnp.float32)).max()), flush=True)
 
 def g(loss): return jax.jit(jax.grad(loss, argnums=(0,1,2)))
-gl_seg = g(lambda q,k,v: jnp.sum(A.trainable_flash_attention_packed(q,k,v,seg).astype(jnp.float32)))
+gl_seg = g(lambda q,k,v: jnp.sum(A.trainable_flash_attention_packed(q,k,v,seg,True).astype(jnp.float32)))
 gl_ref = g(lambda q,k,v: jnp.sum(A.reference_attention(q,k,v,causal=True,segment_ids=seg).astype(jnp.float32)))
 for name, a, b in zip(("dq","dk","dv"), gl_seg(q,k,v), gl_ref(q,k,v)):
     print(f"{name} max diff:", float(jnp.abs(a.astype(jnp.float32)-b.astype(jnp.float32)).max()),
@@ -49,9 +49,9 @@ def timed(name, run, n=6):
     med = statistics.median(ts)
     print(f"{name}: {med*1e3:.1f} ms total, {(med*1e3)/N:.3f} ms/iter", flush=True)
 
-timed("fwd  packed-kernel x16", chain(lambda q_,k_,v_: A.trainable_flash_attention_packed(q_,k_,v_,seg)))
+timed("fwd  packed-kernel x16", chain(lambda q_,k_,v_: A.trainable_flash_attention_packed(q_,k_,v_,seg,True)))
 timed("fwd  causal-kernel x16", chain(lambda q_,k_,v_: A.trainable_flash_attention(q_,k_,v_,True)))
 timed("fwd  xla-seg       x16", chain(lambda q_,k_,v_: A.reference_attention(q_,k_,v_,causal=True,segment_ids=seg)))
-timed("grad packed-kernel x16", chain_grad(lambda q_,k_,v_: jnp.sum(A.trainable_flash_attention_packed(q_,k_,v_,seg).astype(jnp.float32))))
+timed("grad packed-kernel x16", chain_grad(lambda q_,k_,v_: jnp.sum(A.trainable_flash_attention_packed(q_,k_,v_,seg,True).astype(jnp.float32))))
 timed("grad causal-kernel x16", chain_grad(lambda q_,k_,v_: jnp.sum(A.trainable_flash_attention(q_,k_,v_,True).astype(jnp.float32))))
 timed("grad xla-seg       x16", chain_grad(lambda q_,k_,v_: jnp.sum(A.reference_attention(q_,k_,v_,causal=True,segment_ids=seg).astype(jnp.float32))))

@@ -222,8 +222,8 @@ def flash_attention(
     v: jax.Array,
     causal: bool = True,
     sm_scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int | None = None,
+    block_k: int | None = None,
 ) -> jax.Array:
     """Multi-head attention via the Pallas kernel.
 
@@ -231,12 +231,16 @@ def flash_attention(
       q: `[batch, heads, seq, head_dim]`.
       k, v: `[batch, kv_heads, seq, head_dim]` with
         `kv_heads` dividing `heads` (GQA native — do NOT repeat).
+      block_q, block_k: override the measured-optimal block ladder
+        (_block_for) — for tests/sweeps only.
     Returns:
       `[batch, heads, seq, head_dim]`.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    o, _ = _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k)
+    b = _block_for(q.shape[2], causal)
+    o, _ = _flash_fwd(q, k, v, causal, sm_scale, block_q or b,
+                      block_k or b)
     return o
 
 
@@ -816,18 +820,19 @@ def reference_attention(q, k, v, causal=True, sm_scale=None, key_valid=None,
 # Trainable wrapper: Pallas forward + Pallas fused backward
 # ---------------------------------------------------------------------------
 
-def _seg_block(s: int, causal: bool) -> int:
-    """Block size for the segmented resident kernels. Causal keeps 128
-    (fine blocks skip more of the triangle). Non-causal (the padded-ViT
-    use) prefers ONE block per row when the f32 score tile fits VMEM —
-    at S~1152/hd=64 that measured 1.8x fwd / 1.7x grad over XLA where
-    128-wide blocks were 3x SLOWER (per-block vector-op overhead, not
-    flops, dominates at these sizes) — else the widest divisor."""
-    if causal:
-        return 128
-    if s * s * 4 <= 6 * 2 ** 20:
+def _block_for(s: int, causal: bool) -> int:
+    """Block size for the resident kernels. Wide blocks dominate: the
+    per-block vector-op overhead of the 128-wide pipeline outweighs both
+    the finer causal-triangle skipping and the finer segment skipping
+    (measured on v5e: 512x512 is 3.7-4.3x faster than 128x128 at the
+    flagship causal shapes, 1.75x on 256-token packed segments, and
+    one-block-per-row is 1.7x over XLA at the ViT's non-causal ~1.2K
+    rows where 128-blocks were 3x SLOWER — see
+    docs/profiles/flash_attention.md). Non-causal additionally takes the
+    whole row as one block when the f32 score tile fits VMEM."""
+    if not causal and s * s * 4 <= 6 * 2 ** 20:
         return s
-    for c in (512, 384, 256):
+    for c in (512, 256):
         if s % c == 0:
             return c
     return 128
@@ -856,7 +861,8 @@ def trainable_flash_attention(q, k, v, causal=True):
     if _kernel_ok(q, k):
         sm_scale = q.shape[-1] ** -0.5
         if _resident_ok(q, k):
-            o, _ = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
+            b = _block_for(q.shape[2], causal)
+            o, _ = _flash_fwd(q, k, v, causal, sm_scale, b, b)
         else:
             # wide blocks: K/V HBM traffic scales with S/block_q fetches
             # of the full K/V, so 512-wide q blocks cut it 4x vs 128
@@ -869,10 +875,13 @@ def trainable_flash_attention(q, k, v, causal=True):
 def _resident_ok(q, k) -> bool:
     s, d = q.shape[2], q.shape[3]
     rep = q.shape[1] // k.shape[1]
-    # resident K/V (fwd/dq kernels) and the group's Q/dO rows (dkv
-    # kernel: rep stacked rows) must fit VMEM: see module docstring.
-    # 2^20 = 8K seq x 128 head dim for MHA.
-    return rep * s * d <= 2 ** 20
+    # resident K/V (fwd/dq kernels: 2 * s*d operands) and the group's
+    # Q/dO rows (dkv kernel: 2 * rep*s*d) must fit VMEM alongside the
+    # block buffers; 6 MB of (rep+1)*s*d payload is the measured-safe
+    # budget (S=4096 rep=4 bf16 resident compiles and is 1.37x the XL
+    # streaming path; S=16K MHA bf16 does not compile resident and
+    # streams). f32 shapes halve the admitted sequence automatically.
+    return (rep + 1) * s * d * q.dtype.itemsize <= 6 * 2 ** 20
 
 
 def _kernel_ok(q, k) -> bool:
@@ -890,7 +899,8 @@ def _tfa_fwd(q, k, v, causal):
         return out, (vjp, None)
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q, k):
-        o, lse = _flash_fwd(q, k, v, causal, sm_scale, 128, 128)
+        b = _block_for(q.shape[2], causal)
+        o, lse = _flash_fwd(q, k, v, causal, sm_scale, b, b)
     else:
         b = _xl_block(q.shape[2])
         o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, b, b)
@@ -904,7 +914,8 @@ def _tfa_bwd(causal, residuals, g):
     q, k, v, o, lse = saved
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q, k):
-        return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, 128, 128)
+        b = _block_for(q.shape[2], causal)
+        return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, b, b)
     b = _xl_block(q.shape[2])
     return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, b, b)
 
@@ -928,7 +939,7 @@ def trainable_flash_attention_packed(q, k, v, segment_ids, causal):
     if _kernel_ok(q, k):
         sm_scale = q.shape[-1] ** -0.5
         if _resident_ok(q, k):
-            b = _seg_block(q.shape[2], causal)
+            b = _block_for(q.shape[2], causal)
             o, _ = _flash_fwd(q, k, v, causal, sm_scale, b, b,
                               segment_ids=segment_ids)
         else:
@@ -951,7 +962,7 @@ def _tfap_fwd(q, k, v, segment_ids, causal):
         return out, (vjp, None, segment_ids)
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q, k):
-        b = _seg_block(q.shape[2], causal)
+        b = _block_for(q.shape[2], causal)
         o, lse = _flash_fwd(q, k, v, causal, sm_scale, b, b,
                             segment_ids=segment_ids)
     else:
@@ -971,7 +982,7 @@ def _tfap_bwd(causal, residuals, g):
     q, k, v, o, lse = saved
     sm_scale = q.shape[-1] ** -0.5
     if _resident_ok(q, k):
-        b = _seg_block(q.shape[2], causal)
+        b = _block_for(q.shape[2], causal)
         dq, dk, dv = _flash_bwd(q, k, v, o, lse, g, causal, sm_scale,
                                 b, b, segment_ids=segment_ids)
     else:
