@@ -32,12 +32,13 @@ VMEM budget: the resident-KV (forward, dq) and resident-Q/dO (dk/dv)
 layouts need ~2 * S * D * itemsize bytes and are used up to
 S * D <= 2^20 (8K seq x 128 head dim). Beyond that the XL variants take
 over: a 3-D grid streams K/V (and Q/dO in the dkv kernel) through VMEM
-in 512-wide blocks double-buffered by the Pallas pipeline, with the
-online-softmax state in VMEM scratch persisting across the innermost
-grid dimension — sequence length is then unbounded (measured at S=16K:
-grad 2.4x / fwd 3x the XLA path on-device). Streaming trades HBM
-traffic (K/V re-fetched once per q block) for residency; wide blocks
-keep that to S/512 full K/V passes.
+in 1024/512-wide blocks (_xl_block: widest divisor whose dkv q/do
+blocks stay VMEM-safe; 1024 measured 1.43x over 512 at S=16K MHA)
+double-buffered by the Pallas pipeline, with the online-softmax state
+in VMEM scratch persisting across the innermost grid dimension —
+sequence length is then unbounded. Streaming trades HBM traffic (K/V
+re-fetched once per q block) for residency; wide blocks keep that to
+S/block full K/V passes.
 """
 
 from __future__ import annotations
@@ -838,11 +839,14 @@ def _block_for(s: int, causal: bool) -> int:
     return 128
 
 
-def _xl_block(s: int) -> int:
-    """Largest of 512/256/128 dividing s (wider blocks cut the streaming
-    path's K/V re-fetch traffic; _kernel_ok guarantees s % 128 == 0)."""
-    for b in (512, 256, 128):
-        if s % b == 0:
+def _xl_block(s: int, rep: int = 1) -> int:
+    """Widest streaming block dividing s (wider blocks cut the XL path's
+    K/V re-fetch traffic AND its per-block overhead — 1024 measured
+    1.43x over 512 at S=16K MHA), bounded so the dkv kernel's
+    double-buffered (rep, block, d) q/do blocks stay within VMEM
+    (1024-wide blocks failed to compile at rep 8)."""
+    for b in (1024, 512, 256, 128):
+        if s % b == 0 and b * max(rep, 1) <= 4096:
             return b
     raise AssertionError(s)
 
@@ -866,7 +870,7 @@ def trainable_flash_attention(q, k, v, causal=True):
         else:
             # wide blocks: K/V HBM traffic scales with S/block_q fetches
             # of the full K/V, so 512-wide q blocks cut it 4x vs 128
-            b = _xl_block(q.shape[2])
+            b = _xl_block(q.shape[2], q.shape[1] // k.shape[1])
             o, _ = _flash_fwd_xl(q, k, v, causal, sm_scale, b, b)
         return o
     return reference_attention(q, k, v, causal=causal)
@@ -902,7 +906,7 @@ def _tfa_fwd(q, k, v, causal):
         b = _block_for(q.shape[2], causal)
         o, lse = _flash_fwd(q, k, v, causal, sm_scale, b, b)
     else:
-        b = _xl_block(q.shape[2])
+        b = _xl_block(q.shape[2], q.shape[1] // k.shape[1])
         o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, b, b)
     return o, (None, (q, k, v, o, lse))
 
@@ -916,7 +920,7 @@ def _tfa_bwd(causal, residuals, g):
     if _resident_ok(q, k):
         b = _block_for(q.shape[2], causal)
         return _flash_bwd(q, k, v, o, lse, g, causal, sm_scale, b, b)
-    b = _xl_block(q.shape[2])
+    b = _xl_block(q.shape[2], q.shape[1] // k.shape[1])
     return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, b, b)
 
 
@@ -943,7 +947,7 @@ def trainable_flash_attention_packed(q, k, v, segment_ids, causal):
             o, _ = _flash_fwd(q, k, v, causal, sm_scale, b, b,
                               segment_ids=segment_ids)
         else:
-            bq = _xl_block(q.shape[2])
+            bq = _xl_block(q.shape[2], q.shape[1] // k.shape[1])
             o, _ = _flash_fwd_xl(q, k, v, causal, sm_scale, bq, bq,
                                  segment_ids=segment_ids)
         return o
@@ -966,7 +970,7 @@ def _tfap_fwd(q, k, v, segment_ids, causal):
         o, lse = _flash_fwd(q, k, v, causal, sm_scale, b, b,
                             segment_ids=segment_ids)
     else:
-        bq = _xl_block(q.shape[2])
+        bq = _xl_block(q.shape[2], q.shape[1] // k.shape[1])
         o, lse = _flash_fwd_xl(q, k, v, causal, sm_scale, bq, bq,
                                segment_ids=segment_ids)
     return o, (None, (q, k, v, o, lse), segment_ids)
@@ -986,7 +990,7 @@ def _tfap_bwd(causal, residuals, g):
         dq, dk, dv = _flash_bwd(q, k, v, o, lse, g, causal, sm_scale,
                                 b, b, segment_ids=segment_ids)
     else:
-        bq = _xl_block(q.shape[2])
+        bq = _xl_block(q.shape[2], q.shape[1] // k.shape[1])
         dq, dk, dv = _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale,
                                    bq, bq, segment_ids=segment_ids)
     return dq, dk, dv, dseg

@@ -302,8 +302,12 @@ class TestFlashAttentionXL:
         from multi_spatialmllm_tpu.ops.attention import _xl_block
 
         for s in (8448, 8192, 8320, 16384, 128, 640, 8576):
-            b = _xl_block(s)
-            assert s % b == 0 and b in (512, 256, 128)
-        assert _xl_block(16384) == 512
+            for rep in (1, 4, 8):
+                b = _xl_block(s, rep)
+                assert s % b == 0 and b in (1024, 512, 256, 128)
+                # dkv q/do blocks (rep, b, d) must stay VMEM-safe
+                assert b * rep <= 4096 or b == 128
+        assert _xl_block(16384, 1) == 1024
+        assert _xl_block(16384, 8) == 512  # 1024-wide fails at rep 8
         assert _xl_block(8448) == 256  # 8448 = 512*16.5
         assert _xl_block(8320) == 128
