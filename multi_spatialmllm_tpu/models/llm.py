@@ -307,10 +307,20 @@ def init_cache(cfg: LLMConfig, batch: int, max_len: int):
     ]
 
 
-def cross_entropy_loss(logits, labels, ignore_index: int = -100):
-    """Masked next-token loss. `labels` are already shifted by the caller."""
+def cross_entropy_sum(logits, labels, ignore_index: int = -100):
+    """Masked next-token loss, UNNORMALIZED: returns (nll_sum,
+    token_count). Accumulating these across microbatches and dividing
+    once makes gradient accumulation exactly equal to the single-batch
+    mean even when microbatches carry different numbers of real
+    tokens (parallel/train.py accum_steps)."""
     mask = labels != ignore_index
     safe = jnp.where(mask, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def cross_entropy_loss(logits, labels, ignore_index: int = -100):
+    """Masked next-token loss. `labels` are already shifted by the caller."""
+    nll_sum, count = cross_entropy_sum(logits, labels, ignore_index)
+    return nll_sum / jnp.maximum(count, 1)

@@ -62,9 +62,19 @@ def init_train_state(model_cfg: MLLMConfig, train_cfg: TrainConfig,
 
 def make_train_step(model: MultiFrameMLLM,
                     tx: optax.GradientTransformation,
-                    mesh: Mesh) -> Callable:
+                    mesh: Mesh, accum_steps: int = 1) -> Callable:
     """jit-compiled (params, opt_state, batch) -> (params, opt_state,
-    metrics); batch arrays must lead with the global batch dim."""
+    metrics); batch arrays must lead with the global batch dim.
+
+    `accum_steps > 1` splits the batch into that many microbatches and
+    accumulates gradients over a `lax.scan` before the single optimizer
+    update — the classic trick for effective batches whose activations
+    exceed HBM. The accumulation sums UNNORMALIZED token nll and grads
+    and divides by the GLOBAL token count once, so the result equals the
+    single-pass step up to float reassociation even when microbatches
+    carry different numbers of unmasked tokens (a mean of microbatch
+    means would NOT).
+    """
 
     def loss_of(params, batch):
         logits = model.apply(params, batch["input_ids"], batch["tiles"],
@@ -72,8 +82,50 @@ def make_train_step(model: MultiFrameMLLM,
                              segment_ids=batch.get("segment_ids"))
         return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
 
+    def loss_sum_of(params, batch):
+        from ..models.llm import cross_entropy_sum
+
+        logits = model.apply(params, batch["input_ids"], batch["tiles"],
+                             positions=batch.get("positions"),
+                             segment_ids=batch.get("segment_ids"))
+        nll, count = cross_entropy_sum(logits[:, :-1],
+                                       batch["labels"][:, 1:])
+        return nll, count
+
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_of)(params, batch)
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_of)(params, batch)
+        else:
+            mb_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+
+            def split(x):
+                assert x.shape[0] % accum_steps == 0, \
+                    (x.shape, accum_steps)
+                mb = x.reshape(accum_steps, x.shape[0] // accum_steps,
+                               *x.shape[1:])
+                return jax.lax.with_sharding_constraint(mb, mb_sharding)
+
+            mbs = jax.tree_util.tree_map(split, batch)
+            gfn = jax.value_and_grad(loss_sum_of, has_aux=True)
+
+            def body(carry, mb):
+                gsum, nll, count = carry
+                (mb_nll, mb_count), g = gfn(params, mb)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(a.dtype), gsum, g)
+                return (gsum, nll + mb_nll.astype(nll.dtype),
+                        count + mb_count.astype(count.dtype)), ()
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jax.numpy.zeros(p.shape, jax.numpy.float32),
+                params)
+            (gsum, nll, count), _ = jax.lax.scan(
+                body, (zeros, jax.numpy.zeros((), jax.numpy.float32),
+                       jax.numpy.zeros((), jax.numpy.int32)), mbs)
+            denom = jax.numpy.maximum(count, 1).astype(jax.numpy.float32)
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / denom).astype(p.dtype), gsum, params)
+            loss = nll / denom
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)

@@ -56,6 +56,56 @@ class TestFSDP:
 
 
 @needs_mesh
+class TestGradAccumulation:
+    def test_accum_equals_single_pass(self):
+        """accum_steps=2 over one batch produces the same loss and
+        post-update params as the single-pass step up to float
+        reassociation (the accumulation sums unnormalized nll/grads and
+        divides by the global token count once — NOT a
+        mean-of-microbatch-means, which would diverge whenever
+        microbatches carry different unmasked-token counts)."""
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = M.tiny_config()
+        batch = M.make_example_batch(cfg, batch=8, n_tiles=1, seq_len=32)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(learning_rate=1e-3, warmup_steps=1), batch,
+            mesh)
+        step1 = make_train_step(model, tx, mesh)
+        step2 = make_train_step(model, tx, mesh, accum_steps=2)
+        # the step donates params/opt_state: snapshot for the second run
+        snap_p = jax.tree_util.tree_map(np.asarray, params)
+        snap_o = jax.tree_util.tree_map(np.asarray, opt_state)
+        p1, o1, m1 = step1(params, opt_state, batch)
+        params2 = jax.tree_util.tree_map(jax.numpy.asarray, snap_p)
+        opt2 = jax.tree_util.tree_map(jax.numpy.asarray, snap_o)
+        p2, o2, m2 = step2(params2, opt2, batch)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(m1["grad_norm"]),
+                                   float(m2["grad_norm"]), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_allclose(
+                np.asarray(a, dtype=np.float32),
+                np.asarray(b, dtype=np.float32), atol=1e-5)
+
+    def test_accum_learns(self):
+        mesh = make_mesh(n_data=4, n_model=2)
+        cfg = M.tiny_config()
+        batch = M.make_example_batch(cfg, batch=4, n_tiles=1, seq_len=32)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(learning_rate=1e-3, warmup_steps=1), batch,
+            mesh)
+        step = make_train_step(model, tx, mesh, accum_steps=4)
+        losses = []
+        for _ in range(3):
+            params, opt_state, metrics = step(params, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+
+@needs_mesh
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         mesh = make_mesh(n_data=8, n_model=1)
