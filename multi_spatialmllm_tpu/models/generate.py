@@ -39,12 +39,12 @@ def _prefill_fn(model: MultiFrameMLLM):
             p, ids, tl, cc, n, method=MultiFrameMLLM.prefill))
 
 
-def decode_step(model: MultiFrameMLLM, params, token, positions, caches):
-    """One greedy decode step at per-row positions: rewrites each layer's
-    cache index to the traced `[B]` positions (one compiled step serves
-    every decode position and slot), embeds the last token, and returns
-    (next_token [B, 1], caches). Shared by the while_loop decoder below
-    and the continuous batcher (models/serving.py)."""
+def decode_logits(model: MultiFrameMLLM, params, token, positions, caches):
+    """One decode step at per-row positions: rewrites each layer's cache
+    index to the traced `[B]` positions (one compiled step serves every
+    decode position and slot), embeds the last token, and returns the
+    last-position logits `[B, V]` + caches. Shared by the while_loop
+    decoders below and the continuous batcher (models/serving.py)."""
     caches = [
         {"k": c["k"], "v": c["v"], "index": positions} for c in caches
     ]
@@ -53,7 +53,13 @@ def decode_step(model: MultiFrameMLLM, params, token, positions, caches):
         method=lambda m, tok, pos, cc:
             m.llm(input_embeds=m.llm.embed(tok), positions=pos,
                   caches=cc))
-    return jnp.argmax(logits[:, -1], axis=-1)[:, None], caches
+    return logits[:, -1], caches
+
+
+def decode_step(model: MultiFrameMLLM, params, token, positions, caches):
+    """Greedy decode_logits: (next_token [B, 1], caches)."""
+    logits, caches = decode_logits(model, params, token, positions, caches)
+    return jnp.argmax(logits, axis=-1)[:, None], caches
 
 
 @functools.lru_cache(maxsize=32)
@@ -174,16 +180,24 @@ def _generate(model, params, input_ids, tiles, lens, max_new_tokens,
 # ---------------------------------------------------------------------------
 
 
+def _per_row(x):
+    """Scalar or `[B]` knob -> broadcastable-along-vocab f32."""
+    x = jnp.asarray(x, jnp.float32)
+    return x[:, None] if x.ndim == 1 else x
+
+
 def _mask_logits(logits, temperature, top_k, top_p):
     """`[B, V]` f32 logits -> masked/scaled logits to sample from.
 
     Order matches the common serving stacks (and HF defaults):
     temperature scaling, then top-k truncation, then top-p (nucleus)
-    truncation on the renormalized distribution. `top_k`/`top_p` are
-    static (None disables); `temperature` is traced (no recompiles per
-    value)."""
+    truncation on the renormalized distribution. `top_k` is static
+    (None disables); `temperature` and `top_p` are traced scalars or
+    per-row `[B]` arrays (no recompiles per value; `top_p=None` or 1.0
+    disables nucleus truncation — with the exclusive cumsum, 1.0 keeps
+    the whole distribution)."""
     logits = logits.astype(jnp.float32)
-    logits = logits / jnp.maximum(temperature, 1e-6)
+    logits = logits / jnp.maximum(_per_row(temperature), 1e-6)
     if top_k is not None:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
@@ -191,7 +205,8 @@ def _mask_logits(logits, temperature, top_k, top_p):
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1) - probs  # exclusive cumsum
-        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True) - 1
+        cutoff_idx = jnp.sum(cum < _per_row(top_p), axis=-1,
+                             keepdims=True) - 1
         cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return logits
@@ -199,11 +214,21 @@ def _mask_logits(logits, temperature, top_k, top_p):
 
 def _draw(key, logits, temperature, top_k, top_p):
     """Sample `[B]` token ids from `[B, V]` logits; `temperature == 0`
-    is EXACT argmax (greedy), not a limit of the scaled distribution."""
+    is EXACT argmax (greedy), not a limit of the scaled distribution.
+    `key` is one key (batched categorical) or a `[B]` key array (one
+    independent stream per row — serving slots); `temperature`/`top_p`
+    may be per-row `[B]` (mixed greedy/sampled batches)."""
     masked = _mask_logits(logits, temperature, top_k, top_p)
-    sampled = jax.random.categorical(key, masked, axis=-1)
+    karr = jnp.asarray(key)
+    if (jax.dtypes.issubdtype(karr.dtype, jax.dtypes.prng_key)
+            and karr.ndim == 1):
+        sampled = jax.vmap(
+            lambda k, lg: jax.random.categorical(k, lg))(karr, masked)
+    else:
+        sampled = jax.random.categorical(key, masked, axis=-1)
     greedy = jnp.argmax(masked, axis=-1)
-    return jnp.where(temperature > 0, sampled, greedy)
+    return jnp.where(jnp.asarray(temperature, jnp.float32) > 0,
+                     sampled, greedy)
 
 
 @functools.lru_cache(maxsize=32)

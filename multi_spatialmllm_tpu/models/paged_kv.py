@@ -214,9 +214,11 @@ class PagedBatcher:
         if not self._extend_to(slot, t):
             return None
         true_len = np.int32(len(prompt_ids))
+        zero = jnp.zeros((), jnp.float32)
         first, row_caches = _prefill_one_fn(self.model, t)(
             self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
-            jnp.asarray(true_len))
+            jnp.asarray(true_len), zero, zero + 1.0,
+            jnp.zeros((), jnp.int32))
         n_write = -(-t // cfg.page_size)
         self.pools = _paged_insert_fn(self.model, cfg.page_size, n_write, t)(
             self.pools, row_caches,

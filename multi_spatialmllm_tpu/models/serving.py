@@ -12,6 +12,18 @@ eos. Outputs are bit-identical to running `greedy_generate` per request
 a previous occupant is always overwritten before the valid mask can
 admit it) — test-asserted.
 
+Per-request SAMPLING (`ServeConfig(sampling=True)` + a `SamplingParams`
+per request) draws each token with the key
+`fold_in(key(seed), position)` — a function of the request's seed and
+the ABSOLUTE position of the logits row only, so results are
+deterministic AND independent of slot assignment, chunk boundaries, and
+batch composition (test-asserted), and a preempted request restarted
+from prefill reproduces its stream. `temperature=0` rows take the exact
+argmax path, so mixed greedy/sampled batches keep greedy rows
+bit-identical to the all-greedy batcher. The default `sampling=False`
+compiles the plain argmax step (no per-step vocab sort for the nucleus
+cutoff).
+
 Throughput levers: one device dispatch per `chunk` decode steps for the
 whole batch, compiled callables cached per shape signature, and slots
 that finish early immediately start the next request instead of idling.
@@ -26,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .generate import decode_step, pad_to_bucket
+from .generate import _draw, decode_logits, pad_to_bucket
 from .llm import init_cache
 from .mllm import MultiFrameMLLM
 
@@ -38,20 +50,47 @@ class ServeConfig:
     max_new_tokens: int = 32
     chunk: int = 8                 # decode steps per device dispatch
     length_bucket: int = 128       # prefill shape bucketing
+    sampling: bool = False         # enable per-request SamplingParams
+    top_k: int | None = None       # static top-k when sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request decode knobs (ServeConfig.sampling=True).
+
+    temperature=0 (the default) is exact greedy; `seed` names the
+    request's reproducible draw stream (see module docstring)."""
+    temperature: float = 0.0
+    top_p: float = 1.0
+    seed: int = 0
+
+
+def _row_keys(seed, positions):
+    """One independent PRNG key per slot: fold the request seed with the
+    absolute position of the logits row being sampled."""
+    return jax.vmap(
+        lambda s, p: jax.random.fold_in(jax.random.key(s), p))(
+            seed, positions)
 
 
 @functools.lru_cache(maxsize=16)
-def _prefill_one_fn(model: MultiFrameMLLM, prompt_len: int):
+def _prefill_one_fn(model: MultiFrameMLLM, prompt_len: int,
+                    sampling: bool = False, top_k: int | None = None):
     """B=1 prefill at a bucketed prompt length -> (first token, caches)."""
 
-    def fn(params, ids, tiles, true_len):
+    def fn(params, ids, tiles, true_len, temperature, top_p, seed):
         caches = init_cache(model.cfg.llm, 1, prompt_len)
         logits, caches = model.apply(
             params, ids, tiles, caches, true_len,
             method=MultiFrameMLLM.prefill)
-        first = jnp.take_along_axis(
-            jnp.argmax(logits, axis=-1), (true_len - 1)[None, None],
-            axis=1)
+        last = jnp.take_along_axis(
+            logits, (true_len - 1)[None, None, None], axis=1)[:, 0]
+        if sampling:
+            keys = _row_keys(seed[None], (true_len - 1)[None])
+            first = _draw(keys, last, temperature[None], top_k,
+                          top_p[None])[:, None]
+        else:
+            first = jnp.argmax(last, axis=-1)[:, None]
         return first, caches
 
     return jax.jit(fn)
@@ -78,19 +117,18 @@ def _insert_slot_fn(model: MultiFrameMLLM, n_slots: int, max_len: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
-    """`chunk` greedy steps for every slot in one dispatch.
+def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
+                     sampling: bool = False, top_k: int | None = None):
+    """`chunk` decode steps for every slot in one dispatch.
 
     positions is `[B]` (per-slot cache index); returns the `[B, chunk]`
     tokens and updated caches/positions. Inactive slots decode whatever
     their cache holds — the host discards those tokens.
     """
 
-    def step(params, token, positions, caches):
-        return decode_step(model, params, token, positions, caches)
-
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def run(params, last_token, positions, caches):
+    def run(params, last_token, positions, caches, temperature, top_p,
+            seed):
         # normalize the carry: per-slot [B] cache indices, int32 tokens
         caches = [
             {"k": c["k"], "v": c["v"], "index": positions} for c in caches
@@ -99,7 +137,14 @@ def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
 
         def body(carry, _):
             token, positions, caches = carry
-            token, caches = step(params, token, positions, caches)
+            logits, caches = decode_logits(model, params, token,
+                                           positions, caches)
+            if sampling:
+                keys = _row_keys(seed, positions)
+                token = _draw(keys, logits, temperature, top_k,
+                              top_p)[:, None]
+            else:
+                token = jnp.argmax(logits, axis=-1)[:, None]
             return (token.astype(jnp.int32), positions + 1, caches), \
                 token[:, 0].astype(jnp.int32)
 
@@ -111,7 +156,8 @@ def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
 
 
 class ContinuousBatcher:
-    """Greedy serving over a fixed pool of decode slots."""
+    """Serving over a fixed pool of decode slots (greedy by default;
+    per-request sampling with ServeConfig(sampling=True))."""
 
     def __init__(self, model: MultiFrameMLLM, params,
                  config: ServeConfig | None = None,
@@ -126,33 +172,55 @@ class ContinuousBatcher:
         self.caches = init_cache(model.cfg.llm, cfg.slots, self.max_len)
         self.positions = np.zeros(cfg.slots, dtype=np.int32)
         self.last_token = np.zeros((cfg.slots, 1), dtype=np.int32)
+        self.temperature = np.zeros(cfg.slots, dtype=np.float32)
+        self.top_p = np.ones(cfg.slots, dtype=np.float32)
+        self.seed = np.zeros(cfg.slots, dtype=np.int32)
 
-    def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles):
+    @staticmethod
+    def _unpack(request):
+        if len(request) == 3:
+            ids, tiles, sp = request
+        else:
+            (ids, tiles), sp = request, SamplingParams()
+        return ids, tiles, sp
+
+    def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles,
+                      sp: SamplingParams):
         cfg = self.config
+        assert cfg.sampling or (sp.temperature == 0.0), \
+            "pass ServeConfig(sampling=True) to use SamplingParams"
         ids = pad_to_bucket(prompt_ids[None], cfg.length_bucket,
                             self.pad_id)
         t = ids.shape[1]
         assert t <= cfg.max_prompt_len, (t, cfg.max_prompt_len)
         true_len = np.int32(len(prompt_ids))
-        first, row_caches = _prefill_one_fn(self.model, t)(
-            self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
-            jnp.asarray(true_len))
+        first, row_caches = _prefill_one_fn(
+            self.model, t, cfg.sampling, cfg.top_k)(
+                self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
+                jnp.asarray(true_len),
+                jnp.asarray(sp.temperature, jnp.float32),
+                jnp.asarray(sp.top_p, jnp.float32),
+                jnp.asarray(sp.seed, jnp.int32))
         self.caches = _insert_slot_fn(
             self.model, cfg.slots, self.max_len, t)(
                 self.caches, row_caches, jnp.asarray(slot, jnp.int32))
         self.positions[slot] = int(true_len)
         self.last_token[slot, 0] = int(first[0, 0])
+        self.temperature[slot] = sp.temperature
+        self.top_p[slot] = sp.top_p
+        self.seed[slot] = sp.seed
         return int(first[0, 0])
 
     def generate_all(self, requests) -> list[np.ndarray]:
-        """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3]).
-        Returns generated token arrays (cut at eos, <= max_new_tokens),
-        in request order."""
+        """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3])
+        or (prompt_ids, tiles, SamplingParams). Returns generated token
+        arrays (cut at eos, <= max_new_tokens), in request order."""
         cfg = self.config
         queue = list(enumerate(requests))
         results: dict[int, list[int]] = {}
         slot_req = [-1] * cfg.slots      # request id per slot (-1 = free)
-        decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk)
+        decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk,
+                                  cfg.sampling, cfg.top_k)
 
         def finished(rid):
             toks = results[rid]
@@ -162,8 +230,9 @@ class ContinuousBatcher:
         while queue or any(r >= 0 for r in slot_req):
             for slot in range(cfg.slots):
                 if slot_req[slot] < 0 and queue:
-                    rid, (prompt_ids, tiles) = queue.pop(0)
-                    first = self._prefill_into(slot, prompt_ids, tiles)
+                    rid, request = queue.pop(0)
+                    ids, tiles, sp = self._unpack(request)
+                    first = self._prefill_into(slot, ids, tiles, sp)
                     slot_req[slot] = rid
                     results[rid] = [first]
                     if finished(rid):
@@ -172,7 +241,9 @@ class ContinuousBatcher:
                 continue
             toks, last, positions, self.caches = decode(
                 self.params, jnp.asarray(self.last_token),
-                jnp.asarray(self.positions), self.caches)
+                jnp.asarray(self.positions), self.caches,
+                jnp.asarray(self.temperature), jnp.asarray(self.top_p),
+                jnp.asarray(self.seed))
             toks = np.asarray(toks)
             # writable copies: host mutates per-slot state on refill
             self.last_token = np.array(last)

@@ -137,6 +137,98 @@ class TestSampling:
                                       np.asarray(sampled))
 
 
+class TestServingSampling:
+    """Per-request sampling in the continuous batcher: mixed
+    greedy/sampled batches, and draw streams keyed by (seed, position)
+    so results are independent of slot assignment, chunking, and batch
+    composition."""
+
+    @staticmethod
+    def _setup(n=5, seed=5):
+        from multi_spatialmllm_tpu.models.serving import SamplingParams
+
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), b0["input_ids"],
+                            b0["tiles"])
+        t_img = cfg.tokens_per_tile
+        rng = np.random.default_rng(seed)
+        requests = []
+        sps = [SamplingParams(),                       # greedy
+               SamplingParams(temperature=5.0, seed=7),
+               SamplingParams(),                       # greedy
+               SamplingParams(temperature=5.0, seed=7),  # same seed
+               SamplingParams(temperature=5.0, seed=8)]
+        for i, L in enumerate((40, 40, 48, 40, 44)[:n]):
+            ids = rng.integers(10, cfg.llm.vocab_size,
+                               size=L).astype(np.int32)
+            ids[1:1 + t_img] = cfg.img_context_id
+            tiles = np.asarray(jax.random.normal(
+                jax.random.key(100 + i),
+                (1, cfg.vit.image_size, cfg.vit.image_size, 3),
+                dtype=jnp.float32))
+            requests.append((ids, tiles, sps[i]))
+        if n > 3:
+            # requests 1 and 3: identical prompt/tiles/params ->
+            # identical streams (position-keyed draws)
+            requests[3] = (requests[1][0], requests[1][1], sps[3])
+        return cfg, model, params, requests
+
+    def test_mixed_batch_and_slot_invariance(self):
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+        from multi_spatialmllm_tpu.models.generate import greedy_generate
+
+        cfg, model, params, requests = self._setup()
+        got = ContinuousBatcher(
+            model, params,
+            ServeConfig(slots=3, max_prompt_len=64, max_new_tokens=6,
+                        chunk=2, length_bucket=64, sampling=True),
+            pad_id=0, eos_id=2).generate_all(requests)
+        # greedy rows equal per-request greedy_generate
+        for rid in (0, 2):
+            ids, tiles, _ = requests[rid]
+            prompt = pad_to_bucket(ids[None], 64, 0)
+            want = np.asarray(greedy_generate(
+                model, params, jnp.asarray(prompt),
+                jnp.asarray(tiles[None]), max_new_tokens=6, eos_id=2,
+                prompt_len=len(ids)))[0]
+            if 2 in want:
+                want = want[: int(np.where(want == 2)[0][0])]
+            np.testing.assert_array_equal(got[rid], want)
+        # same seed + same prompt -> identical sampled stream
+        np.testing.assert_array_equal(got[1], got[3])
+        # different slot/chunk geometry -> identical results
+        got2 = ContinuousBatcher(
+            model, params,
+            ServeConfig(slots=1, max_prompt_len=64, max_new_tokens=6,
+                        chunk=3, length_bucket=64, sampling=True),
+            pad_id=0, eos_id=2).generate_all(requests)
+        for a, b in zip(got, got2):
+            np.testing.assert_array_equal(a, b)
+
+    def test_sampling_guard(self):
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            SamplingParams,
+            ServeConfig,
+        )
+
+        cfg, model, params, requests = self._setup(n=1)
+        ids, tiles, _ = requests[0]
+        batcher = ContinuousBatcher(
+            model, params,
+            ServeConfig(slots=1, max_prompt_len=64, max_new_tokens=4,
+                        chunk=2, length_bucket=64),  # sampling off
+            pad_id=0, eos_id=2)
+        with pytest.raises(AssertionError, match="sampling"):
+            batcher.generate_all(
+                [(ids, tiles, SamplingParams(temperature=1.0))])
+
+
 class TestRunEval:
     def test_end_to_end_scoring(self, rng):
         from multi_spatialmllm_tpu.models.runner import (
