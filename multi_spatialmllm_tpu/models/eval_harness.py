@@ -67,6 +67,12 @@ def extract_answer(text: str):
 class ScoreConfig:
     # |pred - gt| <= rel_tol * |gt| counts as correct for numeric answers
     # (plus an absolute floor for near-zero ground truths).
+    #
+    # These defaults (10% relative, 10 mm floor) are THIS REPO'S scoring
+    # convention, not values from the Multi-SpatialMLLM paper — the
+    # paper reports accuracy per benchmark with its own per-task
+    # protocols; override per evaluation when reproducing a published
+    # number.
     rel_tol: float = 0.10
     abs_floor: float = 10.0  # mm
 

@@ -35,6 +35,9 @@ class LLMConfig:
     max_seq_len: int = 8192
     dtype: str = "bfloat16"
     use_flash_attention: bool = False  # Pallas fwd + recompute bwd (TPU)
+    remat: bool = False  # checkpoint each decoder layer (activation
+    #   memory drops from O(layers) to O(1) residuals at ~1/3 extra
+    #   FLOPs — the standard HBM/FLOPs trade for big models on TPU)
 
     @property
     def head_dim(self) -> int:
@@ -263,7 +266,11 @@ class DecoderLM(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         self.embed_table = nn.Embed(cfg.vocab_size, cfg.hidden_size,
                                     dtype=dtype, name="embed")
-        self.layers = [DecoderLayer(cfg, name=f"layer_{i}")
+        # remat: recompute each layer's activations in the backward
+        # instead of saving them (decode-path applies take no grads, so
+        # the checkpoint is inert there)
+        layer_cls = nn.remat(DecoderLayer) if cfg.remat else DecoderLayer
+        self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
         self.final_norm = RMSNorm(cfg.norm_eps, name="final_norm")
         self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=dtype,

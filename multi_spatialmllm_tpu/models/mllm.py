@@ -174,6 +174,23 @@ def tiny_config(**overrides) -> MLLMConfig:
     return MLLMConfig(vit=vit, llm=llm, **overrides)
 
 
+def bench_1chip_config() -> MLLMConfig:
+    """Flagship-SHAPED config sized for a full AdamW train step on ONE
+    v5e (16 GB HBM): f32 params + Adam moments + grads cost ~16 B/param,
+    bounding the model to ~700M params. Same architecture family and
+    kernel paths as flagship_config (GQA 2:1, SwiGLU, flash kernels,
+    hd=128 so the paged decode kernel engages), with remat so the
+    activation footprint stays O(1) layers. This is the config behind
+    bench.py's `model` block (train tokens/s + MFU, serve tokens/s)."""
+    vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
+                    num_layers=6, num_heads=16, use_flash_attention=True,
+                    remat=True)
+    llm = LLMConfig(vocab_size=32000, hidden_size=2048, num_layers=8,
+                    num_heads=16, num_kv_heads=8, ffn_size=8192,
+                    max_seq_len=4096, use_flash_attention=True, remat=True)
+    return MLLMConfig(vit=vit, llm=llm)
+
+
 def flagship_config() -> MLLMConfig:
     """InternVL2-8B-like shape (InternViT-300M + 7-8B decoder).
 

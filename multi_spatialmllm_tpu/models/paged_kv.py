@@ -290,6 +290,15 @@ class PagedBatcher:
             toks = np.asarray(toks)
             self.last_token = np.array(last)
             self.positions = np.array(positions)
+            # idle slots decode into the sink page but their positions
+            # still advance by `chunk` each dispatch; re-zero them so a
+            # long pool-dry stretch cannot walk index//page_size past
+            # the slot's page-table row (out-of-window scalar reads in
+            # the paged kernel).
+            for slot in range(cfg.slots):
+                if slot_req[slot] < 0:
+                    self.positions[slot] = 0
+                    self.last_token[slot, 0] = 0
             for slot in range(cfg.slots):
                 rid = slot_req[slot]
                 if rid < 0:

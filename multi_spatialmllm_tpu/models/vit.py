@@ -27,6 +27,7 @@ class ViTConfig:
     norm_eps: float = 1e-6
     dtype: str = "bfloat16"
     use_flash_attention: bool = False  # Pallas kernels on TPU (see below)
+    remat: bool = False  # checkpoint each block (see LLMConfig.remat)
 
     @property
     def num_patches(self) -> int:
@@ -105,6 +106,7 @@ class VisionTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (1, 1 + cfg.num_patches, cfg.hidden_size))
         x = x + pos.astype(dtype)
+        block_cls = nn.remat(ViTBlock) if cfg.remat else ViTBlock
         for i in range(cfg.num_layers):
-            x = ViTBlock(cfg, name=f"block_{i}")(x)
+            x = block_cls(cfg, name=f"block_{i}")(x)
         return x

@@ -160,10 +160,27 @@ def _flash_fwd_kernel(
 def _seg_rows(segment_ids, b, s):
     """`[B, S]` segment ids (or None) -> ([b, 1, s] int32, segmented flag).
     A zero row keeps one code path; the `segmented` static flag removes
-    the mask logic entirely from the unsegmented kernels."""
+    the mask logic entirely from the unsegmented kernels.
+
+    The kernels' prefix/suffix block-skip counts require ids to be
+    NONDECREASING per row, but callers use two pad conventions that are
+    only contiguous, not monotone: pack_samples emits trailing pads as
+    id 0 after the 1-based segments (models/data.py), and the ViT path
+    leads with real tokens as id 0 before pad id 1. Trailing zeros made
+    the skip logic misattribute pad blocks to the PREFIX skip and drop
+    real kv blocks. Normalize every row to its run index (cumsum of
+    change points): any contiguous-run layout becomes a nondecreasing
+    1,2,3,... relabeling, and the equality mask — all that the math uses —
+    is invariant under it. (Rows whose equal ids sit in SEPARATED runs
+    were always outside the kernels' contract.)"""
     if segment_ids is None:
         return jnp.zeros((b, 1, s), dtype=jnp.int32), False
-    return segment_ids.astype(jnp.int32).reshape(b, 1, s), True
+    seg = segment_ids.astype(jnp.int32)
+    changed = jnp.concatenate(
+        [jnp.ones_like(seg[..., :1], dtype=bool),
+         seg[..., 1:] != seg[..., :-1]], axis=-1)
+    seg = jnp.cumsum(changed.astype(jnp.int32), axis=-1)
+    return seg.reshape(b, 1, s), True
 
 
 def _flash_fwd(q, k, v, causal, sm_scale, block_q, block_k,
@@ -839,16 +856,19 @@ def _block_for(s: int, causal: bool) -> int:
     return 128
 
 
-def _xl_block(s: int, rep: int = 1) -> int:
+def _xl_block(s: int, rep: int = 1) -> int | None:
     """Widest streaming block dividing s (wider blocks cut the XL path's
     K/V re-fetch traffic AND its per-block overhead — 1024 measured
     1.43x over 512 at S=16K MHA), bounded so the dkv kernel's
     double-buffered (rep, block, d) q/do blocks stay within VMEM
-    (1024-wide blocks failed to compile at rep 8)."""
+    (1024-wide blocks failed to compile at rep 8). Returns None when no
+    dividing block is VMEM-safe (e.g. extreme GQA ratios with s only
+    divisible by 128) — callers fall back to the XLA reference via
+    `_kernel_ok`."""
     for b in (1024, 512, 256, 128):
         if s % b == 0 and b * max(rep, 1) <= 4096:
             return b
-    raise AssertionError(s)
+    return None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -890,9 +910,13 @@ def _resident_ok(q, k) -> bool:
 
 def _kernel_ok(q, k) -> bool:
     s, d = q.shape[2], q.shape[3]
-    return s >= 128 and s % 128 == 0 and d % 8 == 0 \
-        and q.shape[1] % k.shape[1] == 0 \
-        and jax.default_backend() == "tpu"
+    if not (s >= 128 and s % 128 == 0 and d % 8 == 0
+            and q.shape[1] % k.shape[1] == 0
+            and jax.default_backend() == "tpu"):
+        return False
+    # non-resident shapes additionally need a VMEM-safe streaming block
+    return _resident_ok(q, k) \
+        or _xl_block(s, q.shape[1] // k.shape[1]) is not None
 
 
 def _tfa_fwd(q, k, v, causal):

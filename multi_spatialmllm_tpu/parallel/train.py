@@ -146,6 +146,43 @@ def make_train_step(model: MultiFrameMLLM,
     )
 
 
+def make_chained_train_step(model: MultiFrameMLLM,
+                            tx: optax.GradientTransformation,
+                            mesh: Mesh, n_steps: int) -> Callable:
+    """`n_steps` full train steps (grads + optimizer + param update)
+    chained inside ONE jit via `lax.scan` — the measurement harness for
+    per-step timing through the dev tunnel's 30-50 ms dispatch RTT
+    (amortized over the chain; see scripts/profiles/_train_drive.py).
+    The batch is reused across the chained steps; each step's work is
+    exactly `make_train_step`'s. Returns (params, opt_state, losses[n])."""
+
+    def loss_of(params, batch):
+        logits = model.apply(params, batch["input_ids"], batch["tiles"],
+                             positions=batch.get("positions"),
+                             segment_ids=batch.get("segment_ids"))
+        return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
+
+    def run(params, opt_state, batch):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_of)(params, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps)
+        return params, opt_state, losses
+
+    batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        run,
+        in_shardings=(None, None, batch_sharding),
+        out_shardings=(None, None, NamedSharding(mesh, P())),
+        donate_argnums=(0, 1),
+    )
+
+
 def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
     """Orbax checkpoint save (artifact-level resume, SURVEY.md §5.4)."""
     import orbax.checkpoint as ocp

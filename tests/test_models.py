@@ -170,6 +170,41 @@ class TestMLLM:
         out2 = model.apply(params, batch["input_ids"], batch["tiles"] + 1.0)
         assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
+    def test_remat_matches_plain_loss_and_grads(self):
+        """LLMConfig.remat / ViTConfig.remat checkpoint each layer: the
+        param tree, loss, and gradients must match the plain model (same
+        math, recomputed activations)."""
+        import dataclasses as dc
+
+        cfg = M.tiny_config()
+        rcfg = M.MLLMConfig(
+            vit=dc.replace(cfg.vit, remat=True),
+            llm=dc.replace(cfg.llm, remat=True),
+            img_context_id=cfg.img_context_id)
+        batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=48)
+
+        def loss_of(model):
+            m = M.MultiFrameMLLM(model)
+            params = m.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+
+            def f(p):
+                logits = m.apply(p, batch["input_ids"], batch["tiles"])
+                return cross_entropy_loss(logits[:, :-1],
+                                          batch["labels"][:, 1:])
+
+            return params, jax.value_and_grad(f)(params)
+
+        p0, (l0, g0) = loss_of(cfg)
+        p1, (l1, g1) = loss_of(rcfg)
+        assert jax.tree_util.tree_structure(p0) == \
+            jax.tree_util.tree_structure(p1)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+
     def test_pixel_shuffle(self):
         x = jnp.arange(1 * 16 * 4, dtype=jnp.float32).reshape(1, 16, 4)
         y = M.pixel_shuffle(x, grid=4, factor=2)

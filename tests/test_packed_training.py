@@ -344,6 +344,61 @@ class TestSegmentedFlashKernels:
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv),
                                    atol=2e-4)
 
+    @pytest.mark.parametrize("kvh", [2, 1])
+    def test_trailing_pad_zero_segment_row(self, kvh):
+        """Regression: pack_samples emits trailing pads as segment id 0
+        AFTER the 1-based real segments ([1,..,2,..,0,0]) — a
+        non-monotone row that used to poison the resident kernels'
+        prefix/suffix block-skip counts (pad blocks counted into the
+        prefix skip -> real kv blocks dropped; fwd error ~3, dk ~1e2).
+        _seg_rows now normalizes rows to run indices; full arrays must
+        match the XLA reference on the RAW ids (the equality mask is
+        relabel-invariant)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops import attention as A
+        from multi_spatialmllm_tpu.ops.attention import reference_attention
+
+        s = 256
+        q, k, v, g = self._data(s, kvh, key0=30)
+        # pack_samples shape: 1-based segments then trailing pad zeros,
+        # with the pad run covering the last block entirely and part of
+        # the one before (both skip bounds exercised)
+        seg = np.concatenate([np.full(72, 1), np.full(40, 2),
+                              np.zeros(144)]).astype(np.int32)[None]
+        sm = 64 ** -0.5
+        with pltpu.force_tpu_interpret_mode():
+            o, lse = A._flash_fwd(q, k, v, True, sm, 128, 128,
+                                  segment_ids=jnp.asarray(seg))
+            dq, dk, dv = A._flash_bwd(q, k, v, o, lse, g, True, sm,
+                                      128, 128,
+                                      segment_ids=jnp.asarray(seg))
+            oxl, _ = A._flash_fwd_xl(q, k, v, True, sm, 128, 128,
+                                     segment_ids=jnp.asarray(seg))
+            dqx, dkx, dvx = A._flash_bwd_xl(q, k, v, o, lse, g, True, sm,
+                                            128, 128,
+                                            segment_ids=jnp.asarray(seg))
+        ref, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(
+                q_, k_, v_, causal=True, segment_ids=jnp.asarray(seg)),
+            q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        for got, want, tol in [(o, ref, 2e-5), (oxl, ref, 2e-5),
+                               (dq, rdq, 2e-4), (dk, rdk, 2e-4),
+                               (dv, rdv, 2e-4), (dqx, rdq, 2e-4),
+                               (dkx, rdk, 2e-4), (dvx, rdv, 2e-4)]:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=tol)
+
+    def test_xl_block_returns_none_when_no_vmem_safe_block(self):
+        """Extreme GQA ratios with s only divisible by 128 have no
+        VMEM-safe streaming block: _xl_block signals None (callers then
+        fail _kernel_ok and take the XLA reference) instead of raising."""
+        from multi_spatialmllm_tpu.ops import attention as A
+
+        assert A._xl_block(384, 64) is None
+        assert A._xl_block(4096, 4) in (512, 1024)
+
     def test_vit_flash_flag_matches_unpadded_path(self):
         """ViT forward with use_flash_attention (off-TPU: the masked XLA
         fallback over the pad-extended row) equals the plain path."""

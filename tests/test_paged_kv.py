@@ -81,7 +81,7 @@ def _expected(model, params, requests, eos, max_new):
 class TestPagedDecodeKernel:
     """Pallas paged-attention decode kernel vs the XLA gather path
     (interpret mode on CPU; the same kernel runs compiled on TPU —
-    _paged_drive.py)."""
+    scripts/profiles/_paged_drive.py)."""
 
     @staticmethod
     def _window_reference(q, kp, vp, pt, idx):
