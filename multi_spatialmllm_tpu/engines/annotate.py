@@ -126,7 +126,13 @@ class DirImageProvider:
 
 
 class SyntheticImageProvider:
-    """Deterministic pseudo-images for tests/benchmarks (no dataset)."""
+    """Deterministic pseudo-images for tests/benchmarks (no dataset).
+
+    Frames are CAMERA-LIKE (smooth gradients + blocky structure + mild
+    sensor noise), not uniform noise: JPEG encode cost scales with
+    entropy, and the reference's published rates are measured on real
+    ScanNet frames — benchmarking the annotated engines on pure noise
+    would overstate their encode cost ~2x against that baseline."""
 
     def __init__(self, image_hw: tuple[int, int], cache_entries: int = 256):
         self.image_hw = image_hw
@@ -137,7 +143,20 @@ class SyntheticImageProvider:
             h, w = self.image_hw
             seed = abs(hash((scene_id, image_id))) % (2**32)
             rng = np.random.default_rng(seed)
-            return rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            a, b, c = rng.integers(2, 7, size=3)
+            img = np.stack([(yy // a + xx // b) % 256,
+                            (xx // c) % 256,
+                            ((yy + xx) // (a + b)) % 256], -1).astype(np.int16)
+            # a few flat rectangles (furniture/wall patches)
+            for _ in range(6):
+                y0 = int(rng.integers(0, h)); x0 = int(rng.integers(0, w))
+                hh = int(rng.integers(h // 8, h // 2))
+                ww = int(rng.integers(w // 8, w // 2))
+                img[y0:y0 + hh, x0:x0 + ww] = rng.integers(0, 256, size=3)
+            img += rng.integers(-8, 8, size=img.shape, dtype=np.int16)
+            return np.ascontiguousarray(
+                img.clip(0, 255).astype(np.uint8))
 
         return self._cache.get_or_load((scene_id, image_id), load)
 
@@ -152,6 +171,171 @@ def save_annotated(image: np.ndarray, image_output_dir: str,
     mkdir_or_exist(os.path.dirname(full))
     cv2.imwrite(full, image)
     return relative_path
+
+
+class AnnotatedJpegWriter:
+    """Draw + encode + write for the dot engines, with the native JPEG
+    splice encoder when available.
+
+    The reference re-encodes a full JPEG per annotated sample
+    (depth_estimation_dot_engine.py:162-173); encode dominates its rate.
+    The native path (ingest/native/src/jpeg_encode.cpp) amortizes that:
+    each SOURCE frame is encoded once into byte-aligned per-MCU-row
+    segments (restart markers), and each sample re-encodes only the
+    ~2-4 rows its circle/letters touch — 3-6x per-sample on one core,
+    more with threads. Encoded bytes come from this repo's baseline
+    encoder, NOT cv2/libjpeg-turbo: decoded pixels match cv2's quality-95
+    output (test-asserted pixel parity, tests/test_jpeg_native.py) but
+    the byte streams differ. Set `use_native=False` (or leave the native
+    lib unbuilt) for the cv2 fallback, which writes exactly what the
+    reference would.
+    """
+
+    # ONE process-wide prepared-frame cache: campaigns reuse source frames
+    # across samples, engine calls, and engines (estimation + comparison +
+    # correspondence all annotate the same posed_images), so the per-frame
+    # prepare cost amortizes across all of them. Bounded (native handles
+    # hold ~0.1-0.4 MB of row segments each); thread-safe.
+    _shared_cache = None
+
+    @classmethod
+    def _shared(cls):
+        if cls._shared_cache is None:
+            from ..ingest.native import JpegSpliceCache
+
+            cls._shared_cache = JpegSpliceCache(max_entries=256)
+        return cls._shared_cache
+
+    def __init__(self, image_provider: ImageProvider,
+                 image_output_dir: str, use_native: bool | None = None):
+        from ..ingest.native import jpeg_available
+
+        self.provider = image_provider
+        self.out_dir = image_output_dir
+        enabled = jpeg_available() if use_native is None else use_native
+        self._splice = self._shared() if enabled else None
+
+    @staticmethod
+    def _text_extent(y: int, text_offset=(15, 15), font_scale=1.0,
+                     thickness=2) -> tuple[int, int]:
+        import cv2
+
+        (tw, th), baseline = cv2.getTextSize(
+            "A", cv2.FONT_HERSHEY_SIMPLEX, font_scale, thickness)
+        base_y = y + text_offset[1]
+        return base_y - th - thickness, base_y + baseline + thickness
+
+    def write_dot(self, scene_id: str, image_id: str, xy, color,
+                  rel_path: str, radius: int = 10) -> None:
+        base = self.provider(scene_id, image_id)
+        y = int(xy[1])
+        y0, y1 = y - radius - 1, y + radius + 2
+
+        def draw(img, dy):
+            draw_dot(img, (int(xy[0]), y - dy), color, radius)
+
+        self._draw_and_save(scene_id, image_id, base, draw, y0, y1,
+                            rel_path)
+
+    def write_lettered_dots(self, scene_id: str, image_id: str,
+                            dots, rel_path: str, radius: int = 10,
+                            text_offset=(15, 15)) -> None:
+        """`dots`: iterable of (xy, letter, color); one output image."""
+        dots = list(dots)
+        base = self.provider(scene_id, image_id)
+        spans = []
+        for xy, letter, color in dots:
+            y = int(xy[1])
+            ty0, ty1 = self._text_extent(y, text_offset)
+            spans.append((min(y - radius - 1, ty0 - 1),
+                          max(y + radius + 2, ty1 + 1)))
+
+        def draw(img, dy):
+            for xy, letter, color in dots:
+                draw_lettered_dot(img, (int(xy[0]), int(xy[1]) - dy),
+                                  letter, color, radius,
+                                  text_offset=text_offset)
+
+        if len(dots) > 1 and self._splice is not None:
+            # scattered dots: full-frame draw + per-row dirty mask (the
+            # span between the topmost and bottommost dot would cover
+            # most of the frame)
+            img = base.copy()
+            draw(img, 0)
+            buf = self._splice.encode_rows(
+                self._cache_key(scene_id, image_id, base), base, img,
+                spans)
+            if buf is not None:
+                full = os.path.join(self.out_dir, rel_path)
+                mkdir_or_exist(os.path.dirname(full))
+                with open(full, "wb") as f:
+                    f.write(buf)
+                return
+            save_annotated(img, self.out_dir, rel_path)
+            return
+        y0 = min(s[0] for s in spans)
+        y1 = max(s[1] for s in spans)
+        self._draw_and_save(scene_id, image_id, base, draw, y0, y1,
+                            rel_path)
+
+    def _draw_and_save(self, scene_id, image_id, base, draw, y0, y1,
+                       rel_path) -> None:
+        """Fast path: copy only the dirty MCU-row band, draw with the
+        band's y offset, and splice-encode it (the native side only reads
+        those rows). The band shares its top/bottom edge with the image
+        exactly when the annotation is clamped there, so cv2's clipping
+        semantics are identical to a full-frame draw. Falls back to a
+        whole-frame draw + encode when the native engine is off."""
+        h = base.shape[0]
+        if self._splice is not None:
+            r0 = max(0, int(y0)) // 16
+            r1 = min((int(y1) + 15) // 16, (h + 15) // 16)
+            lo, hi = r0 * 16, min(r1 * 16, h)
+            if hi > lo:
+                band = base[lo:hi].copy()
+                draw(band, lo)
+                buf = self._splice.encode_band(
+                    self._cache_key(scene_id, image_id, base), base, band,
+                    lo, y0, y1)
+                if buf is not None:
+                    full = os.path.join(self.out_dir, rel_path)
+                    mkdir_or_exist(os.path.dirname(full))
+                    with open(full, "wb") as f:
+                        f.write(buf)
+                    return
+        img = base.copy()
+        draw(img, 0)
+        self._save(scene_id, image_id, base, img, y0, y1, rel_path)
+
+    @staticmethod
+    def _cache_key(scene_id, image_id, base) -> tuple:
+        """Process-wide cache key: ids alone could collide across
+        providers (tests build several synthetic stores with the same
+        scene ids), so include the shape and a sampled-content CRC."""
+        import zlib
+
+        return (scene_id, image_id, base.shape,
+                zlib.crc32(np.ascontiguousarray(base[::97]).tobytes()))
+
+    def _save(self, scene_id, image_id, base, img, y0, y1,
+              rel_path) -> None:
+        if self._splice is None:
+            save_annotated(img, self.out_dir, rel_path)
+            return
+        buf = self._splice.encode(self._cache_key(scene_id, image_id, base),
+                                  base, img, y0, y1)
+        if buf is None:  # native refused (e.g. alloc): cv2 fallback
+            save_annotated(img, self.out_dir, rel_path)
+            return
+        full = os.path.join(self.out_dir, rel_path)
+        mkdir_or_exist(os.path.dirname(full))
+        with open(full, "wb") as f:
+            f.write(buf)
+
+    def close(self) -> None:
+        # the prepared-frame cache is process-wide (see _shared) — it
+        # outlives individual writers on purpose; nothing to free here.
+        pass
 
 
 class AnnotationPool:

@@ -38,12 +38,10 @@ from ..core.scene import Scene, SceneStore
 from ..core.synthetic import np_project_points
 from ..stages.visibility import VisibilityIndex
 from .annotate import (
+    AnnotatedJpegWriter,
     AnnotationPool,
     ImageProvider,
-    draw_dot,
-    draw_lettered_dot,
     generate_distinct_colors,
-    save_annotated,
 )
 from .base import (
     EngineOutputs,
@@ -193,6 +191,8 @@ def _depth_estimation_columns(
     scene_ids, quota = _scene_plan(store.scene_ids(),
                                    config.all_max_samples, rng)
     pool = AnnotationPool()
+    writer = (AnnotatedJpegWriter(image_provider, image_output_dir)
+              if image_provider is not None and image_output_dir else None)
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -230,17 +230,14 @@ def _depth_estimation_columns(
                 t_idx = int(rng.integers(len(banks[0])))
                 q_idx = int(rng.integers(len(banks[1])))
                 a_idx = int(rng.integers(len(banks[2])))
-                if variant == "dot" and image_provider is not None \
-                        and image_output_dir:
+                if variant == "dot" and writer is not None:
                     color = generate_distinct_colors(1, rng)[0]
 
                     rel = f"{sid}/{image_id}_p{point}_annotated.jpg"
 
                     def task(sid=sid, image_id=image_id, x=int(x_px),
                              y=int(y_px), color=color, rel=rel):
-                        img = image_provider(sid, image_id).copy()
-                        draw_dot(img, (x, y), color)
-                        save_annotated(img, image_output_dir, rel)
+                        writer.write_dot(sid, image_id, (x, y), color, rel)
 
                     pool.submit(task, key=rel)
                 cols["sid"].append(sid)
@@ -257,6 +254,8 @@ def _depth_estimation_columns(
                 cols["q_idx"].append(q_idx)
                 cols["a_idx"].append(a_idx)
     pool.close()
+    if writer is not None:
+        writer.close()
     cols["n"] = len(cols["sid"])
     cols["variant"] = variant
     return cols
@@ -403,6 +402,8 @@ def generate_depth_estimation(
     scene_ids, quota = _scene_plan(store.scene_ids(), config.all_max_samples, rng)
     samples: list[dict] = []
     pool = AnnotationPool()
+    writer = (AnnotatedJpegWriter(image_provider, image_output_dir)
+              if image_provider is not None and image_output_dir else None)
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -447,15 +448,14 @@ def generate_depth_estimation(
                     question = choice(rng, T.EST_QUESTIONS_DOT)
                     answer = choice(rng, T.EST_ANSWERS_DOT).format(depth=depth)
                     image_rel = f"{sid}/{image_id}_p{point}_annotated.jpg"
-                    if image_provider is not None and image_output_dir:
+                    if writer is not None:
                         color = generate_distinct_colors(1, rng)[0]
 
                         def task_fn(sid=sid, image_id=image_id,
                                     x=int(x_px), y=int(y_px),
                                     color=color, image_rel=image_rel):
-                            img = image_provider(sid, image_id).copy()
-                            draw_dot(img, (x, y), color)
-                            save_annotated(img, image_output_dir, image_rel)
+                            writer.write_dot(sid, image_id, (x, y), color,
+                                             image_rel)
 
                         pool.submit(task_fn, key=image_rel)
 
@@ -472,6 +472,8 @@ def generate_depth_estimation(
                 })
 
     pool.close()
+    if writer is not None:
+        writer.close()
     samples = subsample(samples, config.all_max_samples, rng)
     if eval_mode:
         samples = [to_eval_sample(s, keep_conversations=True)
@@ -533,6 +535,8 @@ def generate_depth_comparison_to_jsonl(
     scene_ids, quota = _scene_plan(store.scene_ids(),
                                    config.all_max_samples, rng)
     pool = AnnotationPool()
+    writer = (AnnotatedJpegWriter(image_provider, image_output_dir)
+              if image_provider is not None and image_output_dir else None)
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -595,7 +599,7 @@ def generate_depth_comparison_to_jsonl(
                 # target's letter: 0 = "A", 1 = "B"
                 tgt_is_p1 = target is p1
                 gt_l = (0 if (l1 if tgt_is_p1 else l2) == "A" else 1)
-                if dot and image_provider is not None and image_output_dir:
+                if dot and writer is not None:
                     draws = []
                     for i, info in enumerate(shuffled):
                         color = tuple(int(c) for c in rng.integers(0, 256, 3))
@@ -606,10 +610,8 @@ def generate_depth_comparison_to_jsonl(
 
                     def task_fn(sid=sid, image_id=image_id, draws=draws,
                                 image_rel=image_rel):
-                        img = image_provider(sid, image_id).copy()
-                        for coords, letter, color in draws:
-                            draw_lettered_dot(img, coords, letter, color)
-                        save_annotated(img, image_output_dir, image_rel)
+                        writer.write_lettered_dots(sid, image_id, draws,
+                                                   image_rel)
 
                     pool.submit(task_fn, key=image_rel)
                 row = {
@@ -629,6 +631,8 @@ def generate_depth_comparison_to_jsonl(
                 for k in keys:
                     cols[k].append(row[k])
     pool.close()
+    if writer is not None:
+        writer.close()
 
     n = len(cols["sid"])
     p = EmitProgram(n)
@@ -757,6 +761,8 @@ def generate_depth_comparison(
     scene_ids, quota = _scene_plan(store.scene_ids(), config.all_max_samples, rng)
     samples: list[dict] = []
     pool = AnnotationPool()
+    writer = (AnnotatedJpegWriter(image_provider, image_output_dir)
+              if image_provider is not None and image_output_dir else None)
     for sid in scene_ids:
         scene = store.get(sid)
         h, w = scene.image_hw
@@ -840,7 +846,7 @@ def generate_depth_comparison(
                     gt_value = target["letter"]
                     pid0, pid1 = pair[0]["point_id"], pair[1]["point_id"]
                     image_rel = f"{sid}/{image_id}_p{pid0}_p{pid1}_annotated.jpg"
-                    if image_provider is not None and image_output_dir:
+                    if writer is not None:
                         draws = [
                             (info["coords"], info["letter"],
                              tuple(int(c) for c in rng.integers(0, 256, 3)))
@@ -849,10 +855,8 @@ def generate_depth_comparison(
 
                         def task_fn(sid=sid, image_id=image_id,
                                     draws=draws, image_rel=image_rel):
-                            img = image_provider(sid, image_id).copy()
-                            for coords, letter, color in draws:
-                                draw_lettered_dot(img, coords, letter, color)
-                            save_annotated(img, image_output_dir, image_rel)
+                            writer.write_lettered_dots(sid, image_id, draws,
+                                                       image_rel)
 
                         pool.submit(task_fn, key=image_rel)
 
@@ -874,6 +878,8 @@ def generate_depth_comparison(
                 })
 
     pool.close()
+    if writer is not None:
+        writer.close()
     samples = subsample(samples, config.all_max_samples, rng)
     if eval_mode:
         samples = [to_eval_sample(s, keep_conversations=True)

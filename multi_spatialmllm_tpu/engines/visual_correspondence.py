@@ -36,12 +36,10 @@ from ..core.rng import ENGINE_SEEDS, stream
 from ..core.scene import SceneStore
 from ..stages.visibility import VisibilityIndex
 from .annotate import (
+    AnnotatedJpegWriter,
     AnnotationPool,
     ImageProvider,
-    draw_dot,
-    draw_lettered_dot,
     generate_distinct_colors,
-    save_annotated,
 )
 from .base import (
     EngineOutputs,
@@ -322,6 +320,8 @@ def generate_dot_to_multichoice(
     samples = []
     proj_cache = ProjectionCache()
     pool = AnnotationPool()
+    writer = (AnnotatedJpegWriter(image_provider, image_output_dir)
+              if image_provider is not None else None)
     for idx in range(len(scene_ids)):
         sid = scene_ids[idx]
         image1, image2 = image1s[idx], image2s[idx]
@@ -361,7 +361,7 @@ def generate_dot_to_multichoice(
 
         rel1 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img1.jpg"
         rel2 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img2.jpg"
-        if image_provider is not None:
+        if writer is not None:
             color = tuple(int(c) for c in rng.integers(0, 256, 3))
             colors = generate_distinct_colors(4, rng)
 
@@ -370,14 +370,9 @@ def generate_dot_to_multichoice(
                         draws=[(labeled[lb], lb, colors[i])
                                for i, lb in enumerate(labels)],
                         rel1=rel1, rel2=rel2):
-                img1 = image_provider(sid, image1).copy()
-                draw_dot(img1, p1, color)
-                img2 = image_provider(sid, image2).copy()
-                for coords, label, c in draws:
-                    draw_lettered_dot(img2, coords, label, c,
-                                      text_offset=(15, 0))
-                save_annotated(img1, image_output_dir, rel1)
-                save_annotated(img2, image_output_dir, rel2)
+                writer.write_dot(sid, image1, p1, color, rel1)
+                writer.write_lettered_dots(sid, image2, draws, rel2,
+                                           text_offset=(15, 0))
 
             pool.submit(task_fn, key=rel2)
 
@@ -397,6 +392,8 @@ def generate_dot_to_multichoice(
         })
 
     pool.close()
+    if writer is not None:
+        writer.close()
     if eval_mode:
         samples = [to_eval_sample(s) for s in samples]
     out = EngineOutputs(n_skipped=warn.count)
@@ -441,6 +438,8 @@ def generate_dot_to_multichoice_to_jsonl(
     cols: dict[str, list] = {k: [] for k in keys}
     proj_cache = ProjectionCache()
     pool = AnnotationPool()
+    writer = (AnnotatedJpegWriter(image_provider, image_output_dir)
+              if image_provider is not None else None)
     for idx in range(len(scene_ids)):
         sid = scene_ids[idx]
         image1, image2 = image1s[idx], image2s[idx]
@@ -480,7 +479,7 @@ def generate_dot_to_multichoice_to_jsonl(
 
         rel1 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img1.jpg"
         rel2 = f"{sid}/{idx}_point{pt}_{image1}_{image2}_img2.jpg"
-        if image_provider is not None:
+        if writer is not None:
             color = tuple(int(c) for c in rng.integers(0, 256, 3))
             colors = generate_distinct_colors(4, rng)
 
@@ -489,14 +488,9 @@ def generate_dot_to_multichoice_to_jsonl(
                         draws=[(labeled[lb], lb, colors[i])
                                for i, lb in enumerate(labels)],
                         rel1=rel1, rel2=rel2):
-                img1 = image_provider(sid, image1).copy()
-                draw_dot(img1, p1, color)
-                img2 = image_provider(sid, image2).copy()
-                for coords, label, c in draws:
-                    draw_lettered_dot(img2, coords, label, c,
-                                      text_offset=(15, 0))
-                save_annotated(img1, image_output_dir, rel1)
-                save_annotated(img2, image_output_dir, rel2)
+                writer.write_dot(sid, image1, p1, color, rel1)
+                writer.write_lettered_dots(sid, image2, draws, rel2,
+                                           text_offset=(15, 0))
 
             pool.submit(task_fn, key=rel2)
 
@@ -513,6 +507,8 @@ def generate_dot_to_multichoice_to_jsonl(
         for k in keys:
             cols[k].append(row[k])
     pool.close()
+    if writer is not None:
+        writer.close()
 
     n = len(cols["sid"])
     p = EmitProgram(n)

@@ -47,6 +47,27 @@ def _load():
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_size_t), ctypes.c_size_t, ctypes.c_int]
+    try:
+        lib.msm_jpeg_encode.restype = ctypes.c_long
+        lib.msm_jpeg_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long]
+        lib.msm_jpeg_prepare.restype = ctypes.c_int64
+        lib.msm_jpeg_prepare.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.msm_jpeg_encode_spliced.restype = ctypes.c_long
+        lib.msm_jpeg_encode_spliced.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long]
+        lib.msm_jpeg_encode_spliced_rows.restype = ctypes.c_long
+        lib.msm_jpeg_encode_spliced_rows.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long]
+        lib.msm_jpeg_release.restype = None
+        lib.msm_jpeg_release.argtypes = [ctypes.c_int64]
+        lib._has_jpeg = True
+    except AttributeError:  # stale .so from before the jpeg engine
+        lib._has_jpeg = False
     _lib = lib
     return lib
 
@@ -123,6 +144,165 @@ def inflate_depth_frames(streams: list[bytes],
     raw = zlib_inflate_batch(streams, expected)
     return np.stack([
         np.frombuffer(r, dtype=np.uint16).reshape(depth_hw) for r in raw])
+
+
+# ---------------------------------------------------------------------------
+# JPEG splice encoder (src/jpeg_encode.cpp) — the annotated engines'
+# throughput path: a source frame is encoded ONCE with one restart
+# interval per 16px MCU row; each annotated sample re-encodes only the
+# dirty rows and memcpy-splices the rest (byte-aligned by spec).
+# ---------------------------------------------------------------------------
+
+
+def jpeg_available() -> bool:
+    lib = _load()
+    return lib is not None and lib._has_jpeg
+
+
+def jpeg_encode(bgr: np.ndarray, quality: int = 95) -> bytes | None:
+    """Full encode of a [H, W, 3] uint8 BGR image; None if unavailable."""
+    lib = _load()
+    if lib is None or not lib._has_jpeg:
+        return None
+    img = np.ascontiguousarray(bgr)
+    h, w = img.shape[:2]
+    cap = h * w * 4 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.msm_jpeg_encode(img.ctypes.data, h, w, quality,
+                            out.ctypes.data, cap)
+    if n <= 0:
+        return None
+    return out[:n].tobytes()
+
+
+class JpegSpliceCache:
+    """Bounded cache of prepared (per-row-segmented) source frames.
+
+    `encode(key, base, annotated, y0, y1)` returns the JPEG bytes of
+    `annotated`, re-encoding only MCU rows intersecting [y0, y1) when
+    `base` was already prepared under `key` — bit-identical to a full
+    native encode of `annotated` (splice invariant, test-asserted).
+    Thread-safe: a racing eviction degrades that call to a full encode.
+    """
+
+    def __init__(self, max_entries: int = 256, quality: int = 95):
+        import threading
+
+        self.max_entries = max_entries
+        self.quality = quality
+        self._handles: dict = {}
+        self._lock = threading.Lock()
+        self._tls = threading.local()  # reused output buffers
+
+    def _out_buf(self, cap: int) -> np.ndarray:
+        buf = getattr(self._tls, "buf", None)
+        if buf is None or buf.size < cap:
+            buf = np.empty(cap, np.uint8)
+            self._tls.buf = buf
+        return buf
+
+    def _handle_for(self, key, base: np.ndarray) -> int:
+        with self._lock:
+            hdl = self._handles.get(key)
+        if hdl is not None:
+            return hdl
+        lib = _load()
+        img = np.ascontiguousarray(base)
+        hdl = lib.msm_jpeg_prepare(img.ctypes.data, img.shape[0],
+                                   img.shape[1], self.quality)
+        with self._lock:
+            if key in self._handles:  # racing prepare: keep the first
+                lib.msm_jpeg_release(hdl)
+                return self._handles[key]
+            if len(self._handles) >= self.max_entries:
+                old_key = next(iter(self._handles))
+                lib.msm_jpeg_release(self._handles.pop(old_key))
+            self._handles[key] = hdl
+        return hdl
+
+    def encode(self, key, base: np.ndarray, annotated: np.ndarray,
+               y0: int, y1: int) -> bytes | None:
+        lib = _load()
+        if lib is None or not lib._has_jpeg:
+            return None
+        hdl = self._handle_for(key, base)
+        img = np.ascontiguousarray(annotated)
+        h, w = img.shape[:2]
+        cap = h * w * 4 + (1 << 16)
+        out = np.empty(cap, np.uint8)
+        n = lib.msm_jpeg_encode_spliced(hdl, img.ctypes.data, int(y0),
+                                        int(y1), out.ctypes.data, cap)
+        if n == 0:  # handle evicted concurrently: full encode
+            return jpeg_encode(img, self.quality)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
+
+    def encode_band(self, key, base: np.ndarray, band: np.ndarray,
+                    band_y0: int, y0: int, y1: int) -> bytes | None:
+        """Like `encode`, but `band` holds only the annotated image rows
+        [band_y0, band_y0 + band.shape[0]) — the caller draws on a small
+        row-band copy instead of copying the whole frame. `band` MUST
+        cover every 16px MCU row intersecting [y0, y1) (clipped to the
+        image): the native splice only dereferences those rows, so a
+        virtual full-image pointer offset back by band_y0 rows is safe.
+        """
+        lib = _load()
+        if lib is None or not lib._has_jpeg:
+            return None
+        hdl = self._handle_for(key, base)
+        band = np.ascontiguousarray(band)
+        h, w = base.shape[:2]
+        r0 = max(0, int(y0)) // 16
+        r1 = min((int(y1) + 15) // 16, (h + 15) // 16)
+        lo, hi = r0 * 16, min(r1 * 16, h)
+        if not (band_y0 <= lo and band_y0 + band.shape[0] >= hi):
+            raise ValueError((band_y0, band.shape, y0, y1, h))
+        virtual = band.ctypes.data - band_y0 * w * 3
+        cap = h * w * 4 + (1 << 16)
+        out = self._out_buf(cap)
+        n = lib.msm_jpeg_encode_spliced(hdl, virtual, int(y0), int(y1),
+                                        out.ctypes.data, out.size)
+        if n <= 0:
+            return None
+        return out[:n].tobytes()
+
+    def encode_rows(self, key, base: np.ndarray, annotated: np.ndarray,
+                    dirty_spans) -> bytes | None:
+        """Splice with scattered dirty regions: `dirty_spans` is a list of
+        (y0, y1) pixel ranges; only MCU rows intersecting any span are
+        re-encoded (span-based `encode` would re-encode everything between
+        the topmost and bottommost annotation)."""
+        lib = _load()
+        if lib is None or not lib._has_jpeg:
+            return None
+        hdl = self._handle_for(key, base)
+        img = np.ascontiguousarray(annotated)
+        h, w = img.shape[:2]
+        mcu_h = (h + 15) // 16
+        mask = np.zeros(mcu_h, np.uint8)
+        for y0, y1 in dirty_spans:
+            r0 = max(0, int(y0)) // 16
+            r1 = min((int(y1) + 15) // 16, mcu_h)
+            mask[r0:r1] = 1
+        cap = h * w * 4 + (1 << 16)
+        out = self._out_buf(cap)
+        n = lib.msm_jpeg_encode_spliced_rows(
+            hdl, img.ctypes.data, mask.ctypes.data, out.ctypes.data,
+            out.size)
+        if n == 0:
+            return jpeg_encode(img, self.quality)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
+
+    def close(self) -> None:
+        lib = _load()
+        with self._lock:
+            if lib is not None and lib._has_jpeg:
+                for hdl in self._handles.values():
+                    lib.msm_jpeg_release(hdl)
+            self._handles.clear()
 
 
 # Note: this build VM exposes a single CPU core, so the measured batch

@@ -1,0 +1,588 @@
+// Baseline JPEG encoder with a row-splice fast path for the annotated
+// ("dot") QA engines.
+//
+// The reference's dot engines re-encode a FULL 480x640 JPEG per sample
+// (depth_estimation_dot_engine.py:162-173 draws one circle, then
+// cv2.imwrite) — encode dominates their 62/s rate. This encoder exploits
+// baseline JPEG structure instead: every image is encoded with a DRI
+// (restart interval) of one MCU row, which makes each 16-pixel row band
+// an independent, BYTE-ALIGNED bitstream segment (DC predictors reset at
+// restarts; RST markers are byte-padded by spec). A source frame is
+// encoded once and its per-row segments cached; each annotated sample
+// then re-encodes ONLY the MCU rows its circle/letter touches and
+// memcpy-splices the untouched rows — ~10-30x less encode work per
+// sample. Output is standard baseline JFIF (4:2:0, Annex K Huffman
+// tables, IJG quality scaling) decodable by any reader; bytes differ
+// from cv2/libjpeg-turbo (different encoder), pixel parity is
+// test-asserted after decode (tests/test_jpeg_native.py).
+//
+// Plain C, no dependencies; exported via ctypes (ingest/native/__init__).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cmath>
+#include <vector>
+#include <mutex>
+#include <unordered_map>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Tables (JPEG Annex K)
+// ---------------------------------------------------------------------------
+
+static const uint8_t kZigzag[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+static const uint8_t kLumaQ[64] = {
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+
+static const uint8_t kChromaQ[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+
+// Standard Huffman specs: (bits[1..16], values)
+static const uint8_t kDcLumaBits[17] = {0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0,
+                                        0, 0, 0, 0, 0, 0};
+static const uint8_t kDcLumaVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11};
+static const uint8_t kDcChromaBits[17] = {0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1,
+                                          1, 0, 0, 0, 0, 0};
+static const uint8_t kDcChromaVals[12] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                          11};
+static const uint8_t kAcLumaBits[17] = {0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4,
+                                        4, 0, 0, 1, 0x7d};
+static const uint8_t kAcLumaVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+static const uint8_t kAcChromaBits[17] = {0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5,
+                                          4, 4, 0, 1, 2, 0x77};
+static const uint8_t kAcChromaVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+
+struct HuffTable {
+  uint16_t code[256];
+  uint8_t len[256];
+};
+
+void build_huff(const uint8_t bits[17], const uint8_t *vals, HuffTable *t) {
+  std::memset(t->len, 0, sizeof(t->len));
+  uint16_t code = 0;
+  int k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    for (int i = 0; i < bits[l]; ++i) {
+      t->code[vals[k]] = code;
+      t->len[vals[k]] = (uint8_t)l;
+      ++code;
+      ++k;
+    }
+    code <<= 1;
+  }
+}
+
+struct Tables {
+  HuffTable dc_luma, ac_luma, dc_chroma, ac_chroma;
+  Tables() {
+    build_huff(kDcLumaBits, kDcLumaVals, &dc_luma);
+    build_huff(kAcLumaBits, kAcLumaVals, &ac_luma);
+    build_huff(kDcChromaBits, kDcChromaVals, &dc_chroma);
+    build_huff(kAcChromaBits, kAcChromaVals, &ac_chroma);
+  }
+};
+static const Tables g_tables;
+
+void scale_quant(const uint8_t *base, int quality, uint8_t *out) {
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
+  for (int i = 0; i < 64; ++i) {
+    int v = (base[i] * scale + 50) / 100;
+    if (v < 1) v = 1;
+    if (v > 255) v = 255;
+    out[i] = (uint8_t)v;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Bit writer (with 0xFF byte stuffing)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  std::vector<uint8_t> *out;
+  uint64_t acc = 0;
+  int nbits = 0;
+  explicit BitWriter(std::vector<uint8_t> *o) : out(o) {
+    out->reserve(out->size() + 4096);
+  }
+  inline void put(uint32_t bits, int n) {
+    acc = (acc << n) | (uint64_t)(bits & ((1u << n) - 1));
+    nbits += n;
+    if (nbits >= 32) emit32();
+  }
+  inline void emit32() {
+    uint32_t w = (uint32_t)(acc >> (nbits - 32));
+    nbits -= 32;
+    // SWAR: any 0xFF byte in w needs zero-stuffing (rare)
+    uint32_t x = w ^ 0xFFFFFFFFu;
+    if (((x - 0x01010101u) & ~x & 0x80808080u) == 0) {
+      uint8_t b[4] = {(uint8_t)(w >> 24), (uint8_t)(w >> 16),
+                      (uint8_t)(w >> 8), (uint8_t)w};
+      out->insert(out->end(), b, b + 4);
+    } else {
+      for (int s = 24; s >= 0; s -= 8) {
+        uint8_t b = (uint8_t)(w >> s);
+        out->push_back(b);
+        if (b == 0xFF) out->push_back(0x00);
+      }
+    }
+  }
+  inline void flush() {  // pad with 1s to byte boundary
+    if (nbits % 8) put(0xFF, 8 - nbits % 8);
+    while (nbits >= 8) {
+      uint8_t b = (uint8_t)(acc >> (nbits - 8));
+      out->push_back(b);
+      if (b == 0xFF) out->push_back(0x00);
+      nbits -= 8;
+    }
+    nbits = 0;
+    acc = 0;
+  }
+};
+
+inline int bit_size(int v) {
+  unsigned a = v < 0 ? -v : v;
+  return a ? 32 - __builtin_clz(a) : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Forward DCT (AAN, float, 8-lane vectorized) + quantization
+// ---------------------------------------------------------------------------
+
+typedef float v8f __attribute__((vector_size(32)));
+
+// One AAN pass on 8 parallel lanes: d[i] holds position i of EIGHT
+// independent 8-point DCTs (butterflies go across the array index, so
+// every op is an elementwise vector op — the classic SIMD-JPEG layout).
+static inline void fdct8v(v8f *d) {
+  v8f tmp0 = d[0] + d[7], tmp7 = d[0] - d[7];
+  v8f tmp1 = d[1] + d[6], tmp6 = d[1] - d[6];
+  v8f tmp2 = d[2] + d[5], tmp5 = d[2] - d[5];
+  v8f tmp3 = d[3] + d[4], tmp4 = d[3] - d[4];
+  v8f tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  v8f tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+  d[0] = tmp10 + tmp11;
+  d[4] = tmp10 - tmp11;
+  v8f z1 = (tmp12 + tmp13) * 0.707106781f;
+  d[2] = tmp13 + z1;
+  d[6] = tmp13 - z1;
+  tmp10 = tmp4 + tmp5;
+  tmp11 = tmp5 + tmp6;
+  tmp12 = tmp6 + tmp7;
+  v8f z5 = (tmp10 - tmp12) * 0.382683433f;
+  v8f z2 = tmp10 * 0.541196100f + z5;
+  v8f z4 = tmp12 * 1.306562965f + z5;
+  v8f z3 = tmp11 * 0.707106781f;
+  v8f z11 = tmp7 + z3, z13 = tmp7 - z3;
+  d[5] = z13 + z2;
+  d[3] = z13 - z2;
+  d[1] = z11 + z4;
+  d[7] = z11 - z4;
+}
+
+static inline void transpose8(v8f *d) {
+  float t[64];
+  std::memcpy(t, d, sizeof(t));
+  float *o = (float *)d;
+  for (int i = 0; i < 8; ++i)
+    for (int j = 0; j < 8; ++j) o[i * 8 + j] = t[j * 8 + i];
+}
+
+// AAN output scale factors: S[u] = 1 / (cu * cos(u*pi/16) * ... ) folded
+// reciprocals per coefficient; standard libjpeg "aanscalefactor".
+struct AanScale {
+  float s[64];
+  AanScale() {
+    static const double a[8] = {1.0, 1.387039845, 1.306562965, 1.175875602,
+                                1.0, 0.785694958, 0.541196100, 0.275899379};
+    for (int v = 0; v < 8; ++v)
+      for (int u = 0; u < 8; ++u) s[v * 8 + u] = (float)(1.0 / (a[u] * a[v] * 8.0));
+  }
+};
+static const AanScale g_aan;
+
+// blk: 64 floats row-major (level-shifted); qmul: coef * aan_scale / q
+// reciprocals, row-major natural order -> out: 64 ints natural order.
+void fdct_quant(float *blk, const float *qmul, int32_t *out) {
+  v8f d[8];
+  std::memcpy(d, blk, sizeof(d));
+  fdct8v(d);      // column (y) pass: lanes are x positions
+  transpose8(d);  // lanes become y positions
+  fdct8v(d);      // row (x) pass
+  transpose8(d);  // back to row-major [v][u]
+  const float *f = (const float *)d;
+  for (int i = 0; i < 64; ++i) {
+    // fast round-half-away (lrintf is a libm call and dominated the
+    // profile); any consistent rounding is fine — this encoder only
+    // needs to agree with itself (splice invariant)
+    float x = f[i] * qmul[i];
+    out[i] = (int32_t)(x + (x >= 0.0f ? 0.5f : -0.5f));
+  }
+}
+
+void encode_block(BitWriter &bw, const int32_t *coef, int *dc_pred,
+                  const HuffTable &dc, const HuffTable &ac) {
+  int diff = coef[0] - *dc_pred;
+  *dc_pred = coef[0];
+  int n = bit_size(diff);
+  bw.put(dc.code[n], dc.len[n]);
+  if (n) bw.put(diff < 0 ? diff - 1 : diff, n);
+  int run = 0;
+  for (int k = 1; k < 64; ++k) {
+    int v = coef[kZigzag[k]];
+    if (v == 0) {
+      ++run;
+      continue;
+    }
+    while (run > 15) {
+      bw.put(ac.code[0xF0], ac.len[0xF0]);
+      run -= 16;
+    }
+    int s = bit_size(v);
+    int sym = (run << 4) | s;
+    bw.put(ac.code[sym], ac.len[sym]);
+    bw.put(v < 0 ? v - 1 : v, s);
+    run = 0;
+  }
+  if (run) bw.put(ac.code[0x00], ac.len[0x00]);
+}
+
+// ---------------------------------------------------------------------------
+// Encoder state
+// ---------------------------------------------------------------------------
+
+struct Encoder {
+  int h, w, quality;
+  int mcu_w, mcu_h;  // MCUs per row / rows of MCUs
+  uint8_t qy[64], qc[64];
+  float qmul_y[64], qmul_c[64];
+  std::vector<uint8_t> header;  // SOI..SOS (incl.)
+
+  Encoder(int h_, int w_, int q_) : h(h_), w(w_), quality(q_) {
+    mcu_w = (w + 15) / 16;
+    mcu_h = (h + 15) / 16;
+    scale_quant(kLumaQ, quality, qy);
+    scale_quant(kChromaQ, quality, qc);
+    for (int i = 0; i < 64; ++i) {
+      qmul_y[i] = g_aan.s[i] / (float)qy[i];
+      qmul_c[i] = g_aan.s[i] / (float)qc[i];
+    }
+    build_header();
+  }
+
+  void put16(std::vector<uint8_t> &v, int x) {
+    v.push_back((uint8_t)(x >> 8));
+    v.push_back((uint8_t)(x & 0xFF));
+  }
+
+  void build_header() {
+    std::vector<uint8_t> &o = header;
+    o.insert(o.end(), {0xFF, 0xD8});                      // SOI
+    o.insert(o.end(), {0xFF, 0xE0});                      // APP0 JFIF
+    put16(o, 16);
+    o.insert(o.end(), {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0});
+    for (int t = 0; t < 2; ++t) {                          // DQT x2
+      o.insert(o.end(), {0xFF, 0xDB});
+      put16(o, 67);
+      o.push_back((uint8_t)t);
+      const uint8_t *q = t == 0 ? qy : qc;
+      for (int i = 0; i < 64; ++i) o.push_back(q[kZigzag[i]]);
+    }
+    o.insert(o.end(), {0xFF, 0xC0});                      // SOF0
+    put16(o, 17);
+    o.push_back(8);
+    put16(o, h);
+    put16(o, w);
+    o.push_back(3);
+    o.insert(o.end(), {1, 0x22, 0});  // Y 2x2, qtable 0
+    o.insert(o.end(), {2, 0x11, 1});  // Cb
+    o.insert(o.end(), {3, 0x11, 1});  // Cr
+    struct Spec {
+      uint8_t cls_id;
+      const uint8_t *bits;
+      const uint8_t *vals;
+      int nvals;
+    } specs[4] = {{0x00, kDcLumaBits, kDcLumaVals, 12},
+                  {0x10, kAcLumaBits, kAcLumaVals, 162},
+                  {0x01, kDcChromaBits, kDcChromaVals, 12},
+                  {0x11, kAcChromaBits, kAcChromaVals, 162}};
+    for (auto &s : specs) {                                // DHT x4
+      o.insert(o.end(), {0xFF, 0xC4});
+      put16(o, 2 + 1 + 16 + s.nvals);
+      o.push_back(s.cls_id);
+      for (int l = 1; l <= 16; ++l) o.push_back(s.bits[l]);
+      for (int i = 0; i < s.nvals; ++i) o.push_back(s.vals[i]);
+    }
+    o.insert(o.end(), {0xFF, 0xDD});                      // DRI
+    put16(o, 4);
+    put16(o, mcu_w);  // restart every MCU row
+    o.insert(o.end(), {0xFF, 0xDA});                      // SOS
+    put16(o, 12);
+    o.push_back(3);
+    o.insert(o.end(), {1, 0x00, 2, 0x11, 3, 0x11});
+    o.insert(o.end(), {0, 63, 0});
+  }
+
+  // Encode MCU row `mr` of BGR image `img` (row-major, 3 bytes/px) into
+  // `out` (entropy bits only, flushed to byte boundary; no RST marker).
+  // The band is converted to planar YCbCr in one tight pass first (the
+  // per-MCU gather with per-pixel clamps was ~2x slower).
+  void encode_row(const uint8_t *img, int mr, std::vector<uint8_t> *out) {
+    BitWriter bw(out);
+    int dc_y = 0, dc_cb = 0, dc_cr = 0;  // reset at restart by spec
+    int y0 = mr * 16;
+    int wb = mcu_w * 16;  // band width, padded to whole MCUs
+    int hw = wb / 2;
+    std::vector<float> yplane((size_t)16 * wb);
+    std::vector<float> cbp((size_t)8 * hw), crp((size_t)8 * hw);
+    std::vector<float> rf(wb), gf(wb), bf(wb);
+    std::vector<float> rsum(hw), gsum(hw), bsum(hw);
+    for (int yy = 0; yy < 16; ++yy) {
+      int sy = y0 + yy < h ? y0 + yy : h - 1;
+      const uint8_t *row = img + (size_t)sy * w * 3;
+      float *yrow = yplane.data() + (size_t)yy * wb;
+      // deinterleave BGR -> planar floats (plain byte moves; the float
+      // math below then auto-vectorizes)
+      for (int xx = 0; xx < w; ++xx) {
+        bf[xx] = row[3 * xx];
+        gf[xx] = row[3 * xx + 1];
+        rf[xx] = row[3 * xx + 2];
+      }
+      for (int xx = w; xx < wb; ++xx) {  // edge-replicate padding
+        bf[xx] = bf[w - 1];
+        gf[xx] = gf[w - 1];
+        rf[xx] = rf[w - 1];
+      }
+      for (int xx = 0; xx < wb; ++xx)
+        yrow[xx] = 0.299f * rf[xx] + 0.587f * gf[xx] + 0.114f * bf[xx]
+                   - 128.0f;
+      if ((yy & 1) == 0) {
+        for (int hx = 0; hx < hw; ++hx) {
+          rsum[hx] = rf[2 * hx] + rf[2 * hx + 1];
+          gsum[hx] = gf[2 * hx] + gf[2 * hx + 1];
+          bsum[hx] = bf[2 * hx] + bf[2 * hx + 1];
+        }
+      } else {
+        float *cbr = cbp.data() + (size_t)(yy >> 1) * hw;
+        float *crr = crp.data() + (size_t)(yy >> 1) * hw;
+        for (int hx = 0; hx < hw; ++hx) {
+          float rb = (rsum[hx] + rf[2 * hx] + rf[2 * hx + 1]) * 0.25f;
+          float gb = (gsum[hx] + gf[2 * hx] + gf[2 * hx + 1]) * 0.25f;
+          float bb = (bsum[hx] + bf[2 * hx] + bf[2 * hx + 1]) * 0.25f;
+          cbr[hx] = -0.168735892f * rb - 0.331264108f * gb + 0.5f * bb;
+          crr[hx] = 0.5f * rb - 0.418687589f * gb - 0.081312411f * bb;
+        }
+      }
+    }
+    float blk[64];
+    int32_t coef[64];
+    for (int mx = 0; mx < mcu_w; ++mx) {
+      int x0 = mx * 16;
+      // 4 Y blocks
+      for (int by = 0; by < 2; ++by)
+        for (int bx = 0; bx < 2; ++bx) {
+          const float *src = yplane.data() + (size_t)(by * 8) * wb +
+                             x0 + bx * 8;
+          for (int r = 0; r < 8; ++r)
+            std::memcpy(blk + r * 8, src + (size_t)r * wb,
+                        8 * sizeof(float));
+          fdct_quant(blk, qmul_y, coef);
+          encode_block(bw, coef, &dc_y, g_tables.dc_luma, g_tables.ac_luma);
+        }
+      for (int r = 0; r < 8; ++r)
+        std::memcpy(blk + r * 8, cbp.data() + (size_t)r * hw + x0 / 2,
+                    8 * sizeof(float));
+      fdct_quant(blk, qmul_c, coef);
+      encode_block(bw, coef, &dc_cb, g_tables.dc_chroma, g_tables.ac_chroma);
+      for (int r = 0; r < 8; ++r)
+        std::memcpy(blk + r * 8, crp.data() + (size_t)r * hw + x0 / 2,
+                    8 * sizeof(float));
+      fdct_quant(blk, qmul_c, coef);
+      encode_block(bw, coef, &dc_cr, g_tables.dc_chroma, g_tables.ac_chroma);
+    }
+    bw.flush();
+  }
+};
+
+struct Cached {
+  Encoder *enc;
+  std::vector<std::vector<uint8_t>> rows;  // entropy bytes per MCU row
+};
+
+std::mutex g_mutex;
+std::unordered_map<int64_t, Cached> g_cache;
+int64_t g_next_handle = 1;
+
+void assemble(const Encoder &enc,
+              const std::vector<std::vector<uint8_t>> &rows,
+              std::vector<uint8_t> *out) {
+  size_t total = enc.header.size() + 2;
+  for (auto &r : rows) total += r.size() + 2;
+  out->clear();
+  out->reserve(total);
+  out->insert(out->end(), enc.header.begin(), enc.header.end());
+  for (int mr = 0; mr < enc.mcu_h; ++mr) {
+    out->insert(out->end(), rows[mr].begin(), rows[mr].end());
+    if (mr != enc.mcu_h - 1) {
+      out->push_back(0xFF);
+      out->push_back((uint8_t)(0xD0 + (mr & 7)));  // RSTn
+    }
+  }
+  out->push_back(0xFF);
+  out->push_back(0xD9);  // EOI
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full encode, no caching. Returns number of bytes written, or -needed if
+// `cap` was too small, or 0 on bad args.
+long msm_jpeg_encode(const uint8_t *bgr, int h, int w, int quality,
+                     uint8_t *out, long cap) {
+  if (!bgr || h <= 0 || w <= 0) return 0;
+  Encoder enc(h, w, quality);
+  std::vector<std::vector<uint8_t>> rows((size_t)enc.mcu_h);
+  for (int mr = 0; mr < enc.mcu_h; ++mr) enc.encode_row(bgr, mr, &rows[mr]);
+  std::vector<uint8_t> buf;
+  assemble(enc, rows, &buf);
+  if ((long)buf.size() > cap) return -(long)buf.size();
+  std::memcpy(out, buf.data(), buf.size());
+  return (long)buf.size();
+}
+
+// Encode + cache the per-row segments of a SOURCE frame; returns a handle
+// (>0) for msm_jpeg_encode_spliced, or 0 on error.
+int64_t msm_jpeg_prepare(const uint8_t *bgr, int h, int w, int quality) {
+  if (!bgr || h <= 0 || w <= 0) return 0;
+  auto *enc = new Encoder(h, w, quality);
+  Cached c;
+  c.enc = enc;
+  c.rows.resize((size_t)enc->mcu_h);
+  for (int mr = 0; mr < enc->mcu_h; ++mr)
+    enc->encode_row(bgr, mr, &c.rows[mr]);
+  std::lock_guard<std::mutex> lock(g_mutex);
+  int64_t hdl = g_next_handle++;
+  g_cache.emplace(hdl, std::move(c));
+  return hdl;
+}
+
+namespace {
+
+long splice_with(Cached *c, const uint8_t *bgr,
+                 const std::vector<uint8_t> &is_dirty, uint8_t *out,
+                 long cap) {
+  Encoder &enc = *c->enc;
+  std::vector<std::vector<uint8_t>> dirty((size_t)enc.mcu_h);
+  for (int mr = 0; mr < enc.mcu_h; ++mr)
+    if (is_dirty[mr]) enc.encode_row(bgr, mr, &dirty[mr]);
+  size_t total = enc.header.size() + 2;
+  for (int mr = 0; mr < enc.mcu_h; ++mr)
+    total += (is_dirty[mr] ? dirty[mr] : c->rows[mr]).size() + 2;
+  if ((long)total > cap) return -(long)total;
+  uint8_t *p = out;
+  std::memcpy(p, enc.header.data(), enc.header.size());
+  p += enc.header.size();
+  for (int mr = 0; mr < enc.mcu_h; ++mr) {
+    const std::vector<uint8_t> &seg = is_dirty[mr] ? dirty[mr] : c->rows[mr];
+    std::memcpy(p, seg.data(), seg.size());
+    p += seg.size();
+    if (mr != enc.mcu_h - 1) {
+      *p++ = 0xFF;
+      *p++ = (uint8_t)(0xD0 + (mr & 7));
+    }
+  }
+  *p++ = 0xFF;
+  *p++ = 0xD9;
+  return (long)(p - out);
+}
+
+Cached *lookup(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_cache.find(handle);
+  return it == g_cache.end() ? nullptr : &it->second;
+}
+
+}  // namespace
+
+// Encode an annotated variant of a prepared frame: rows of 16px bands
+// intersecting [y0, y1) are re-encoded from `bgr`, the rest splice from
+// the cache. Same return convention as msm_jpeg_encode.
+long msm_jpeg_encode_spliced(int64_t handle, const uint8_t *bgr, int y0,
+                             int y1, uint8_t *out, long cap) {
+  Cached *c = lookup(handle);
+  if (!c || !bgr) return 0;
+  Encoder &enc = *c->enc;
+  int r0 = y0 < 0 ? 0 : y0 / 16;
+  int r1 = (y1 + 15) / 16;
+  if (r1 > enc.mcu_h) r1 = enc.mcu_h;
+  std::vector<uint8_t> is_dirty((size_t)enc.mcu_h, 0);
+  for (int mr = r0; mr < r1; ++mr) is_dirty[mr] = 1;
+  return splice_with(c, bgr, is_dirty, out, cap);
+}
+
+// Like msm_jpeg_encode_spliced, but with an explicit per-MCU-row dirty
+// mask (`mask` has mcu_h bytes, nonzero = re-encode) — scattered
+// annotations (e.g. four lettered distractors) re-encode only the rows
+// they actually touch, not the whole span.
+long msm_jpeg_encode_spliced_rows(int64_t handle, const uint8_t *bgr,
+                                  const uint8_t *mask, uint8_t *out,
+                                  long cap) {
+  Cached *c = lookup(handle);
+  if (!c || !bgr || !mask) return 0;
+  std::vector<uint8_t> is_dirty(mask, mask + c->enc->mcu_h);
+  return splice_with(c, bgr, is_dirty, out, cap);
+}
+
+void msm_jpeg_release(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  auto it = g_cache.find(handle);
+  if (it != g_cache.end()) {
+    delete it->second.enc;
+    g_cache.erase(it);
+  }
+}
+
+}  // extern "C"

@@ -82,7 +82,10 @@ def ensure_x64(dtype) -> None:
 # comfortably in one v5e's HBM, so real-scale scenes (ScanNet val D5:
 # ~300 images x ~200K vertices = 60M pairs) dispatch in image chunks.
 _PAIR_BUDGET_F64 = 24_000_000
-_PAIR_BUDGET_F32 = 48_000_000
+# f32 intermediates are half the f64 footprint and skip the emulation's
+# extra temporaries: 64M pairs (~1 GB of [I, N] f32 working set) runs the
+# ScanNet-val-sized scene (296 x 202K = 60M pairs) in ONE dispatch.
+_PAIR_BUDGET_F32 = 64_000_000
 
 
 def compute_scene_visibility(
@@ -119,13 +122,16 @@ def compute_scene_visibility(
         pts_d = jnp.asarray(pts)  # one transfer, reused per chunk
         K_d = jnp.asarray(scene.intrinsic.astype(dtype))
         pv_d = jnp.asarray(pvalid)
-        rows = [
-            np.asarray(fn(pts_d, K_d,
-                          jnp.asarray(ext[lo: lo + image_chunk]),
-                          jnp.asarray(depth[lo: lo + image_chunk]),
-                          jnp.asarray(ivalid[lo: lo + image_chunk]), pv_d))
+        # dispatch every chunk before fetching any (async dispatch:
+        # later chunks' upload/compute overlap earlier fetches)
+        handles = [
+            fn(pts_d, K_d,
+               jnp.asarray(ext[lo: lo + image_chunk]),
+               jnp.asarray(depth[lo: lo + image_chunk]),
+               jnp.asarray(ivalid[lo: lo + image_chunk]), pv_d)
             for lo in range(0, tot, image_chunk)
         ]
+        rows = [np.asarray(h) for h in handles]
         vis = _unpackbits(np.concatenate(rows), n_pad)
         return vis[: scene.num_images, : scene.num_points]
     fn = _visibility_fn(
@@ -189,37 +195,46 @@ def compute_scene_visibility_hybrid(
     pts_d = jnp.asarray(pts)
     K_d = jnp.asarray(scene.intrinsic.astype(np.float32))
     pv_d = jnp.asarray(pvalid)
-    vis_rows, near_rows = [], []
-    for lo in range(0, tot, fn_chunk):
-        v, nr = fn(pts_d, K_d, jnp.asarray(ext[lo: lo + fn_chunk]),
-                   jnp.asarray(depth[lo: lo + fn_chunk]),
-                   jnp.asarray(ivalid[lo: lo + fn_chunk]), pv_d)
-        vis_rows.append(np.asarray(v))
-        near_rows.append(np.asarray(nr))
-    vis = _unpackbits(np.concatenate(vis_rows),
-                      n_pad)[: scene.num_images, : scene.num_points]
-    near = _unpackbits(np.concatenate(near_rows),
-                       n_pad)[: scene.num_images, : scene.num_points]
+    # dispatch EVERY chunk before fetching any: jax dispatch is async, so
+    # uploads/compute of later chunks overlap the host-side fetch +
+    # exact fix-up of earlier ones (the fix-up is pure numpy)
+    handles = [
+        fn(pts_d, K_d, jnp.asarray(ext[lo: lo + fn_chunk]),
+           jnp.asarray(depth[lo: lo + fn_chunk]),
+           jnp.asarray(ivalid[lo: lo + fn_chunk]), pv_d)
+        for lo in range(0, tot, fn_chunk)
+    ]
 
-    # exact f64 host fix-up of the flagged bits, grouped per image
-    flagged_images = np.where(near.any(axis=1))[0]
     h, w = scene.image_hw
     hd, wd = scene.depth_hw
-    for i in flagged_images:
-        cols = np.where(near[i])[0]
-        E = scene.extrinsic_align(int(i))
-        xy, d = np_project_points(
-            scene.points_aligned[cols, :3], scene.intrinsic, E)
-        x, y = xy[:, 0], xy[:, 1]
-        inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
-        # x * (wd/w) order matters at exact .5 boundaries (see
-        # engines/depth_perception._project_many)
-        sx, sy = wd / w, hd / h
-        dxi = np.clip(np.round(x * sx), 0, wd - 1).astype(np.int64)
-        dyi = np.clip(np.round(y * sy), 0, hd - 1).astype(np.int64)
-        dv = scene.depth_maps[int(i)][dyi, dxi] * 0.001
-        vis[i, cols] = inb & (d > 0) & (d < dv)
-    return vis
+    vis_rows = []
+    for ci, (v, nr) in enumerate(handles):
+        base = ci * fn_chunk
+        n_rows = min(fn_chunk, scene.num_images - base)
+        if n_rows <= 0:
+            break
+        vis_c = _unpackbits(np.asarray(v), n_pad)[
+            :n_rows, : scene.num_points]
+        near_c = _unpackbits(np.asarray(nr), n_pad)[
+            :n_rows, : scene.num_points]
+        # exact f64 host fix-up of the flagged bits, grouped per image
+        for r in np.where(near_c.any(axis=1))[0]:
+            i = base + int(r)
+            cols = np.where(near_c[r])[0]
+            E = scene.extrinsic_align(i)
+            xy, d = np_project_points(
+                scene.points_aligned[cols, :3], scene.intrinsic, E)
+            x, y = xy[:, 0], xy[:, 1]
+            inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+            # x * (wd/w) order matters at exact .5 boundaries (see
+            # engines/depth_perception._project_many)
+            sx, sy = wd / w, hd / h
+            dxi = np.clip(np.round(x * sx), 0, wd - 1).astype(np.int64)
+            dyi = np.clip(np.round(y * sy), 0, hd - 1).astype(np.int64)
+            dv = scene.depth_maps[i][dyi, dxi] * 0.001
+            vis_c[r, cols] = inb & (d > 0) & (d < dv)
+        vis_rows.append(vis_c)
+    return np.concatenate(vis_rows)
 
 
 @functools.lru_cache(maxsize=32)

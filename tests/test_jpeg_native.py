@@ -1,0 +1,145 @@
+"""Native JPEG splice encoder (ingest/native/src/jpeg_encode.cpp) and the
+AnnotatedJpegWriter built on it.
+
+The splice invariant is the load-bearing property: an annotated sample
+encoded via cached-row splicing must be BIT-IDENTICAL to a full native
+encode of the same annotated bitmap — i.e. the dirty-row bounds cover
+every pixel the draw touched and restart-marker segmentation composes.
+Pixel parity vs cv2 (the reference's encoder) is asserted after decode;
+byte streams intentionally differ (different encoder).
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from multi_spatialmllm_tpu.ingest.native import (  # noqa: E402
+    JpegSpliceCache,
+    build as build_native,
+    jpeg_available,
+    jpeg_encode,
+)
+
+build_native()
+pytestmark = pytest.mark.skipif(not jpeg_available(),
+                                reason="native jpeg engine not built")
+
+
+def _image(h=480, w=640, seed=0):
+    """Structured pseudo-frame (gradients + texture), camera-like."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(yy // 3 + xx // 5) % 256, (xx // 2) % 256,
+                    ((yy + xx) // 4) % 256], -1).astype(np.int16)
+    img += rng.integers(-8, 8, img.shape)
+    return np.ascontiguousarray(img.clip(0, 255).astype(np.uint8))
+
+
+class TestEncoder:
+    def test_valid_jpeg_and_cv2_quality_parity(self):
+        img = _image()
+        buf = jpeg_encode(img)
+        dec = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+        assert dec is not None and dec.shape == img.shape
+        err = np.abs(dec.astype(np.int16) - img.astype(np.int16))
+        ok, cvbuf = cv2.imencode(".jpg", img)
+        deccv = cv2.imdecode(cvbuf, cv2.IMREAD_COLOR)
+        errcv = np.abs(deccv.astype(np.int16) - img.astype(np.int16))
+        # same quality class as cv2's default (quality-95 baseline)
+        assert err.mean() <= errcv.mean() * 1.25 + 0.5
+        assert err.max() <= max(errcv.max() * 2, 64)
+
+    @pytest.mark.parametrize("hw", [(480, 640), (120, 160), (100, 90)])
+    def test_roundtrip_shapes(self, hw):
+        img = _image(*hw, seed=3)
+        buf = jpeg_encode(img)
+        dec = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(np.int16) - img.astype(np.int16)).mean() < 12
+
+    def test_splice_equals_full_encode(self):
+        """Randomized dots (incl. image-border positions): splice output
+        must be bit-identical to a full native encode of the annotated
+        bitmap."""
+        img = _image(seed=5)
+        cache = JpegSpliceCache()
+        rng = np.random.default_rng(7)
+        try:
+            for trial in range(12):
+                x = int(rng.integers(0, 640))
+                y = int(rng.integers(0, 480))
+                ann = img.copy()
+                cv2.circle(ann, (x, y), 10, (0, 0, 255), -1)
+                cv2.putText(ann, "B", (x + 15, y + 15),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1.0, (0, 0, 255), 2)
+                (tw, th), baseline = cv2.getTextSize(
+                    "B", cv2.FONT_HERSHEY_SIMPLEX, 1.0, 2)
+                y0 = min(y - 11, y + 15 - th - 2 - 1)
+                y1 = max(y + 12, y + 15 + baseline + 2 + 1)
+                spliced = cache.encode("k", img, ann, y0, y1)
+                full = jpeg_encode(ann)
+                assert spliced == full, (trial, x, y)
+        finally:
+            cache.close()
+
+    def test_splice_detects_handle_reuse(self):
+        """Two different base frames under different keys don't cross."""
+        a, b = _image(seed=1), _image(seed=2)
+        cache = JpegSpliceCache()
+        try:
+            ann_a = a.copy()
+            cv2.circle(ann_a, (100, 100), 10, (255, 0, 0), -1)
+            ann_b = b.copy()
+            cv2.circle(ann_b, (100, 100), 10, (255, 0, 0), -1)
+            sa = cache.encode("a", a, ann_a, 89, 112)
+            sb = cache.encode("b", b, ann_b, 89, 112)
+            assert sa == jpeg_encode(ann_a)
+            assert sb == jpeg_encode(ann_b)
+        finally:
+            cache.close()
+
+
+class TestAnnotatedJpegWriter:
+    def _provider(self):
+        from multi_spatialmllm_tpu.engines.annotate import (
+            SyntheticImageProvider,
+        )
+
+        return SyntheticImageProvider((480, 640))
+
+    def test_native_matches_full_encode_and_cv2_pixels(self, tmp_path):
+        from multi_spatialmllm_tpu.engines.annotate import (
+            AnnotatedJpegWriter,
+            draw_lettered_dot,
+        )
+
+        provider = self._provider()
+        wr = AnnotatedJpegWriter(provider, str(tmp_path / "nat"),
+                                 use_native=True)
+        cv = AnnotatedJpegWriter(provider, str(tmp_path / "cv"),
+                                 use_native=False)
+        dots = [((320, 240), "A", (255, 0, 0)),
+                ((50, 470), "B", (0, 255, 0))]  # second near bottom edge
+        for w_ in (wr, cv):
+            w_.write_lettered_dots("s0", "00000", dots, "s0/x.jpg")
+            w_.write_dot("s0", "00000", (630, 5), (0, 0, 255),
+                         "s0/y.jpg")  # top-right corner
+        wr.close()
+        cv.close()
+        for name in ("x.jpg", "y.jpg"):
+            nat = cv2.imread(str(tmp_path / "nat" / "s0" / name))
+            ref = cv2.imread(str(tmp_path / "cv" / "s0" / name))
+            assert nat is not None and ref is not None
+            # both are q95 encodes of the SAME annotated bitmap
+            d = np.abs(nat.astype(np.int16) - ref.astype(np.int16))
+            assert d.mean() < 6, (name, d.mean())
+
+        # splice invariant through the writer: bytes == full native
+        # encode of an identically drawn bitmap
+        base = provider("s0", "00000")
+        ann = base.copy()
+        for xy, letter, color in dots:
+            draw_lettered_dot(ann, xy, letter, color)
+        assert (tmp_path / "nat" / "s0" / "x.jpg").read_bytes() == \
+            jpeg_encode(ann)
