@@ -164,7 +164,19 @@ class Attention(nn.Module):
             # in-call repeat is a broadcast XLA fuses (its VJP performs
             # the group sum for dk/dv). `segment_ids` (packed training,
             # models/data.pack_samples) makes the mask block-diagonal.
-            if cfg.use_flash_attention and attn_valid is None:
+            from ..ops.ring_attention import active_ring_mesh
+
+            ring_mesh = active_ring_mesh()
+            if ring_mesh is not None and attn_valid is None \
+                    and segment_ids is None:
+                # sequence/context parallelism: the train step's mesh has
+                # a "seq" axis — attention runs blockwise with kv rotating
+                # over the ring (ops/ring_attention; shard_map composes
+                # under the enclosing pjit)
+                from ..ops.ring_attention import ring_attention
+
+                out = ring_attention(q, k, v, ring_mesh)
+            elif cfg.use_flash_attention and attn_valid is None:
                 if segment_ids is None:
                     from ..ops.attention import trainable_flash_attention
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..parallel.mesh import shard_map_compat
@@ -42,6 +43,35 @@ def _block_attention(q, k, v, mask, m_prev, l_prev, acc_prev, sm_scale):
     return m_cur, l_cur, acc_cur
 
 
+# --- training integration: trace-time ring-mesh context --------------------
+# parallel/train.make_train_step sets this while tracing a step whose mesh
+# carries a "seq" axis; models/llm.Attention reads it to route the training
+# forward through ring attention (the context manager runs at TRACE time,
+# which is exactly when the module code executes under jit).
+
+_ACTIVE_RING_MESH: list = [None]
+
+
+class ring_context:
+    def __init__(self, mesh: Mesh | None):
+        self.mesh = None
+        if mesh is not None and SEQ_AXIS in mesh.axis_names \
+                and mesh.shape[SEQ_AXIS] > 1:
+            self.mesh = mesh
+
+    def __enter__(self):
+        _ACTIVE_RING_MESH.append(self.mesh)
+        return self.mesh
+
+    def __exit__(self, *exc):
+        _ACTIVE_RING_MESH.pop()
+        return False
+
+
+def active_ring_mesh() -> Mesh | None:
+    return _ACTIVE_RING_MESH[-1]
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -51,7 +81,15 @@ def ring_attention(
 ) -> jax.Array:
     """Causal attention with q/k/v sequence-sharded over `mesh`'s "seq"
     axis. Shapes `[B, H, S, D]` globally; S must divide by the axis size.
+    k/v may carry fewer (GQA) heads — they are repeated here (the rotated
+    payload stays at kv width would be the further optimization).
+    Differentiable: the rotation loop has static bounds (lowered via
+    scan), so reverse-mode autodiff works through `ppermute`.
     """
+    if k.shape[1] != q.shape[1]:
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     b, h, s, d = q.shape
     n = mesh.shape[SEQ_AXIS]
     assert s % n == 0, (s, n)
@@ -59,7 +97,15 @@ def ring_attention(
     if sm_scale is None:
         sm_scale = d ** -0.5
 
-    spec = P(None, None, SEQ_AXIS, None)
+    # inside a multi-axis train-step mesh, go manual over "data" as well:
+    # the batch dim stays device-local (full-manual-over-seq-only would
+    # all-gather it) and per-device b shrinks accordingly
+    data_axes = [ax for ax in ("data",) if ax in mesh.axis_names]
+    if data_axes:
+        spec = P(tuple(data_axes), None, SEQ_AXIS, None)
+        b = b // int(np.prod([mesh.shape[ax] for ax in data_axes]))
+    else:
+        spec = P(None, None, SEQ_AXIS, None)
 
     def local_fn(q_blk, k_blk, v_blk):
         # q_blk/k_blk/v_blk: [B, H, block, D] on this device
@@ -76,7 +122,11 @@ def ring_attention(
 
         def body(t, carry):
             m, l, acc, k_cur, v_cur = carry
-            src = (my_idx - t) % n  # block index the current kv came from
+            # explicit int32 arithmetic: under jax_enable_x64 the loop
+            # counter is int64, and the mixed-width scalar select crashed
+            # XLA's SPMD partitioner (CHECK IsScalarWithElementType)
+            t32 = jnp.asarray(t, jnp.int32)
+            src = (jnp.asarray(my_idx, jnp.int32) - t32) % jnp.int32(n)
             mask = jnp.where(
                 src < my_idx, full, jnp.where(src == my_idx, tri, none))
             m, l, acc = _block_attention(
@@ -90,8 +140,12 @@ def ring_attention(
             0, n, body, (m0, l0, a0, k_blk, v_blk))
         return (acc / jnp.maximum(l, 1e-30)).astype(q_blk.dtype)
 
+    axis_names = None
+    if len(mesh.axis_names) > 1:
+        axis_names = {SEQ_AXIS} | set(data_axes)
     fn = shard_map_compat(
-        local_fn, mesh, in_specs=(spec, spec, spec), out_specs=spec)
+        local_fn, mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        axis_names=axis_names)
     return fn(q, k, v)
 
 

@@ -15,18 +15,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None) -> Mesh:
-    """Mesh over available devices; defaults to all-data."""
+              devices=None, n_seq: int = 1) -> Mesh:
+    """Mesh over available devices; defaults to all-data.
+
+    `n_seq > 1` adds a third "seq" axis for sequence/context parallelism
+    (ring attention in the training path — parallel/train.py routes the
+    decoder's attention through ops/ring_attention when the step's mesh
+    carries this axis)."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"{n_data}x{n_model} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+        n_data = len(devices) // (n_model * n_seq)
+    assert n_data * n_model * n_seq == len(devices), (
+        f"{n_data}x{n_model}x{n_seq} != {len(devices)} devices")
+    if n_seq == 1:
+        arr = np.asarray(devices).reshape(n_data, n_model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices).reshape(n_data, n_model, n_seq)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
@@ -38,15 +47,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_map_compat(f, mesh, in_specs, out_specs):
+def shard_map_compat(f, mesh, in_specs, out_specs, axis_names=None):
     """shard_map across jax versions: >=0.8 exposes jax.shard_map with
     `check_vma`; the older experimental API takes `check_rep` instead
-    (passing the wrong kwarg raises TypeError at wrap time)."""
+    (passing the wrong kwarg raises TypeError at wrap time).
+
+    `axis_names`: go manual over ONLY these mesh axes (partial-auto
+    mode) — required when the region runs inside a pjit program that
+    also shards over other axes (e.g. ring attention over "seq" inside a
+    (data, model, seq) train step: full-manual shard_map would force the
+    batch to gather over "data", and crashed XLA's SPMD partitioner
+    under x64). Silently ignored by the legacy API."""
     try:
         from jax import shard_map
 
+        kw = {}
+        if axis_names:
+            kw["axis_names"] = frozenset(axis_names)
         return shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
+                         out_specs=out_specs, check_vma=False, **kw)
     except ImportError:
         from jax.experimental.shard_map import shard_map
 

@@ -104,11 +104,15 @@ def mllm_pipeline_loss_and_grads(
 
     embeds, pre_vjp = jax.vjp(preamble, pre_params)
 
-    positions = jnp.broadcast_to(jnp.arange(t), (mb, t))
     layer = DecoderLayer(cfg.llm)
 
     def apply_layer(lp, x):
-        out, _ = layer.apply({"params": lp}, x, positions)
+        # positions from the LOCAL activation shape: under a combined
+        # (data, pipe) mesh the microbatch rows are sharded over "data",
+        # so x's batch dim is mb / n_data here
+        pos = jnp.broadcast_to(jnp.arange(x.shape[1]),
+                               (x.shape[0], x.shape[1]))
+        out, _ = layer.apply({"params": lp}, x, pos)
         return out
 
     norm = RMSNorm(cfg.llm.norm_eps)

@@ -35,11 +35,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import shard_map_compat
 
 PIPE_AXIS = "pipe"
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_pipe_mesh(n_stages: int, devices=None) -> Mesh:
+def make_pipe_mesh(n_stages: int, devices=None, n_data: int = 1,
+                   n_model: int = 1) -> Mesh:
+    """1-D "pipe" mesh, or a combined (data[, model], pipe) mesh: the
+    pipeline schedule goes shard_map-manual over data+pipe (microbatch
+    rows sharded over "data", grads pmean'd across replicas) while a
+    "model" axis, if present, stays AUTO — XLA tensor-partitions the
+    stage compute from the stage params' shardings (partial-auto
+    shard_map)."""
     devices = list(devices if devices is not None else jax.devices())
-    return Mesh(np.asarray(devices[:n_stages]), (PIPE_AXIS,))
+    n = n_data * n_model * n_stages
+    if n_data == 1 and n_model == 1:
+        return Mesh(np.asarray(devices[:n_stages]), (PIPE_AXIS,))
+    if n_model == 1:
+        arr = np.asarray(devices[:n]).reshape(n_data, n_stages)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+    arr = np.asarray(devices[:n]).reshape(n_data, n_model, n_stages)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
+
+
+def _pipe_mesh_config(mesh: Mesh):
+    """(has_data, axis_names-for-shard_map, batch_spec) for a pipe mesh."""
+    has_data = DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1
+    manual = {PIPE_AXIS} | ({DATA_AXIS} if DATA_AXIS in mesh.axis_names
+                            else set())
+    if len(mesh.axis_names) == 1:
+        manual = None
+    batch_spec = P(None, DATA_AXIS) if has_data else P()
+    return has_data, manual, batch_spec
 
 
 def stack_stage_params(per_layer_params: list, n_stages: int):
@@ -349,10 +376,24 @@ def pipeline_train_grads_full(
                 g * jnp.where(is_last, 1.0, 0.0), PIPE_AXIS), hgrads)
         dx_inputs = jax.lax.psum(
             dx_store * jnp.where(is_first, 1.0, 0.0), PIPE_AXIS)
+        if has_data:
+            # average the data replicas (each computed the mean loss over
+            # its microbatch-row shard)
+            loss = jax.lax.pmean(loss, DATA_AXIS)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, DATA_AXIS), grads)
+            hgrads = jax.tree_util.tree_map(
+                lambda g: jax.lax.pmean(g, DATA_AXIS), hgrads)
+            # dx stays row-sharded (consumed by the preamble VJP over the
+            # global batch), so the replica-average is a plain 1/n scale
+            dx_inputs = dx_inputs / mesh.shape[DATA_AXIS]
         grads = jax.tree_util.tree_map(lambda g: g[None], grads)
         return loss, grads, hgrads, dx_inputs
 
+    has_data, manual, batch_spec = _pipe_mesh_config(mesh)
     fn = shard_map_compat(
-        local, mesh, in_specs=(param_specs, head_specs, P(), P()),
-        out_specs=(P(), param_specs, head_specs, P()))
+        local, mesh,
+        in_specs=(param_specs, head_specs, batch_spec, batch_spec),
+        out_specs=(P(), param_specs, head_specs, batch_spec),
+        axis_names=manual)
     return fn(stage_params, head_params, x, y)

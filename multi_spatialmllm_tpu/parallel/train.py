@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llm import cross_entropy_loss
 from ..models.mllm import MLLMConfig, MultiFrameMLLM
-from .mesh import DATA_AXIS
+from .mesh import DATA_AXIS, SEQ_AXIS
 from .sharding import params_shardings
 
 
@@ -34,6 +34,19 @@ class TrainConfig:
     total_steps: int = 10_000
     fsdp: bool = False  # also shard large params over the data axis
 
+
+
+def _seq_unshard(mesh: Mesh):
+    """Constraint applied to logits before the loss when the mesh has a
+    "seq" axis: XLA's SPMD partitioner CHECK-crashes (CreateConstant,
+    spmd_partitioner_util.h:117) on the cross-entropy gather's backward
+    scatter when the sliced logits stay sequence-sharded; replicating
+    them over "seq" first sidesteps it (the loss tensor is small next to
+    attention)."""
+    if SEQ_AXIS in mesh.axis_names and mesh.shape[SEQ_AXIS] > 1:
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        return lambda logits: jax.lax.with_sharding_constraint(logits, sh)
+    return lambda logits: logits
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = optax.warmup_cosine_decay_schedule(
@@ -76,23 +89,33 @@ def make_train_step(model: MultiFrameMLLM,
     means would NOT).
     """
 
+    unshard = _seq_unshard(mesh)
+
     def loss_of(params, batch):
-        logits = model.apply(params, batch["input_ids"], batch["tiles"],
-                             positions=batch.get("positions"),
-                             segment_ids=batch.get("segment_ids"))
+        logits = unshard(model.apply(
+            params, batch["input_ids"], batch["tiles"],
+            positions=batch.get("positions"),
+            segment_ids=batch.get("segment_ids")))
         return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
 
     def loss_sum_of(params, batch):
         from ..models.llm import cross_entropy_sum
 
-        logits = model.apply(params, batch["input_ids"], batch["tiles"],
-                             positions=batch.get("positions"),
-                             segment_ids=batch.get("segment_ids"))
+        logits = unshard(model.apply(
+            params, batch["input_ids"], batch["tiles"],
+            positions=batch.get("positions"),
+            segment_ids=batch.get("segment_ids")))
         nll, count = cross_entropy_sum(logits[:, :-1],
                                        batch["labels"][:, 1:])
         return nll, count
 
     def step(params, opt_state, batch):
+        from ..ops.ring_attention import ring_context
+
+        with ring_context(mesh):  # trace-time: routes decoder attention
+            return _step_inner(params, opt_state, batch)
+
+    def _step_inner(params, opt_state, batch):
         if accum_steps == 1:
             loss, grads = jax.value_and_grad(loss_of)(params, batch)
         else:
@@ -156,13 +179,18 @@ def make_chained_train_step(model: MultiFrameMLLM,
     The batch is reused across the chained steps; each step's work is
     exactly `make_train_step`'s. Returns (params, opt_state, losses[n])."""
 
+    unshard = _seq_unshard(mesh)
+
     def loss_of(params, batch):
-        logits = model.apply(params, batch["input_ids"], batch["tiles"],
-                             positions=batch.get("positions"),
-                             segment_ids=batch.get("segment_ids"))
+        logits = unshard(model.apply(
+            params, batch["input_ids"], batch["tiles"],
+            positions=batch.get("positions"),
+            segment_ids=batch.get("segment_ids")))
         return cross_entropy_loss(logits[:, :-1], batch["labels"][:, 1:])
 
     def run(params, opt_state, batch):
+        from ..ops.ring_attention import ring_context
+
         def body(carry, _):
             params, opt_state = carry
             loss, grads = jax.value_and_grad(loss_of)(params, batch)
@@ -170,8 +198,9 @@ def make_chained_train_step(model: MultiFrameMLLM,
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), None, length=n_steps)
+        with ring_context(mesh):
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n_steps)
         return params, opt_state, losses
 
     batch_sharding = NamedSharding(mesh, P(DATA_AXIS))

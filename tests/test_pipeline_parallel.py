@@ -274,3 +274,46 @@ class TestMLLMPipelineTraining:
                 np.testing.assert_allclose(
                     np.asarray(gl), np.asarray(wl), atol=3e-5,
                     err_msg=name)
+
+    def test_combined_data_pipe_matches_pipe_only(self):
+        """(data=2 x pipe=4) pipeline step: microbatch rows sharded over
+        "data", grads pmean'd across replicas — loss and every grad equal
+        the pipe-only run on the same batch."""
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.llm import LLMConfig
+        from multi_spatialmllm_tpu.models.vit import ViTConfig
+        from multi_spatialmllm_tpu.parallel.pipeline_mllm import (
+            mllm_pipeline_loss_and_grads,
+        )
+        from multi_spatialmllm_tpu.parallel.pipeline_parallel import (
+            make_pipe_mesh,
+        )
+
+        cfg = M.MLLMConfig(
+            vit=ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                          num_layers=1, num_heads=2, dtype="float32"),
+            llm=LLMConfig(vocab_size=128, hidden_size=32, num_layers=4,
+                          num_heads=4, num_kv_heads=2, ffn_size=64,
+                          dtype="float32"),
+        )
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=8, n_tiles=1, seq_len=32)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+
+        pipe_only = make_pipe_mesh(4, devices=jax.devices()[:4])
+        want_loss, want_grads = jax.jit(
+            lambda p, b: mllm_pipeline_loss_and_grads(
+                model, p, b, pipe_only, 4))(params, batch)
+
+        combined = make_pipe_mesh(4, n_data=2)
+        got_loss, got_grads = jax.jit(
+            lambda p, b: mllm_pipeline_loss_and_grads(
+                model, p, b, combined, 4))(params, batch)
+
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        for gl, wl in zip(jax.tree_util.tree_leaves(got_grads),
+                          jax.tree_util.tree_leaves(want_grads)):
+            np.testing.assert_allclose(np.asarray(gl), np.asarray(wl),
+                                       atol=3e-5)
