@@ -64,8 +64,12 @@ def init_train_state(model_cfg: MLLMConfig, train_cfg: TrainConfig,
     """Initialize (model, params, opt_state) with parameters laid out on
     the mesh."""
     model = MultiFrameMLLM(model_cfg)
-    params = model.init(jax.random.key(seed), example_batch["input_ids"],
-                        example_batch["tiles"])
+    # jit the init: unjitted flax init dispatches op-by-op (minutes for a
+    # ~1B model through the dev tunnel's 30-50 ms RTT); one compiled
+    # program materializes the tree on device directly
+    params = jax.jit(model.init)(jax.random.key(seed),
+                                 example_batch["input_ids"],
+                                 example_batch["tiles"])
     p_shard = params_shardings(params, mesh, fsdp=train_cfg.fsdp)
     params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
     tx = make_optimizer(train_cfg)

@@ -178,7 +178,10 @@ def compute_scene_visibility_hybrid(
     pts, pvalid = scene.padded_points(np.float32)
     ext, depth, ivalid = scene.padded_images(np.float32)
     i_pad, n_pad = ext.shape[0], pts.shape[0]
-    budget = _PAIR_BUDGET_F32
+    # chunk at HALF the f32 budget: the host-side exact fix-up of chunk k
+    # overlaps chunk k+1's upload/compute (all chunks are dispatched
+    # before any fetch), which a single monolithic dispatch cannot do
+    budget = _PAIR_BUDGET_F32 // 2
     if image_chunk is None and i_pad * n_pad > budget:
         image_chunk = max(8, (budget // n_pad) // 8 * 8)
     fn_chunk = image_chunk if image_chunk and image_chunk < i_pad else i_pad

@@ -79,3 +79,34 @@ from multi_spatialmllm_tpu.stages.visibility import (
 compute_scene_visibility_hybrid(real)
 print("visibility hybrid real-scale cached", round(time.time() - t0, 1),
       flush=True)
+# object visibility + coverage programs on the real-scale shapes
+from multi_spatialmllm_tpu.stages.object_visibility import (
+    build_object_visibility,
+)
+from multi_spatialmllm_tpu.stages.coverage import build_object_coverage
+vis_real = compute_scene_visibility(real, dtype=np.float64)
+ovis = build_object_visibility([real],
+                               visibility={real.scene_id: vis_real})
+build_object_coverage([real], ovis, visibility={real.scene_id: vis_real})
+print("object visibility + coverage cached", round(time.time() - t0, 1),
+      flush=True)
+# model path: chained train step + serving programs (bench `model` block)
+import jax
+# earlier stages flipped x64 on; the model path traces in 32-bit (Pallas
+# kernels reject 64-bit types) — mirror bench.py
+jax.config.update("jax_enable_x64", False)
+from multi_spatialmllm_tpu.models import mllm as M
+from multi_spatialmllm_tpu.parallel.mesh import make_mesh
+from multi_spatialmllm_tpu.parallel.train import (
+    TrainConfig, init_train_state, make_chained_train_step,
+)
+cfg_m = M.bench_1chip_config()
+batch = M.make_example_batch(cfg_m, batch=4, n_tiles=2, seq_len=2048)
+mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+model, params, opt_state, tx = init_train_state(
+    cfg_m, TrainConfig(warmup_steps=10), batch, mesh)
+step = make_chained_train_step(model, tx, mesh, 8)
+params, opt_state, losses = step(params, opt_state, batch)
+float(losses[-1])
+del params, opt_state, step
+print("train chain cached", round(time.time() - t0, 1), flush=True)
