@@ -32,6 +32,35 @@ class TestRingAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                    atol=2e-5)
 
+    @pytest.mark.parametrize("kvh", [3, 1])
+    def test_flash_style_backward_matches_reference_grads(self, kvh):
+        """The custom VJP (probabilities re-materialized from the saved
+        lse; dk/dv riding the ring) must equal autodiff through the full
+        reference attention — including the GQA group-sum for dk/dv."""
+        mesh = make_seq_mesh(4)
+        b, h, s, d = 2, 3, 64, 16
+        q = jax.random.normal(jax.random.key(0), (b, h, s, d),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.key(1), (b, kvh, s, d),
+                              dtype=jnp.float32)
+        v = jax.random.normal(jax.random.key(2), (b, kvh, s, d),
+                              dtype=jnp.float32)
+        g = jax.random.normal(jax.random.key(3), (b, h, s, d),
+                              dtype=jnp.float32)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(ring_attention(q, k, v, mesh) * g)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                reference_attention(q, k, v, causal=True) * g)
+
+        got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b_ in zip(("dq", "dk", "dv"), got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-5, err_msg=name)
+
     def test_jit_with_sharded_inputs(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
