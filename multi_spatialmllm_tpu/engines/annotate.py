@@ -257,10 +257,17 @@ class AnnotatedJpegWriter:
                                   text_offset=text_offset)
 
         if len(dots) > 1 and self._splice is not None:
-            # scattered dots: full-frame draw + per-row dirty mask (the
-            # span between the topmost and bottommost dot would cover
-            # most of the frame)
-            img = base.copy()
+            # scattered dots: per-row dirty mask (the span between the
+            # topmost and bottommost dot would cover most of the frame).
+            # Only the dirty MCU rows are copied into a reusable
+            # per-thread scratch — the encoder never reads clean rows.
+            img = self._scratch_like(base)
+            h = base.shape[0]
+            for y0, y1 in spans:
+                lo = max(0, int(y0)) // 16 * 16
+                hi = min((int(y1) + 15) // 16 * 16, h)
+                if hi > lo:
+                    img[lo:hi] = base[lo:hi]
             draw(img, 0)
             buf = self._splice.encode_rows(
                 self._cache_key(scene_id, image_id, base), base, img,
@@ -306,6 +313,20 @@ class AnnotatedJpegWriter:
         img = base.copy()
         draw(img, 0)
         self._save(scene_id, image_id, base, img, y0, y1, rel_path)
+
+    def _scratch_like(self, base) -> np.ndarray:
+        """Reusable per-thread full-frame buffer (contents stale outside
+        the rows the caller refreshes — the splice encoder only reads
+        dirty rows)."""
+        import threading
+
+        tls = getattr(self, "_tls", None)
+        if tls is None:
+            tls = self._tls = threading.local()
+        buf = getattr(tls, "scratch", None)
+        if buf is None or buf.shape != base.shape or buf.dtype != base.dtype:
+            buf = tls.scratch = np.empty_like(base)
+        return buf
 
     @staticmethod
     def _cache_key(scene_id, image_id, base) -> tuple:
