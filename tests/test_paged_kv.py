@@ -243,6 +243,40 @@ class TestPagedBatcher:
             np.testing.assert_array_equal(g, w)
         assert batcher.allocator.available == 9
 
+    def test_idle_slot_positions_stay_in_window(self):
+        """Regression (r2 advisor): idle slots decode into the sink page
+        but their positions advanced by `chunk` every dispatch; under a
+        long pool-dry stretch index//page_size walked past the slot's
+        page-table row (out-of-window scalar reads in the paged kernel).
+        Positions of empty slots must re-zero after every chunk."""
+        cfg, model, params, requests = _tiny_model_and_requests(
+            3, seed=9, lens=(63, 62, 60))
+        eos = 2
+        pcfg = PagedConfig(slots=3, page_size=16, num_pages=11,
+                           max_prompt_len=64, max_new_tokens=6, chunk=2,
+                           length_bucket=64)
+        batcher = PagedBatcher(model, params, pcfg, pad_id=0, eos_id=eos)
+        max_seen = {"v": 0}
+        orig = type(batcher)._free_slot
+
+        # observe positions after every public mutation point by
+        # wrapping _free_slot (called at the end of each finish/preempt)
+        def spy(self, slot):
+            max_seen["v"] = max(max_seen["v"], int(self.positions.max()))
+            return orig(self, slot)
+
+        type(batcher)._free_slot = spy
+        try:
+            got = batcher.generate_all(requests)
+        finally:
+            type(batcher)._free_slot = orig
+        want = _expected(model, params, requests, eos, 6)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        # no slot's position may exceed its max window
+        assert max_seen["v"] <= pcfg.max_len, max_seen
+        assert (batcher.positions == 0).all()
+
     def test_pool_too_small_raises(self):
         """A single request whose decode window can never fit (4 prompt
         pages fill the pool; the 5th decode page can never be granted)
