@@ -217,24 +217,27 @@ class AnnotatedJpegWriter:
 
     @staticmethod
     def _text_extent(y: int, text_offset=(15, 15), font_scale=1.0,
-                     thickness=2) -> tuple[int, int]:
+                     thickness=2) -> tuple[int, int, int]:
+        """(top_y, bottom_y, width) of a letter at baseline y+offset."""
         import cv2
 
         (tw, th), baseline = cv2.getTextSize(
             "A", cv2.FONT_HERSHEY_SIMPLEX, font_scale, thickness)
         base_y = y + text_offset[1]
-        return base_y - th - thickness, base_y + baseline + thickness
+        return (base_y - th - thickness, base_y + baseline + thickness,
+                tw + thickness)
 
     def write_dot(self, scene_id: str, image_id: str, xy, color,
                   rel_path: str, radius: int = 10) -> None:
         base = self.provider(scene_id, image_id)
-        y = int(xy[1])
-        y0, y1 = y - radius - 1, y + radius + 2
+        x, y = int(xy[0]), int(xy[1])
+        span = (y - radius - 1, y + radius + 2,
+                x - radius - 1, x + radius + 2)
 
         def draw(img, dy):
-            draw_dot(img, (int(xy[0]), y - dy), color, radius)
+            draw_dot(img, (x, y - dy), color, radius)
 
-        self._draw_and_save(scene_id, image_id, base, draw, y0, y1,
+        self._draw_and_save(scene_id, image_id, base, draw, [span],
                             rel_path)
 
     def write_lettered_dots(self, scene_id: str, image_id: str,
@@ -245,10 +248,13 @@ class AnnotatedJpegWriter:
         base = self.provider(scene_id, image_id)
         spans = []
         for xy, letter, color in dots:
-            y = int(xy[1])
-            ty0, ty1 = self._text_extent(y, text_offset)
+            x, y = int(xy[0]), int(xy[1])
+            ty0, ty1, tw = self._text_extent(y, text_offset)
             spans.append((min(y - radius - 1, ty0 - 1),
-                          max(y + radius + 2, ty1 + 1)))
+                          max(y + radius + 2, ty1 + 1),
+                          min(x - radius - 1, x + text_offset[0] - 1),
+                          max(x + radius + 2,
+                              x + text_offset[0] + tw + 2)))
 
         def draw(img, dy):
             for xy, letter, color in dots:
@@ -257,19 +263,19 @@ class AnnotatedJpegWriter:
                                   text_offset=text_offset)
 
         if len(dots) > 1 and self._splice is not None:
-            # scattered dots: per-row dirty mask (the span between the
-            # topmost and bottommost dot would cover most of the frame).
-            # Only the dirty MCU rows are copied into a reusable
-            # per-thread scratch — the encoder never reads clean rows.
+            # scattered dots: only the dirty MCU rows are copied into a
+            # reusable per-thread scratch (the encoder never reads clean
+            # rows), then a bit-granular column splice re-encodes only
+            # the MCUs the dots/letters actually touch.
             img = self._scratch_like(base)
             h = base.shape[0]
-            for y0, y1 in spans:
+            for y0, y1, _, _ in spans:
                 lo = max(0, int(y0)) // 16 * 16
                 hi = min((int(y1) + 15) // 16 * 16, h)
                 if hi > lo:
                     img[lo:hi] = base[lo:hi]
             draw(img, 0)
-            buf = self._splice.encode_rows(
+            buf = self._splice.encode_cols(
                 self._cache_key(scene_id, image_id, base), base, img,
                 spans)
             if buf is not None:
@@ -280,20 +286,21 @@ class AnnotatedJpegWriter:
                 return
             save_annotated(img, self.out_dir, rel_path)
             return
-        y0 = min(s[0] for s in spans)
-        y1 = max(s[1] for s in spans)
-        self._draw_and_save(scene_id, image_id, base, draw, y0, y1,
+        self._draw_and_save(scene_id, image_id, base, draw, spans,
                             rel_path)
 
-    def _draw_and_save(self, scene_id, image_id, base, draw, y0, y1,
+    def _draw_and_save(self, scene_id, image_id, base, draw, spans,
                        rel_path) -> None:
         """Fast path: copy only the dirty MCU-row band, draw with the
-        band's y offset, and splice-encode it (the native side only reads
-        those rows). The band shares its top/bottom edge with the image
-        exactly when the annotation is clamped there, so cv2's clipping
-        semantics are identical to a full-frame draw. Falls back to a
-        whole-frame draw + encode when the native engine is off."""
+        band's y offset, and column-splice-encode it (the native side
+        only reads the dirty MCUs). The band shares its top/bottom edge
+        with the image exactly when the annotation is clamped there, so
+        cv2's clipping semantics are identical to a full-frame draw.
+        Falls back to a whole-frame draw + encode when the native engine
+        is off."""
         h = base.shape[0]
+        y0 = min(s[0] for s in spans)
+        y1 = max(s[1] for s in spans)
         if self._splice is not None:
             r0 = max(0, int(y0)) // 16
             r1 = min((int(y1) + 15) // 16, (h + 15) // 16)
@@ -301,9 +308,9 @@ class AnnotatedJpegWriter:
             if hi > lo:
                 band = base[lo:hi].copy()
                 draw(band, lo)
-                buf = self._splice.encode_band(
+                buf = self._splice.encode_cols_band(
                     self._cache_key(scene_id, image_id, base), base, band,
-                    lo, y0, y1)
+                    lo, spans)
                 if buf is not None:
                     full = os.path.join(self.out_dir, rel_path)
                     mkdir_or_exist(os.path.dirname(full))

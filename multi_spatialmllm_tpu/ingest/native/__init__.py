@@ -63,6 +63,10 @@ def _load():
         lib.msm_jpeg_encode_spliced_rows.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long]
+        lib.msm_jpeg_encode_spliced_cols.restype = ctypes.c_long
+        lib.msm_jpeg_encode_spliced_cols.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long]
         lib.msm_jpeg_release.restype = None
         lib.msm_jpeg_release.argtypes = [ctypes.c_int64]
         lib._has_jpeg = True
@@ -293,6 +297,76 @@ class JpegSpliceCache:
         if n == 0:
             return jpeg_encode(img, self.quality)
         if n < 0:
+            return None
+        return out[:n].tobytes()
+
+    def _col_arrays(self, h: int, spans):
+        """(x0s, x1s) int32 [mcu_h] from (y0, y1, x0, x1) pixel spans —
+        per MCU row, the union x-range of the spans covering it."""
+        mcu_h = (h + 15) // 16
+        x0s = np.full(mcu_h, -1, np.int32)
+        x1s = np.full(mcu_h, -1, np.int32)
+        for y0, y1, x0, x1 in spans:
+            r0 = max(0, int(y0)) // 16
+            r1 = min((int(y1) + 15) // 16, mcu_h)
+            for r in range(r0, r1):
+                if x0s[r] < 0:
+                    x0s[r], x1s[r] = int(x0), int(x1)
+                else:
+                    x0s[r] = min(x0s[r], int(x0))
+                    x1s[r] = max(x1s[r], int(x1))
+        return x0s, x1s
+
+    def encode_cols(self, key, base: np.ndarray, annotated: np.ndarray,
+                    spans) -> bytes | None:
+        """Bit-granular column splice: `spans` is a list of
+        (y0, y1, x0, x1) dirty pixel rectangles; only the 16x16 MCUs they
+        intersect are re-encoded (a dot touches ~2-3 of a 640px row's 40
+        MCUs — ~6x less work than even the row splice). `annotated` may
+        be a full frame OR a virtual band pointer arrangement as long as
+        every dirty MCU row's pixels are valid (see encode_band)."""
+        lib = _load()
+        if lib is None or not lib._has_jpeg:
+            return None
+        hdl = self._handle_for(key, base)
+        img = np.ascontiguousarray(annotated)
+        h, w = base.shape[:2]
+        x0s, x1s = self._col_arrays(h, spans)
+        cap = h * w * 4 + (1 << 16)
+        out = self._out_buf(cap)
+        n = lib.msm_jpeg_encode_spliced_cols(
+            hdl, img.ctypes.data, x0s.ctypes.data, x1s.ctypes.data,
+            out.ctypes.data, out.size)
+        if n == 0:
+            return jpeg_encode(img, self.quality)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
+
+    def encode_cols_band(self, key, base: np.ndarray, band: np.ndarray,
+                         band_y0: int, spans) -> bytes | None:
+        """`encode_cols` with only the band rows
+        [band_y0, band_y0 + band.shape[0]) materialized (must cover every
+        dirty MCU row; the native side only reads those)."""
+        lib = _load()
+        if lib is None or not lib._has_jpeg:
+            return None
+        hdl = self._handle_for(key, base)
+        band = np.ascontiguousarray(band)
+        h, w = base.shape[:2]
+        x0s, x1s = self._col_arrays(h, spans)
+        rows = np.where(x0s >= 0)[0]
+        if rows.size:
+            lo, hi = int(rows[0]) * 16, min((int(rows[-1]) + 1) * 16, h)
+            if not (band_y0 <= lo and band_y0 + band.shape[0] >= hi):
+                raise ValueError((band_y0, band.shape, lo, hi))
+        virtual = band.ctypes.data - band_y0 * w * 3
+        cap = h * w * 4 + (1 << 16)
+        out = self._out_buf(cap)
+        n = lib.msm_jpeg_encode_spliced_cols(
+            hdl, virtual, x0s.ctypes.data, x1s.ctypes.data,
+            out.ctypes.data, out.size)
+        if n <= 0:
             return None
         return out[:n].tobytes()
 

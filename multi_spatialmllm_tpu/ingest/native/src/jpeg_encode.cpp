@@ -140,45 +140,62 @@ void scale_quant(const uint8_t *base, int quality, uint8_t *out) {
 // Bit writer (with 0xFF byte stuffing)
 // ---------------------------------------------------------------------------
 
-struct BitWriter {
-  std::vector<uint8_t> *out;
+// Raw (UNSTUFFED) MSB-first bitstream. Keeping the entropy bits unstuffed
+// is what makes bit-granular splicing practical: cached bit offsets stay
+// valid, ranges copy with word shifts, and the 0xFF00 byte stuffing is a
+// single final pass.
+struct RawBits {
+  std::vector<uint8_t> bytes;
   uint64_t acc = 0;
-  int nbits = 0;
-  explicit BitWriter(std::vector<uint8_t> *o) : out(o) {
-    out->reserve(out->size() + 4096);
-  }
+  int nacc = 0;  // bits buffered in acc (not yet in `bytes`)
+
+  uint64_t nbits() const { return bytes.size() * 8ull + nacc; }
+
   inline void put(uint32_t bits, int n) {
-    acc = (acc << n) | (uint64_t)(bits & ((1u << n) - 1));
-    nbits += n;
-    if (nbits >= 32) emit32();
-  }
-  inline void emit32() {
-    uint32_t w = (uint32_t)(acc >> (nbits - 32));
-    nbits -= 32;
-    // SWAR: any 0xFF byte in w needs zero-stuffing (rare)
-    uint32_t x = w ^ 0xFFFFFFFFu;
-    if (((x - 0x01010101u) & ~x & 0x80808080u) == 0) {
-      uint8_t b[4] = {(uint8_t)(w >> 24), (uint8_t)(w >> 16),
-                      (uint8_t)(w >> 8), (uint8_t)w};
-      out->insert(out->end(), b, b + 4);
-    } else {
-      for (int s = 24; s >= 0; s -= 8) {
-        uint8_t b = (uint8_t)(w >> s);
-        out->push_back(b);
-        if (b == 0xFF) out->push_back(0x00);
-      }
+    acc = (acc << n) | (uint64_t)(bits & (n == 32 ? 0xFFFFFFFFu
+                                                  : ((1u << n) - 1)));
+    nacc += n;
+    while (nacc >= 8) {
+      bytes.push_back((uint8_t)(acc >> (nacc - 8)));
+      nacc -= 8;
     }
   }
-  inline void flush() {  // pad with 1s to byte boundary
-    if (nbits % 8) put(0xFF, 8 - nbits % 8);
-    while (nbits >= 8) {
-      uint8_t b = (uint8_t)(acc >> (nbits - 8));
+
+  inline void pad_to_byte() {  // 1-fill (JPEG flush convention)
+    if (nacc) put(0xFF, 8 - nacc);
+  }
+
+  // read up to 32 bits at absolute bit position `pos` (caller guarantees
+  // pos + n <= nbits and the stream is byte-flushed)
+  inline uint32_t read(uint64_t pos, int n) const {
+    uint64_t byte = pos >> 3;
+    int off = (int)(pos & 7);
+    uint64_t v = 0;
+    size_t need = (size_t)((off + n + 7) / 8);
+    for (size_t i = 0; i < need; ++i)
+      v = (v << 8) | bytes[byte + i];
+    int total = (int)need * 8;
+    return (uint32_t)((v >> (total - off - n)) & (n == 32
+        ? 0xFFFFFFFFull : ((1ull << n) - 1)));
+  }
+
+  // append source bits [lo, hi) — word-wise
+  inline void append_range(const RawBits &src, uint64_t lo, uint64_t hi) {
+    while (lo + 32 <= hi) {
+      put(src.read(lo, 32), 32);
+      lo += 32;
+    }
+    if (lo < hi) put(src.read(lo, (int)(hi - lo)), (int)(hi - lo));
+  }
+
+  // byte-stuffed copy (0xFF -> 0xFF 0x00) appended to `out`; stream must
+  // be byte-flushed
+  void stuff_into(std::vector<uint8_t> *out) const {
+    out->reserve(out->size() + bytes.size() + 16);
+    for (uint8_t b : bytes) {
       out->push_back(b);
       if (b == 0xFF) out->push_back(0x00);
-      nbits -= 8;
     }
-    nbits = 0;
-    acc = 0;
   }
 };
 
@@ -262,13 +279,16 @@ void fdct_quant(float *blk, const float *qmul, int32_t *out) {
   }
 }
 
-void encode_block(BitWriter &bw, const int32_t *coef, int *dc_pred,
-                  const HuffTable &dc, const HuffTable &ac) {
-  int diff = coef[0] - *dc_pred;
-  *dc_pred = coef[0];
+inline void emit_dc(RawBits &bw, int diff, const HuffTable &dc) {
   int n = bit_size(diff);
   bw.put(dc.code[n], dc.len[n]);
   if (n) bw.put(diff < 0 ? diff - 1 : diff, n);
+}
+
+void encode_block(RawBits &bw, const int32_t *coef, int *dc_pred,
+                  const HuffTable &dc, const HuffTable &ac) {
+  emit_dc(bw, coef[0] - *dc_pred, dc);
+  *dc_pred = coef[0];
   int run = 0;
   for (int k = 1; k < 64; ++k) {
     int v = coef[kZigzag[k]];
@@ -288,6 +308,17 @@ void encode_block(BitWriter &bw, const int32_t *coef, int *dc_pred,
   }
   if (run) bw.put(ac.code[0x00], ac.len[0x00]);
 }
+
+// Per-MCU metadata recorded during a full-row encode: enough to restart
+// the DC predictor chains at any MCU boundary (column splicing) and to
+// recode the three chain-entry DC diffs of the MCU right after a
+// re-encoded region.
+struct McuMeta {
+  uint32_t start_bit;
+  uint32_t y00_dc_end, cb_start, cb_dc_end, cr_start, cr_dc_end;
+  int32_t dc_y_in, dc_cb_in, dc_cr_in;  // predictors BEFORE this MCU
+  int32_t dc_y00, dc_cb_v, dc_cr_v;     // DC values of Y00 / Cb / Cr
+};
 
 // ---------------------------------------------------------------------------
 // Encoder state
@@ -365,15 +396,19 @@ struct Encoder {
     o.insert(o.end(), {0, 63, 0});
   }
 
-  // Encode MCU row `mr` of BGR image `img` (row-major, 3 bytes/px) into
-  // `out` (entropy bits only, flushed to byte boundary; no RST marker).
-  // The band is converted to planar YCbCr in one tight pass first (the
-  // per-MCU gather with per-pixel clamps was ~2x slower).
-  void encode_row(const uint8_t *img, int mr, std::vector<uint8_t> *out) {
-    BitWriter bw(out);
-    int dc_y = 0, dc_cb = 0, dc_cr = 0;  // reset at restart by spec
+  // Encode MCUs [m0, m1) of MCU row `mr` from BGR image `img` into `bw`,
+  // starting from DC predictors `dc[3]` ({y, cb, cr}; updated in place).
+  // The pixel band [m0*16, m1*16) is converted to planar YCbCr in one
+  // tight pass first (a per-MCU gather with per-pixel clamps was ~2x
+  // slower). `meta`, when non-null, receives one McuMeta per MCU
+  // (bit offsets RELATIVE to bw's state at entry must be zero — callers
+  // pass a fresh RawBits when recording).
+  void encode_mcus(const uint8_t *img, int mr, int m0, int m1,
+                   int32_t dc[3], RawBits &bw,
+                   std::vector<McuMeta> *meta) {
     int y0 = mr * 16;
-    int wb = mcu_w * 16;  // band width, padded to whole MCUs
+    int x0b = m0 * 16;
+    int wb = (m1 - m0) * 16;  // band width, whole MCUs
     int hw = wb / 2;
     std::vector<float> yplane((size_t)16 * wb);
     std::vector<float> cbp((size_t)8 * hw), crp((size_t)8 * hw);
@@ -385,15 +420,11 @@ struct Encoder {
       float *yrow = yplane.data() + (size_t)yy * wb;
       // deinterleave BGR -> planar floats (plain byte moves; the float
       // math below then auto-vectorizes)
-      for (int xx = 0; xx < w; ++xx) {
-        bf[xx] = row[3 * xx];
-        gf[xx] = row[3 * xx + 1];
-        rf[xx] = row[3 * xx + 2];
-      }
-      for (int xx = w; xx < wb; ++xx) {  // edge-replicate padding
-        bf[xx] = bf[w - 1];
-        gf[xx] = gf[w - 1];
-        rf[xx] = rf[w - 1];
+      for (int xx = 0; xx < wb; ++xx) {
+        int sx = x0b + xx < w ? x0b + xx : w - 1;  // edge-replicate
+        bf[xx] = row[3 * sx];
+        gf[xx] = row[3 * sx + 1];
+        rf[xx] = row[3 * sx + 2];
       }
       for (int xx = 0; xx < wb; ++xx)
         yrow[xx] = 0.299f * rf[xx] + 0.587f * gf[xx] + 0.114f * bf[xx]
@@ -418,8 +449,13 @@ struct Encoder {
     }
     float blk[64];
     int32_t coef[64];
-    for (int mx = 0; mx < mcu_w; ++mx) {
-      int x0 = mx * 16;
+    for (int m = 0; m < m1 - m0; ++m) {
+      int x0 = m * 16;
+      McuMeta mm;
+      mm.start_bit = (uint32_t)bw.nbits();
+      mm.dc_y_in = dc[0];
+      mm.dc_cb_in = dc[1];
+      mm.dc_cr_in = dc[2];
       // 4 Y blocks
       for (int by = 0; by < 2; ++by)
         for (int bx = 0; bx < 2; ++bx) {
@@ -429,27 +465,121 @@ struct Encoder {
             std::memcpy(blk + r * 8, src + (size_t)r * wb,
                         8 * sizeof(float));
           fdct_quant(blk, qmul_y, coef);
-          encode_block(bw, coef, &dc_y, g_tables.dc_luma, g_tables.ac_luma);
+          if (by == 0 && bx == 0) {
+            mm.dc_y00 = coef[0];
+            emit_dc(bw, coef[0] - dc[0], g_tables.dc_luma);
+            mm.y00_dc_end = (uint32_t)bw.nbits();
+            dc[0] = coef[0];
+            emit_ac(bw, coef, g_tables.ac_luma);
+          } else {
+            int pi = (int)dc[0];
+            encode_block(bw, coef, &pi, g_tables.dc_luma,
+                         g_tables.ac_luma);
+            dc[0] = pi;
+          }
         }
+      mm.cb_start = (uint32_t)bw.nbits();
       for (int r = 0; r < 8; ++r)
         std::memcpy(blk + r * 8, cbp.data() + (size_t)r * hw + x0 / 2,
                     8 * sizeof(float));
       fdct_quant(blk, qmul_c, coef);
-      encode_block(bw, coef, &dc_cb, g_tables.dc_chroma, g_tables.ac_chroma);
+      mm.dc_cb_v = coef[0];
+      emit_dc(bw, coef[0] - dc[1], g_tables.dc_chroma);
+      mm.cb_dc_end = (uint32_t)bw.nbits();
+      dc[1] = coef[0];
+      emit_ac(bw, coef, g_tables.ac_chroma);
+      mm.cr_start = (uint32_t)bw.nbits();
       for (int r = 0; r < 8; ++r)
         std::memcpy(blk + r * 8, crp.data() + (size_t)r * hw + x0 / 2,
                     8 * sizeof(float));
       fdct_quant(blk, qmul_c, coef);
-      encode_block(bw, coef, &dc_cr, g_tables.dc_chroma, g_tables.ac_chroma);
+      mm.dc_cr_v = coef[0];
+      emit_dc(bw, coef[0] - dc[2], g_tables.dc_chroma);
+      mm.cr_dc_end = (uint32_t)bw.nbits();
+      dc[2] = coef[0];
+      emit_ac(bw, coef, g_tables.ac_chroma);
+      if (meta) meta->push_back(mm);
     }
-    bw.flush();
   }
+
+  static void emit_ac(RawBits &bw, const int32_t *coef,
+                      const HuffTable &ac) {
+    int run = 0;
+    for (int kk = 1; kk < 64; ++kk) {
+      int vv = coef[kZigzag[kk]];
+      if (vv == 0) { ++run; continue; }
+      while (run > 15) {
+        bw.put(ac.code[0xF0], ac.len[0xF0]);
+        run -= 16;
+      }
+      int s = bit_size(vv);
+      int sym = (run << 4) | s;
+      bw.put(ac.code[sym], ac.len[sym]);
+      bw.put(vv < 0 ? vv - 1 : vv, s);
+      run = 0;
+    }
+    if (run) bw.put(ac.code[0x00], ac.len[0x00]);
+  }
+
+  // Whole-row encode (entropy bytes, flushed; no RST marker), with raw
+  // bits + per-MCU metadata captured for column splicing.
+  // `raw_nbits`: the UNPADDED bit count (the raw buffer is byte-padded
+  // with 1s afterwards; column splices must not copy the pad).
+  void encode_row_full(const uint8_t *img, int mr,
+                       std::vector<uint8_t> *stuffed, RawBits *raw_out,
+                       std::vector<McuMeta> *meta, uint64_t *raw_nbits) {
+    RawBits bw;
+    int32_t dc[3] = {0, 0, 0};  // reset at restart by spec
+    encode_mcus(img, mr, 0, mcu_w, dc, bw, meta);
+    if (raw_nbits) *raw_nbits = bw.nbits();
+    bw.pad_to_byte();
+    bw.stuff_into(stuffed);
+    if (raw_out) *raw_out = std::move(bw);
+  }
+
+  // Back-compat wrapper (full encode path).
+  void encode_row(const uint8_t *img, int mr, std::vector<uint8_t> *out) {
+    encode_row_full(img, mr, out, nullptr, nullptr, nullptr);
+  }
+};
+
+struct RowCache {
+  std::vector<uint8_t> stuffed;  // entropy bytes, byte-stuffed + padded
+  RawBits raw;                   // unstuffed bits (padded at the end)
+  uint64_t raw_nbits = 0;        // unpadded bit count
+  std::vector<McuMeta> mcus;
 };
 
 struct Cached {
   Encoder *enc;
-  std::vector<std::vector<uint8_t>> rows;  // entropy bytes per MCU row
+  std::vector<RowCache> rows;
 };
+
+// Column splice of ONE row: re-encode MCUs [m0, m1) from `img`, recode
+// the bridge MCU m1's three chain-entry DC diffs against the fresh
+// predictors, and bit-copy everything else from the cached raw stream.
+void splice_row_cols(Encoder &enc, const RowCache &rc, const uint8_t *img,
+                     int mr, int m0, int m1,
+                     std::vector<uint8_t> *stuffed_out) {
+  RawBits out;
+  const McuMeta &first = rc.mcus[(size_t)m0];
+  out.append_range(rc.raw, 0, first.start_bit);
+  int32_t dc[3] = {first.dc_y_in, first.dc_cb_in, first.dc_cr_in};
+  enc.encode_mcus(img, mr, m0, m1, dc, out, nullptr);
+  if (m1 < enc.mcu_w) {
+    const McuMeta &b = rc.mcus[(size_t)m1];
+    // bridge: the three DC diffs entering MCU m1 change (their
+    // predecessors were re-encoded); every later diff is unchanged
+    emit_dc(out, b.dc_y00 - dc[0], g_tables.dc_luma);
+    out.append_range(rc.raw, b.y00_dc_end, b.cb_start);
+    emit_dc(out, b.dc_cb_v - dc[1], g_tables.dc_chroma);
+    out.append_range(rc.raw, b.cb_dc_end, b.cr_start);
+    emit_dc(out, b.dc_cr_v - dc[2], g_tables.dc_chroma);
+    out.append_range(rc.raw, b.cr_dc_end, rc.raw_nbits);
+  }
+  out.pad_to_byte();
+  out.stuff_into(stuffed_out);
+}
 
 std::mutex g_mutex;
 std::unordered_map<int64_t, Cached> g_cache;
@@ -493,8 +623,9 @@ long msm_jpeg_encode(const uint8_t *bgr, int h, int w, int quality,
   return (long)buf.size();
 }
 
-// Encode + cache the per-row segments of a SOURCE frame; returns a handle
-// (>0) for msm_jpeg_encode_spliced, or 0 on error.
+// Encode + cache the per-row segments of a SOURCE frame (stuffed bytes
+// for row splicing, raw bits + per-MCU metadata for column splicing);
+// returns a handle (>0) for msm_jpeg_encode_spliced*, or 0 on error.
 int64_t msm_jpeg_prepare(const uint8_t *bgr, int h, int w, int quality) {
   if (!bgr || h <= 0 || w <= 0) return 0;
   auto *enc = new Encoder(h, w, quality);
@@ -502,7 +633,8 @@ int64_t msm_jpeg_prepare(const uint8_t *bgr, int h, int w, int quality) {
   c.enc = enc;
   c.rows.resize((size_t)enc->mcu_h);
   for (int mr = 0; mr < enc->mcu_h; ++mr)
-    enc->encode_row(bgr, mr, &c.rows[mr]);
+    enc->encode_row_full(bgr, mr, &c.rows[mr].stuffed, &c.rows[mr].raw,
+                         &c.rows[mr].mcus, &c.rows[mr].raw_nbits);
   std::lock_guard<std::mutex> lock(g_mutex);
   int64_t hdl = g_next_handle++;
   g_cache.emplace(hdl, std::move(c));
@@ -511,22 +643,22 @@ int64_t msm_jpeg_prepare(const uint8_t *bgr, int h, int w, int quality) {
 
 namespace {
 
-long splice_with(Cached *c, const uint8_t *bgr,
-                 const std::vector<uint8_t> &is_dirty, uint8_t *out,
-                 long cap) {
+// Assemble the output from per-row segments: `dirty[mr]` non-empty means
+// a freshly-encoded replacement, otherwise the cached stuffed row.
+long emit_rows(Cached *c, const std::vector<std::vector<uint8_t>> &dirty,
+               const std::vector<uint8_t> &use_dirty, uint8_t *out,
+               long cap) {
   Encoder &enc = *c->enc;
-  std::vector<std::vector<uint8_t>> dirty((size_t)enc.mcu_h);
-  for (int mr = 0; mr < enc.mcu_h; ++mr)
-    if (is_dirty[mr]) enc.encode_row(bgr, mr, &dirty[mr]);
   size_t total = enc.header.size() + 2;
   for (int mr = 0; mr < enc.mcu_h; ++mr)
-    total += (is_dirty[mr] ? dirty[mr] : c->rows[mr]).size() + 2;
+    total += (use_dirty[mr] ? dirty[mr] : c->rows[mr].stuffed).size() + 2;
   if ((long)total > cap) return -(long)total;
   uint8_t *p = out;
   std::memcpy(p, enc.header.data(), enc.header.size());
   p += enc.header.size();
   for (int mr = 0; mr < enc.mcu_h; ++mr) {
-    const std::vector<uint8_t> &seg = is_dirty[mr] ? dirty[mr] : c->rows[mr];
+    const std::vector<uint8_t> &seg =
+        use_dirty[mr] ? dirty[mr] : c->rows[mr].stuffed;
     std::memcpy(p, seg.data(), seg.size());
     p += seg.size();
     if (mr != enc.mcu_h - 1) {
@@ -537,6 +669,16 @@ long splice_with(Cached *c, const uint8_t *bgr,
   *p++ = 0xFF;
   *p++ = 0xD9;
   return (long)(p - out);
+}
+
+long splice_with(Cached *c, const uint8_t *bgr,
+                 const std::vector<uint8_t> &is_dirty, uint8_t *out,
+                 long cap) {
+  Encoder &enc = *c->enc;
+  std::vector<std::vector<uint8_t>> dirty((size_t)enc.mcu_h);
+  for (int mr = 0; mr < enc.mcu_h; ++mr)
+    if (is_dirty[mr]) enc.encode_row(bgr, mr, &dirty[mr]);
+  return emit_rows(c, dirty, is_dirty, out, cap);
 }
 
 Cached *lookup(int64_t handle) {
@@ -574,6 +716,32 @@ long msm_jpeg_encode_spliced_rows(int64_t handle, const uint8_t *bgr,
   if (!c || !bgr || !mask) return 0;
   std::vector<uint8_t> is_dirty(mask, mask + c->enc->mcu_h);
   return splice_with(c, bgr, is_dirty, out, cap);
+}
+
+// Bit-granular COLUMN splice: per MCU row r, `x0s[r] >= 0` marks a dirty
+// pixel-x range [x0s[r], x1s[r]) — only the 16x16 MCUs intersecting it
+// are re-encoded; the rest of the row is bit-copied from the cache with
+// the bridge MCU's DC diffs recoded. A dot touches ~2-3 of a 640px
+// row's 40 MCUs, so this is ~10x less encode work than a row splice.
+long msm_jpeg_encode_spliced_cols(int64_t handle, const uint8_t *bgr,
+                                  const int32_t *x0s, const int32_t *x1s,
+                                  uint8_t *out, long cap) {
+  Cached *c = lookup(handle);
+  if (!c || !bgr || !x0s || !x1s) return 0;
+  Encoder &enc = *c->enc;
+  std::vector<std::vector<uint8_t>> dirty((size_t)enc.mcu_h);
+  std::vector<uint8_t> use_dirty((size_t)enc.mcu_h, 0);
+  for (int mr = 0; mr < enc.mcu_h; ++mr) {
+    if (x0s[mr] < 0) continue;
+    int m0 = x0s[mr] / 16;
+    if (m0 < 0) m0 = 0;
+    int m1 = (x1s[mr] + 15) / 16;
+    if (m1 > enc.mcu_w) m1 = enc.mcu_w;
+    if (m1 <= m0) m1 = m0 + 1;
+    use_dirty[mr] = 1;
+    splice_row_cols(enc, c->rows[mr], bgr, mr, m0, m1, &dirty[mr]);
+  }
+  return emit_rows(c, dirty, use_dirty, out, cap);
 }
 
 void msm_jpeg_release(int64_t handle) {

@@ -58,15 +58,77 @@ def make_pipe_mesh(n_stages: int, devices=None, n_data: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS, PIPE_AXIS))
 
 
-def _pipe_mesh_config(mesh: Mesh):
-    """(has_data, axis_names-for-shard_map, batch_spec) for a pipe mesh."""
+def _pipe_mesh_config(mesh: Mesh, manual_model: bool = False):
+    """(has_data, axis_names-for-shard_map, batch_spec) for a pipe mesh.
+
+    `manual_model`: include the "model" axis in the manual set — used by
+    the tensor-parallel stage bodies (explicit Megatron f/g collectives,
+    :func:`tp_region_enter` / :func:`tp_region_exit`) because leaving
+    "model" AUTO while the schedule is manual over data+pipe crashes
+    XLA's SPMD partitioner (ROADMAP gap #5)."""
     has_data = DATA_AXIS in mesh.axis_names and mesh.shape[DATA_AXIS] > 1
     manual = {PIPE_AXIS} | ({DATA_AXIS} if DATA_AXIS in mesh.axis_names
                             else set())
+    if manual_model and MODEL_AXIS in mesh.axis_names:
+        manual |= {MODEL_AXIS}
     if len(mesh.axis_names) == 1:
         manual = None
     batch_spec = P(None, DATA_AXIS) if has_data else P()
     return has_data, manual, batch_spec
+
+
+# ---------------------------------------------------------------------------
+# Megatron f/g operators for tensor parallelism inside manual shard_map
+# ---------------------------------------------------------------------------
+# Inside a manual region the compiler cannot be trusted to transpose psum
+# the way replicated-activation TP needs (with check_rep/check_vma off,
+# psum transposes to psum — double-counting replicated cotangents), so
+# both boundaries of the parallel region are explicit custom-VJP ops:
+#
+#   tp_region_enter ("f"): identity forward; backward psums the per-shard
+#     input cotangents (each shard back-propagates only its own head/ffn
+#     columns' contribution to the replicated activation).
+#   tp_region_exit ("g"): psum forward (each shard holds a partial sum of
+#     the row-parallel matmul); backward is identity (the cotangent of
+#     the replicated output is already full on every shard).
+#
+# With f after the (replicated) RMSNorm and g before the residual add,
+# every carried activation/cotangent stays replicated over "model", so
+# the 1F1B schedule above composes with TP unchanged.
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_region_enter(x, axis: str):
+    return x
+
+
+def _tp_enter_fwd(x, axis):
+    return x, None
+
+
+def _tp_enter_bwd(axis, _, ct):
+    return (jax.lax.psum(ct, axis),)
+
+
+tp_region_enter.defvjp(_tp_enter_fwd, _tp_enter_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_region_exit(x, axis: str):
+    return jax.lax.psum(x, axis)
+
+
+def _tp_exit_fwd(x, axis):
+    return jax.lax.psum(x, axis), None
+
+
+def _tp_exit_bwd(axis, _, ct):
+    return (ct,)
+
+
+tp_region_exit.defvjp(_tp_exit_fwd, _tp_exit_bwd)
 
 
 def stack_stage_params(per_layer_params: list, n_stages: int):
@@ -271,6 +333,8 @@ def pipeline_train_grads_full(
     mesh: Mesh,
     apply_layer: Callable,
     head_loss: Callable,
+    param_specs=None,
+    manual_model: bool = False,
 ):
     """1F1B training with a trainable head and input gradients.
 
@@ -284,6 +348,13 @@ def pipeline_train_grads_full(
       * d(loss)/d(x) per microbatch is captured at stage 0 and returned
         `[M, mb, ...]`, so the caller can chain into the preamble's VJP.
 
+    `param_specs` (optional): per-leaf PartitionSpecs for `stage_params`
+    when stage weights are additionally tensor-sharded over "model"
+    (leading dim stays "pipe"); pair with `manual_model=True` and an
+    `apply_layer` that runs the Megatron f/g collectives
+    (:func:`tp_region_enter` / :func:`tp_region_exit`). Grads come back
+    in the same sharded layout.
+
     Returns `(loss, stage_grads, head_grads, dx_inputs)`.
     """
     n_stages = mesh.shape[PIPE_AXIS]
@@ -292,8 +363,9 @@ def pipeline_train_grads_full(
     perm_fwd = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     perm_bwd = [(i, (i - 1) % n_stages) for i in range(n_stages)]
 
-    param_specs = jax.tree_util.tree_map(
-        lambda _: P(PIPE_AXIS), stage_params)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(
+            lambda _: P(PIPE_AXIS), stage_params)
     head_specs = jax.tree_util.tree_map(lambda _: P(), head_params)
 
     def local(params_stage, head_p, x_all, y_all):
@@ -390,7 +462,7 @@ def pipeline_train_grads_full(
         grads = jax.tree_util.tree_map(lambda g: g[None], grads)
         return loss, grads, hgrads, dx_inputs
 
-    has_data, manual, batch_spec = _pipe_mesh_config(mesh)
+    has_data, manual, batch_spec = _pipe_mesh_config(mesh, manual_model)
     fn = shard_map_compat(
         local, mesh,
         in_specs=(param_specs, head_specs, batch_spec, batch_spec),

@@ -83,6 +83,28 @@ class TestEncoder:
         finally:
             cache.close()
 
+    def test_column_splice_equals_full_encode(self):
+        """Bit-granular column splicing (fresh MCUs + recoded bridge DC
+        diffs + bit-copied remainder) must be BIT-IDENTICAL to a full
+        native encode — randomized dot positions incl. image corners and
+        multi-rect spans."""
+        img = _image(seed=8)
+        cache = JpegSpliceCache()
+        rng = np.random.default_rng(11)
+        try:
+            for trial in range(16):
+                ann = img.copy()
+                spans = []
+                for _ in range(int(rng.integers(1, 4))):
+                    x = int(rng.integers(0, 640))
+                    y = int(rng.integers(0, 480))
+                    cv2.circle(ann, (x, y), 10, (0, 255, 0), -1)
+                    spans.append((y - 11, y + 12, x - 11, x + 12))
+                got = cache.encode_cols("k", img, ann, spans)
+                assert got == jpeg_encode(ann), (trial, spans)
+        finally:
+            cache.close()
+
     def test_splice_detects_handle_reuse(self):
         """Two different base frames under different keys don't cross."""
         a, b = _image(seed=1), _image(seed=2)

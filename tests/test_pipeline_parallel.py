@@ -275,6 +275,61 @@ class TestMLLMPipelineTraining:
                     np.asarray(gl), np.asarray(wl), atol=3e-5,
                     err_msg=name)
 
+    @pytest.mark.parametrize("n_data,n_model,n_pipe",
+                             [(1, 2, 4), (2, 2, 2)])
+    def test_tensor_parallel_stages_match_single_device(
+            self, n_data, n_model, n_pipe):
+        """(data x model x pipe) MLLM pipeline step — decoder head/ffn
+        dims sharded over "model" with explicit Megatron f/g collectives
+        (tp_decoder_layer) — loss and EVERY parameter gradient equal the
+        single-device loss_fn grads (ROADMAP gap #5)."""
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.llm import LLMConfig
+        from multi_spatialmllm_tpu.models.mllm import loss_fn
+        from multi_spatialmllm_tpu.models.vit import ViTConfig
+        from multi_spatialmllm_tpu.parallel.pipeline_mllm import (
+            mllm_pipeline_loss_and_grads,
+            split_params,
+        )
+        from multi_spatialmllm_tpu.parallel.pipeline_parallel import (
+            make_pipe_mesh,
+        )
+
+        cfg = M.MLLMConfig(
+            vit=ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                          num_layers=1, num_heads=2, dtype="float32"),
+            llm=LLMConfig(vocab_size=128, hidden_size=32,
+                          num_layers=n_pipe, num_heads=4, num_kv_heads=2,
+                          ffn_size=64, dtype="float32"),
+        )
+        model = M.MultiFrameMLLM(cfg)
+        n_micro, mb = 4, 2
+        batch = M.make_example_batch(cfg, batch=n_micro * mb, n_tiles=1,
+                                     seq_len=32)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+
+        want_loss, want_grads = jax.value_and_grad(
+            lambda p: loss_fn(model, p, batch))(params)
+
+        mesh = make_pipe_mesh(n_pipe, n_data=n_data, n_model=n_model)
+        got_loss, (pre_g, stage_g, head_g) = jax.jit(
+            lambda p, b: mllm_pipeline_loss_and_grads(
+                model, p, b, mesh, n_micro))(params, batch)
+
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        want_pre, want_stage, want_head = split_params(
+            want_grads, cfg, n_pipe)
+        for name, got, want in (("pre", pre_g, want_pre),
+                                ("stage", stage_g, want_stage),
+                                ("head", head_g, want_head)):
+            for gl, wl in zip(jax.tree_util.tree_leaves(got),
+                              jax.tree_util.tree_leaves(want)):
+                np.testing.assert_allclose(
+                    np.asarray(gl), np.asarray(wl), atol=3e-5,
+                    err_msg=name)
+
     def test_combined_data_pipe_matches_pipe_only(self):
         """(data=2 x pipe=4) pipeline step: microbatch rows sharded over
         "data", grads pmean'd across replicas — loss and every grad equal
