@@ -31,10 +31,21 @@ from ..core.scene import Scene
 from .visibility import compute_scene_visibility
 
 
+def _unpack_bits(packed, n: int):
+    """Device-side inverse of numpy.packbits(axis=-1) (big-endian bit
+    order), sliced back to `n` columns. Uploading the packed matrix keeps
+    the host->device transfer 8x smaller — the transfer, not the `V@Vᵀ`
+    matmul, dominates real-scale relation dispatches on tunnel/PCIe."""
+    bits = (packed[..., None]
+            >> jnp.arange(7, -1, -1, dtype=packed.dtype)) & 1
+    return bits.reshape(*packed.shape[:-1], -1)[..., :n].astype(bool)
+
+
 @functools.lru_cache(maxsize=32)
 def _relations_fn(i_pad: int, n_pad: int, dtype_name: str):
     @jax.jit
-    def fn(vis, extrinsics, image_valid):
+    def fn(packed, extrinsics, image_valid):
+        vis = _unpack_bits(packed, n_pad)
         return G.pairwise_frame_relations(vis, extrinsics, image_valid)
 
     return fn
@@ -56,7 +67,8 @@ def compute_scene_relations(
     vis_pad = np.zeros((i_pad, vis.shape[1]), dtype=bool)
     vis_pad[: vis.shape[0]] = vis
     fn = _relations_fn(i_pad, vis.shape[1], np.dtype(dtype).name)
-    rel = fn(jnp.asarray(vis_pad), jnp.asarray(ext), jnp.asarray(ivalid))
+    rel = fn(jnp.asarray(np.packbits(vis_pad, axis=1)), jnp.asarray(ext),
+             jnp.asarray(ivalid))
     n = scene.num_images
     return {k: np.asarray(v)[:n, :n] for k, v in rel.items()}
 
@@ -100,7 +112,8 @@ def scene_relation_records(
 @functools.lru_cache(maxsize=32)
 def _relations_batch_fn(s: int, i_pad: int, n_pad: int, dtype_name: str):
     @jax.jit
-    def fn(vis, extrinsics, image_valid):
+    def fn(packed, extrinsics, image_valid):
+        vis = _unpack_bits(packed, n_pad)
         return jax.vmap(G.pairwise_frame_relations)(
             vis, extrinsics, image_valid)
 
@@ -139,8 +152,8 @@ def _batched_scene_relations(
                 vis_pad[j, : v.shape[0], : v.shape[1]] = v
                 exts[j], _, ivalid[j] = scene.padded_images(dtype)
             fn = _relations_batch_fn(s, i_pad, n_pad, np.dtype(dtype).name)
-            rel = fn(jnp.asarray(vis_pad), jnp.asarray(exts),
-                     jnp.asarray(ivalid))
+            rel = fn(jnp.asarray(np.packbits(vis_pad, axis=2)),
+                     jnp.asarray(exts), jnp.asarray(ivalid))
             rel = {k: np.asarray(v) for k, v in rel.items()}
             for j, scene in enumerate(chunk):
                 n = scene.num_images

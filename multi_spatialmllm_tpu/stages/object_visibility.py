@@ -35,8 +35,14 @@ NONINFORMATIVE_DESC = {"wall", "object", "floor", "ceiling", "window"}
 @functools.lru_cache(maxsize=32)
 def _counts_fn(i: int, n: int, num_segments: int):
     @jax.jit
-    def fn(vis, instance_ids):
+    def fn(packed, instance_ids):
         # counts[img, obj] for obj ids 0..num_segments-1 (0 = unannotated).
+        # `packed` is the host-packbits'd visibility matrix (big-endian
+        # bit order within each byte, numpy.packbits default): unpacking
+        # on device keeps the host->device transfer 8x smaller — the
+        # transfer, not the matmul, dominates this stage's wall clock.
+        bits = (packed[:, :, None] >> jnp.arange(7, -1, -1, dtype=packed.dtype)) & 1
+        vis = bits.reshape(packed.shape[0], -1)[:, :n]
         onehot = jax.nn.one_hot(instance_ids, num_segments, dtype=jnp.float32)
         return vis.astype(jnp.float32) @ onehot
 
@@ -47,7 +53,8 @@ def object_image_counts(scene: Scene, vis: np.ndarray) -> np.ndarray:
     """`[num_images, num_objects]` visible-point counts per object."""
     num_segments = scene.num_objects + 1
     fn = _counts_fn(vis.shape[0], vis.shape[1], num_segments)
-    counts = fn(jnp.asarray(vis), jnp.asarray(scene.instance_ids.astype(np.int32)))
+    packed = np.packbits(np.ascontiguousarray(vis), axis=1)
+    counts = fn(jnp.asarray(packed), jnp.asarray(scene.instance_ids.astype(np.int32)))
     return np.asarray(counts)[:, 1:]  # drop the unannotated segment
 
 
