@@ -309,11 +309,14 @@ class JpegSpliceCache:
         for y0, y1, x0, x1 in spans:
             r0 = max(0, int(y0)) // 16
             r1 = min((int(y1) + 15) // 16, mcu_h)
+            # clamp x0 to 0: negative (left-edge-clipped) spans must not
+            # reach the native side, where x0 < 0 means "row clean"
+            x0 = max(0, int(x0))
             for r in range(r0, r1):
                 if x0s[r] < 0:
-                    x0s[r], x1s[r] = int(x0), int(x1)
+                    x0s[r], x1s[r] = x0, int(x1)
                 else:
-                    x0s[r] = min(x0s[r], int(x0))
+                    x0s[r] = min(x0s[r], x0)
                     x1s[r] = max(x1s[r], int(x1))
         return x0s, x1s
 

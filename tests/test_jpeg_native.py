@@ -105,6 +105,25 @@ class TestEncoder:
         finally:
             cache.close()
 
+    def test_column_splice_edge_clipped_dots(self):
+        """Dots clipped at every image edge: their spans go negative /
+        past the frame, which must clamp — a negative x0 reaching the
+        native side means 'row clean' and silently drops the
+        annotation (regression)."""
+        img = _image(seed=9)
+        cache = JpegSpliceCache()
+        try:
+            for i, (x, y) in enumerate(
+                    [(3, 200), (637, 200), (320, 4), (320, 477),
+                     (0, 0), (639, 479)]):
+                ann = img.copy()
+                cv2.circle(ann, (x, y), 10, (0, 255, 0), -1)
+                spans = [(y - 11, y + 12, x - 11, x + 12)]
+                got = cache.encode_cols(f"edge{i}", img, ann, spans)
+                assert got == jpeg_encode(ann), (i, x, y)
+        finally:
+            cache.close()
+
     def test_splice_detects_handle_reuse(self):
         """Two different base frames under different keys don't cross."""
         a, b = _image(seed=1), _image(seed=2)
