@@ -267,11 +267,11 @@ def main() -> None:
             store, vindex, f"{tmp}/de_warm.jsonl", "coor",
             DP.DepthEngineConfig(all_max_samples=500))
 
-        def best_of_2(fn):
+        def best_of_2(fn, passes: int = 2):
             """Steady-state rate: host caches warm on the first pass,
             tunnel jitter guarded by taking the faster pass."""
             best = 0.0
-            for _ in range(2):
+            for _ in range(passes):
                 t0 = time.perf_counter()
                 n = fn()
                 best = max(best, n / (time.perf_counter() - t0))
@@ -306,7 +306,7 @@ def main() -> None:
             ann_store, ann_index, f"{tmp}/dd.jsonl", "dot",
             DP.DepthEngineConfig(max_n_points_per_image=4),
             image_provider=provider,
-            image_output_dir=f"{tmp}/dd_images").n_train)
+            image_output_dir=f"{tmp}/dd_images").n_train, passes=3)
         log(f"depth estimation dot (annotated 480x640): {n} samples "
             f"-> {rate:,.0f}/s")
         stages["depth_estimation_dot"] = {
@@ -341,7 +341,7 @@ def main() -> None:
             lambda: VC.generate_dot_to_multichoice_to_jsonl(
                 ann_rel, ann_store, ann_index, f"{tmp}/vcd.jsonl", 400,
                 f"{tmp}/vcd_imgs", image_provider=provider,
-                config=vcd_cfg).n_train)
+                config=vcd_cfg).n_train, passes=3)
         log(f"correspondence dot->multichoice (annotated): {n} samples "
             f"-> {rate:,.0f}/s")
         stages["correspondence_dot_multichoice"] = {
