@@ -412,7 +412,8 @@ def main() -> None:
     from multi_spatialmllm_tpu.models import mllm as M
     from multi_spatialmllm_tpu.models.paged_kv import (
         PagedBatcher,
-        PagedConfig,
+        bench_paged_config,
+        make_serve_requests,
     )
     from multi_spatialmllm_tpu.parallel.mesh import make_mesh
     from multi_spatialmllm_tpu.parallel.train import (
@@ -462,28 +463,12 @@ def main() -> None:
     del params, opt_state, step, losses
 
     # serving: paged continuous batcher, 8 slots, fused decode kernel
-    import jax.numpy as jnp
-
     smodel = M.MultiFrameMLLM(cfg_m)
     b0 = M.make_example_batch(cfg_m, batch=1, n_tiles=1, seq_len=512)
     sparams = jax.jit(smodel.init)(jax.random.key(0), b0["input_ids"],
                                    b0["tiles"])
-    rng_np = np.random.default_rng(5)
-    t_img = cfg_m.tokens_per_tile
-    requests = []
-    for i in range(16):
-        text = int(rng_np.integers(40, 200))
-        ids = rng_np.integers(10, cfg_m.llm.vocab_size,
-                              size=t_img + 2 + text).astype(np.int32)
-        ids[1:1 + t_img] = cfg_m.img_context_id
-        tiles = np.asarray(jax.random.normal(
-            jax.random.key(100 + i),
-            (1, cfg_m.vit.image_size, cfg_m.vit.image_size, 3),
-            dtype=jnp.float32))
-        requests.append((ids, tiles))
-    pcfg = PagedConfig(slots=8, page_size=64, num_pages=105,
-                       max_prompt_len=512, max_new_tokens=128,
-                       chunk=32, length_bucket=128)
+    requests = make_serve_requests(cfg_m, 16)
+    pcfg = bench_paged_config()
     PagedBatcher(smodel, sparams, pcfg).generate_all(requests[:8])  # warm
     best_serve = 0.0
     for _ in range(2):

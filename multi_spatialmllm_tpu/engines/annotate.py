@@ -284,6 +284,10 @@ class AnnotatedJpegWriter:
                 with open(full, "wb") as f:
                     f.write(buf)
                 return
+            # native failure (evicted handle / short cap): the scratch's
+            # clean rows are STALE — rebuild a fully-valid frame
+            img = base.copy()
+            draw(img, 0)
             save_annotated(img, self.out_dir, rel_path)
             return
         self._draw_and_save(scene_id, image_id, base, draw, spans,
@@ -352,7 +356,7 @@ class AnnotatedJpegWriter:
             return
         buf = self._splice.encode(self._cache_key(scene_id, image_id, base),
                                   base, img, y0, y1)
-        if buf is None:  # native refused (e.g. alloc): cv2 fallback
+        if buf is None:  # output cap short / lib off: cv2 fallback
             save_annotated(img, self.out_dir, rel_path)
             return
         full = os.path.join(self.out_dir, rel_path)

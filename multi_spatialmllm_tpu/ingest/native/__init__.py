@@ -59,10 +59,6 @@ def _load():
         lib.msm_jpeg_encode_spliced.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_long]
-        lib.msm_jpeg_encode_spliced_rows.restype = ctypes.c_long
-        lib.msm_jpeg_encode_spliced_rows.argtypes = [
-            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_long]
         lib.msm_jpeg_encode_spliced_cols.restype = ctypes.c_long
         lib.msm_jpeg_encode_spliced_cols.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -214,6 +210,8 @@ class JpegSpliceCache:
         img = np.ascontiguousarray(base)
         hdl = lib.msm_jpeg_prepare(img.ctypes.data, img.shape[0],
                                    img.shape[1], self.quality)
+        if hdl == 0:  # prepare failed: never cache a dead handle
+            return 0
         with self._lock:
             if key in self._handles:  # racing prepare: keep the first
                 lib.msm_jpeg_release(hdl)
@@ -237,64 +235,6 @@ class JpegSpliceCache:
         n = lib.msm_jpeg_encode_spliced(hdl, img.ctypes.data, int(y0),
                                         int(y1), out.ctypes.data, cap)
         if n == 0:  # handle evicted concurrently: full encode
-            return jpeg_encode(img, self.quality)
-        if n < 0:
-            return None
-        return out[:n].tobytes()
-
-    def encode_band(self, key, base: np.ndarray, band: np.ndarray,
-                    band_y0: int, y0: int, y1: int) -> bytes | None:
-        """Like `encode`, but `band` holds only the annotated image rows
-        [band_y0, band_y0 + band.shape[0]) — the caller draws on a small
-        row-band copy instead of copying the whole frame. `band` MUST
-        cover every 16px MCU row intersecting [y0, y1) (clipped to the
-        image): the native splice only dereferences those rows, so a
-        virtual full-image pointer offset back by band_y0 rows is safe.
-        """
-        lib = _load()
-        if lib is None or not lib._has_jpeg:
-            return None
-        hdl = self._handle_for(key, base)
-        band = np.ascontiguousarray(band)
-        h, w = base.shape[:2]
-        r0 = max(0, int(y0)) // 16
-        r1 = min((int(y1) + 15) // 16, (h + 15) // 16)
-        lo, hi = r0 * 16, min(r1 * 16, h)
-        if not (band_y0 <= lo and band_y0 + band.shape[0] >= hi):
-            raise ValueError((band_y0, band.shape, y0, y1, h))
-        virtual = band.ctypes.data - band_y0 * w * 3
-        cap = h * w * 4 + (1 << 16)
-        out = self._out_buf(cap)
-        n = lib.msm_jpeg_encode_spliced(hdl, virtual, int(y0), int(y1),
-                                        out.ctypes.data, out.size)
-        if n <= 0:
-            return None
-        return out[:n].tobytes()
-
-    def encode_rows(self, key, base: np.ndarray, annotated: np.ndarray,
-                    dirty_spans) -> bytes | None:
-        """Splice with scattered dirty regions: `dirty_spans` is a list of
-        (y0, y1) pixel ranges; only MCU rows intersecting any span are
-        re-encoded (span-based `encode` would re-encode everything between
-        the topmost and bottommost annotation)."""
-        lib = _load()
-        if lib is None or not lib._has_jpeg:
-            return None
-        hdl = self._handle_for(key, base)
-        img = np.ascontiguousarray(annotated)
-        h, w = img.shape[:2]
-        mcu_h = (h + 15) // 16
-        mask = np.zeros(mcu_h, np.uint8)
-        for y0, y1 in dirty_spans:
-            r0 = max(0, int(y0)) // 16
-            r1 = min((int(y1) + 15) // 16, mcu_h)
-            mask[r0:r1] = 1
-        cap = h * w * 4 + (1 << 16)
-        out = self._out_buf(cap)
-        n = lib.msm_jpeg_encode_spliced_rows(
-            hdl, img.ctypes.data, mask.ctypes.data, out.ctypes.data,
-            out.size)
-        if n == 0:
             return jpeg_encode(img, self.quality)
         if n < 0:
             return None
@@ -325,9 +265,12 @@ class JpegSpliceCache:
         """Bit-granular column splice: `spans` is a list of
         (y0, y1, x0, x1) dirty pixel rectangles; only the 16x16 MCUs they
         intersect are re-encoded (a dot touches ~2-3 of a 640px row's 40
-        MCUs — ~6x less work than even the row splice). `annotated` may
-        be a full frame OR a virtual band pointer arrangement as long as
-        every dirty MCU row's pixels are valid (see encode_band)."""
+        MCUs — ~6x less work than even the row splice). `annotated` only
+        needs valid pixels on the dirty MCU rows (callers may pass a
+        scratch whose clean rows are stale), so on ANY native failure
+        (evicted/dead handle, short output cap) this returns None — the
+        caller must fall back with a fully-valid frame, never with
+        `annotated`."""
         lib = _load()
         if lib is None or not lib._has_jpeg:
             return None
@@ -340,9 +283,7 @@ class JpegSpliceCache:
         n = lib.msm_jpeg_encode_spliced_cols(
             hdl, img.ctypes.data, x0s.ctypes.data, x1s.ctypes.data,
             out.ctypes.data, out.size)
-        if n == 0:
-            return jpeg_encode(img, self.quality)
-        if n < 0:
+        if n <= 0:
             return None
         return out[:n].tobytes()
 

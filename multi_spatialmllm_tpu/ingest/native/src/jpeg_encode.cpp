@@ -705,19 +705,6 @@ long msm_jpeg_encode_spliced(int64_t handle, const uint8_t *bgr, int y0,
   return splice_with(c, bgr, is_dirty, out, cap);
 }
 
-// Like msm_jpeg_encode_spliced, but with an explicit per-MCU-row dirty
-// mask (`mask` has mcu_h bytes, nonzero = re-encode) — scattered
-// annotations (e.g. four lettered distractors) re-encode only the rows
-// they actually touch, not the whole span.
-long msm_jpeg_encode_spliced_rows(int64_t handle, const uint8_t *bgr,
-                                  const uint8_t *mask, uint8_t *out,
-                                  long cap) {
-  Cached *c = lookup(handle);
-  if (!c || !bgr || !mask) return 0;
-  std::vector<uint8_t> is_dirty(mask, mask + c->enc->mcu_h);
-  return splice_with(c, bgr, is_dirty, out, cap);
-}
-
 // Bit-granular COLUMN splice: per MCU row r, `x0s[r] >= 0` marks a dirty
 // pixel-x range [x0s[r], x1s[r]) — only the 16x16 MCUs intersecting it
 // are re-encoded; the rest of the row is bit-copied from the cache with

@@ -318,3 +318,35 @@ class PagedBatcher:
                 toks = toks[: toks.index(self.eos_id)]
             out.append(np.asarray(toks, dtype=np.int32))
         return out
+
+
+def bench_paged_config(chunk: int = 32,
+                       max_new_tokens: int = 128) -> PagedConfig:
+    """The serving-benchmark configuration — ONE definition shared by
+    bench.py, scripts/warm_bench_cache.py and
+    scripts/profiles/_serve_drive.py so the warmed programs always match
+    the bench's exact shapes (a drifted copy re-introduces the
+    compile-service stall CLAUDE.md warns about)."""
+    return PagedConfig(slots=8, page_size=64, num_pages=105,
+                       max_prompt_len=512, max_new_tokens=max_new_tokens,
+                       chunk=chunk, length_bucket=128)
+
+
+def make_serve_requests(cfg, n: int, seed: int = 5) -> list:
+    """MultiSPA-shaped serving requests: an image-context prompt (one
+    tile's worth of img_context_id tokens) followed by a random text
+    tail of 40-200 tokens. Deterministic in (n, seed)."""
+    rng = np.random.default_rng(seed)
+    t_img = cfg.tokens_per_tile
+    out = []
+    for i in range(n):
+        text = int(rng.integers(40, 200))
+        ids = rng.integers(10, cfg.llm.vocab_size,
+                           size=t_img + 2 + text).astype(np.int32)
+        ids[1:1 + t_img] = cfg.img_context_id
+        tiles = np.asarray(jax.random.normal(
+            jax.random.key(100 + i),
+            (1, cfg.vit.image_size, cfg.vit.image_size, 3),
+            dtype=jnp.float32))
+        out.append((ids, tiles))
+    return out

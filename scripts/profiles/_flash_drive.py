@@ -1,6 +1,8 @@
 """TPU drive for the flash-attention kernels: correctness on-device plus
 steady-state timings of forward, Pallas backward, and the XLA/recompute
 baselines. Not a test — run by hand on the TPU backend."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np, time, statistics
 from multi_spatialmllm_tpu.ops import attention as A

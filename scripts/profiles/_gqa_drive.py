@@ -6,6 +6,8 @@ Timing: fetches a scalar from the result (block_until_ready does not
 reliably block through the axon tunnel) and reports the median; the noop
 round-trip baseline is printed for reference.
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np, time, statistics
 from multi_spatialmllm_tpu.ops import attention as A

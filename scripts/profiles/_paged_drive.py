@@ -12,6 +12,8 @@
    of a random-weights model — same caveat as the flash training
    kernels.)
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np
 print("backend:", jax.default_backend(), flush=True)

@@ -7,6 +7,8 @@ the output so XLA cannot elide iterations) and fetches a scalar;
 per-iter = total/N (tunnel RTT amortized; see docs/profiles/
 flash_attention.md for the methodology).
 """
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np, time, statistics, sys
 from multi_spatialmllm_tpu.ops.paged_attention import paged_decode_attention

@@ -1,6 +1,8 @@
 """TPU drive: realistic paged decode STEP (kv scatter-write + attention,
 pools carried through the chain) — Pallas kernel vs XLA gather fallback.
 This is the actual per-layer work in models/llm.py's paged branch."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np, time, statistics, sys
 from multi_spatialmllm_tpu.ops.paged_attention import paged_decode_attention

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from multi_spatialmllm_tpu.models import mllm as M
-from multi_spatialmllm_tpu.models.paged_kv import PagedBatcher, PagedConfig
+from multi_spatialmllm_tpu.models.paged_kv import (
+    PagedBatcher,
+    PagedConfig,
+    make_serve_requests,
+)
 
 N_REQ, MAX_NEW, CHUNK = 16, 128, 32
 if len(sys.argv) > 1:
@@ -36,20 +40,7 @@ print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
 
 
 def make_requests(n, seed=5):
-    t_img = cfg.tokens_per_tile
-    rng = np.random.default_rng(seed)
-    out = []
-    for i in range(n):
-        text = int(rng.integers(40, 200))
-        ids = rng.integers(10, cfg.llm.vocab_size,
-                           size=t_img + 2 + text).astype(np.int32)
-        ids[1:1 + t_img] = cfg.img_context_id
-        tiles = np.asarray(jax.random.normal(
-            jax.random.key(100 + i),
-            (1, cfg.vit.image_size, cfg.vit.image_size, 3),
-            dtype=jnp.float32))
-        out.append((ids, tiles))
-    return out
+    return make_serve_requests(cfg, n, seed)  # shared bench shapes
 
 
 pcfg = PagedConfig(slots=8, page_size=64,

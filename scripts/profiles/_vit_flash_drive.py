@@ -2,6 +2,8 @@
 XLA reference at the flagship encoder shape (S=1025 tokens: 1 cls + 32^2
 patches; pads to 1152 in their own segment). Chained in-jit timing per
 docs/profiles/flash_attention.md."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import multi_spatialmllm_tpu; multi_spatialmllm_tpu.enable_compilation_cache()
 import jax, jax.numpy as jnp, numpy as np, time, statistics, sys
 from multi_spatialmllm_tpu.ops import attention as A

@@ -112,29 +112,16 @@ del params, opt_state, step
 print("train chain cached", round(time.time() - t0, 1), flush=True)
 
 # serving programs: paged continuous batcher exactly as bench.py's
-# serving block dispatches them (prefill buckets + fused decode chunk)
-import jax.numpy as jnp
-from multi_spatialmllm_tpu.models.paged_kv import PagedBatcher, PagedConfig
+# serving block dispatches them (prefill buckets + fused decode chunk);
+# request shapes + config come from the SHARED helpers so the warmed
+# programs cannot drift from the bench's
+from multi_spatialmllm_tpu.models.paged_kv import (
+    PagedBatcher, bench_paged_config, make_serve_requests)
 
 smodel = M.MultiFrameMLLM(cfg_m)
 b0 = M.make_example_batch(cfg_m, batch=1, n_tiles=1, seq_len=512)
 sparams = jax.jit(smodel.init)(jax.random.key(0), b0["input_ids"],
                                b0["tiles"])
-rng_np = np.random.default_rng(5)
-t_img = cfg_m.tokens_per_tile
-requests = []
-for i in range(8):
-    text = int(rng_np.integers(40, 200))
-    ids = rng_np.integers(10, cfg_m.llm.vocab_size,
-                          size=t_img + 2 + text).astype(np.int32)
-    ids[1:1 + t_img] = cfg_m.img_context_id
-    tiles = np.asarray(jax.random.normal(
-        jax.random.key(100 + i),
-        (1, cfg_m.vit.image_size, cfg_m.vit.image_size, 3),
-        dtype=jnp.float32))
-    requests.append((ids, tiles))
-pcfg = PagedConfig(slots=8, page_size=64, num_pages=105,
-                   max_prompt_len=512, max_new_tokens=128,
-                   chunk=32, length_bucket=128)
-PagedBatcher(smodel, sparams, pcfg).generate_all(requests)
+requests = make_serve_requests(cfg_m, 8)
+PagedBatcher(smodel, sparams, bench_paged_config()).generate_all(requests)
 print("serving programs cached", round(time.time() - t0, 1), flush=True)

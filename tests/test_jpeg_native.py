@@ -184,3 +184,37 @@ class TestAnnotatedJpegWriter:
             draw_lettered_dot(ann, xy, letter, color)
         assert (tmp_path / "nat" / "s0" / "x.jpg").read_bytes() == \
             jpeg_encode(ann)
+
+    def test_native_fallback_never_writes_stale_scratch(self, tmp_path):
+        """If the native column splice fails (evicted handle, short cap),
+        the multi-dot path must rebuild a fully-valid frame — the
+        per-thread scratch's clean rows hold a PREVIOUS frame's pixels
+        (regression: the fallback used to save the scratch directly)."""
+        from multi_spatialmllm_tpu.engines.annotate import (
+            AnnotatedJpegWriter,
+            draw_lettered_dot,
+        )
+
+        provider = self._provider()
+        wr = AnnotatedJpegWriter(provider, str(tmp_path / "nat"),
+                                 use_native=True)
+        assert wr._splice is not None
+        dots = [((320, 100), "A", (255, 0, 0)),
+                ((100, 400), "B", (0, 255, 0))]
+        # poison the scratch with a different frame, then force the
+        # native path to refuse
+        other = provider("s0", "00001")
+        wr._scratch_like(other)[:] = other
+        wr._splice.encode_cols = lambda *a, **k: None
+        wr.write_lettered_dots("s0", "00000", dots, "s0/f.jpg")
+        wr.close()
+
+        got = cv2.imread(str(tmp_path / "nat" / "s0" / "f.jpg"))
+        want = provider("s0", "00000").copy()
+        for xy, letter, color in dots:
+            draw_lettered_dot(want, xy, letter, color)
+        d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert d.mean() < 6, d.mean()  # q95 re-encode of the SAME bitmap
+        # and specifically: no row came from the poisoned frame
+        stale = np.abs(got.astype(np.int16) - other.astype(np.int16))
+        assert stale.mean() > 10
