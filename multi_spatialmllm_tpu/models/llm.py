@@ -38,10 +38,25 @@ class LLMConfig:
     remat: bool = False  # checkpoint each decoder layer (activation
     #   memory drops from O(layers) to O(1) residuals at ~1/3 extra
     #   FLOPs — the standard HBM/FLOPs trade for big models on TPU)
+    remat_policy: str | None = None  # name of a jax.checkpoint_policies
+    #   policy for selective remat (e.g. "dots_with_no_batch_dims_
+    #   saveable" keeps matmul outputs and recomputes only the cheap
+    #   elementwise ops — more memory than full remat, fewer recomputed
+    #   FLOPs); None = save nothing (full recompute)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+
+def _remat_policy(cfg):
+    """Resolve `cfg.remat_policy` (a `jax.checkpoint_policies` attribute
+    name, shared by LLMConfig and ViTConfig) to the policy callable;
+    None/empty = save nothing (full per-layer recompute)."""
+    name = getattr(cfg, "remat_policy", None)
+    if not name:
+        return None
+    return getattr(jax.checkpoint_policies, name)
 
 
 def rope_frequencies(head_dim: int, theta: float) -> jax.Array:
@@ -281,7 +296,8 @@ class DecoderLM(nn.Module):
         # remat: recompute each layer's activations in the backward
         # instead of saving them (decode-path applies take no grads, so
         # the checkpoint is inert there)
-        layer_cls = nn.remat(DecoderLayer) if cfg.remat else DecoderLayer
+        layer_cls = (nn.remat(DecoderLayer, policy=_remat_policy(cfg))
+                     if cfg.remat else DecoderLayer)
         self.layers = [layer_cls(cfg, name=f"layer_{i}")
                        for i in range(cfg.num_layers)]
         self.final_norm = RMSNorm(cfg.norm_eps, name="final_norm")

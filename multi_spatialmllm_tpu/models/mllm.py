@@ -182,12 +182,17 @@ def bench_1chip_config() -> MLLMConfig:
     hd=128 so the paged decode kernel engages), with remat so the
     activation footprint stays O(1) layers. This is the config behind
     bench.py's `model` block (train tokens/s + MFU, serve tokens/s)."""
+    # selective remat: keeping matmul outputs (recompute only elementwise
+    # ops) fits this model on one v5e and is 15% faster than full-layer
+    # recompute — 313 vs 359 ms/step (scripts/profiles/_remat_drive.py)
+    pol = "dots_with_no_batch_dims_saveable"
     vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
                     num_layers=6, num_heads=16, use_flash_attention=True,
-                    remat=True)
+                    remat=True, remat_policy=pol)
     llm = LLMConfig(vocab_size=32000, hidden_size=2048, num_layers=8,
                     num_heads=16, num_kv_heads=8, ffn_size=8192,
-                    max_seq_len=4096, use_flash_attention=True, remat=True)
+                    max_seq_len=4096, use_flash_attention=True, remat=True,
+                    remat_policy=pol)
     return MLLMConfig(vit=vit, llm=llm)
 
 

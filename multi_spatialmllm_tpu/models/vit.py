@@ -28,6 +28,7 @@ class ViTConfig:
     dtype: str = "bfloat16"
     use_flash_attention: bool = False  # Pallas kernels on TPU (see below)
     remat: bool = False  # checkpoint each block (see LLMConfig.remat)
+    remat_policy: str | None = None  # see LLMConfig.remat_policy
 
     @property
     def num_patches(self) -> int:
@@ -106,7 +107,10 @@ class VisionTransformer(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (1, 1 + cfg.num_patches, cfg.hidden_size))
         x = x + pos.astype(dtype)
-        block_cls = nn.remat(ViTBlock) if cfg.remat else ViTBlock
+        from .llm import _remat_policy
+
+        block_cls = (nn.remat(ViTBlock, policy=_remat_policy(cfg))
+                     if cfg.remat else ViTBlock)
         for i in range(cfg.num_layers):
             x = block_cls(cfg, name=f"block_{i}")(x)
         return x

@@ -177,9 +177,14 @@ class TestMLLM:
         import dataclasses as dc
 
         cfg = M.tiny_config()
+        pol = "dots_with_no_batch_dims_saveable"
         rcfg = M.MLLMConfig(
             vit=dc.replace(cfg.vit, remat=True),
             llm=dc.replace(cfg.llm, remat=True),
+            img_context_id=cfg.img_context_id)
+        pcfg = M.MLLMConfig(
+            vit=dc.replace(cfg.vit, remat=True, remat_policy=pol),
+            llm=dc.replace(cfg.llm, remat=True, remat_policy=pol),
             img_context_id=cfg.img_context_id)
         batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=48)
 
@@ -202,6 +207,13 @@ class TestMLLM:
         np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
         for a, b in zip(jax.tree_util.tree_leaves(g0),
                         jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
+        # selective policy (keep matmul outputs): same math again
+        _, (l2, g2) = loss_of(pcfg)
+        np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
 
