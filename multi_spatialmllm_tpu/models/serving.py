@@ -27,6 +27,14 @@ cutoff).
 Throughput levers: one device dispatch per `chunk` decode steps for the
 whole batch, compiled callables cached per shape signature, and slots
 that finish early immediately start the next request instead of idling.
+
+TENSOR-PARALLEL serving needs no code here: pass params committed via
+`parallel.sharding.shard_params(params, mesh)` and GSPMD propagates the
+Megatron layout through every jitted program (prefill, slot insert,
+chunked decode), emitting the row-parallel all-reduces over ICI. The
+batcher stays BIT-identical to per-request `greedy_generate` under the
+same sharded params (tests/test_tp_serving.py; also exercised by
+__graft_entry__.dryrun_multichip).
 """
 
 from __future__ import annotations
