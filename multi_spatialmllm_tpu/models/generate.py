@@ -175,6 +175,176 @@ def _generate(model, params, input_ids, tiles, lens, max_new_tokens,
 
 
 # ---------------------------------------------------------------------------
+# Speculative decoding (prompt-lookup drafting, greedy-exact).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _spec_decode_fn(model: MultiFrameMLLM, b: int, prompt_width: int,
+                    max_new_tokens: int, eos_id: int | None, n_draft: int):
+    """Compiled speculative decode loop.
+
+    Each iteration drafts `n_draft` continuation tokens by PROMPT LOOKUP
+    (find the latest earlier occurrence of the bigram ending at the last
+    token in the prompt+generated history and copy what followed it),
+    then verifies the whole chain in ONE decode forward over t = n_draft
+    + 1 positions: position i's greedy argmax must equal draft token i
+    for it to be accepted, and the first mismatch position contributes
+    its own argmax as a bonus token. Every emitted token therefore equals
+    what step-by-step greedy would emit — speculation changes the number
+    of forwards, never the output — while accepted drafts amortize one
+    forward over several tokens. Decode is memory-bound (the KV-cache
+    read dominates and is shared across the t positions), so a rejected
+    draft costs barely more than a plain single step.
+
+    KV handling: the verify forward writes rows at positions
+    pos_last..pos_last+k before attending (llm.py decode path); on a
+    partial accept the tail rows are stale but every later iteration
+    rewrites from its own pos_last before reading, and the per-row valid
+    mask never admits rows past the current chain. Rows advance at
+    different rates, which the per-row [B] cache index already supports.
+
+    The reference has no generation stack (README.md:194-200); this is
+    beyond-reference serving surface.
+    """
+    fill = eos_id if eos_id is not None else 0
+    k = n_draft
+    hist_len = prompt_width + max_new_tokens + 1
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(params, first_token, caches, lens, prompt_hist):
+        # history buffer: prompt tokens (pads already -1), then -1s;
+        # -1 can never match a drafting bigram of real token ids
+        hist = jnp.concatenate(
+            [prompt_hist,
+             jnp.full((b, max_new_tokens + 1), -1, jnp.int32)], axis=1)
+        rows = jnp.arange(b)
+        hist = hist.at[rows, lens].set(first_token[:, 0].astype(jnp.int32))
+        out0 = jnp.full((b, max_new_tokens), fill, dtype=first_token.dtype)
+        out0 = out0.at[:, 0].set(first_token[:, 0])
+        written0 = jnp.ones((b,), jnp.int32)
+
+        def finished(out, written):
+            full_rows = written >= max_new_tokens
+            if eos_id is None:
+                return full_rows
+            emitted = jnp.arange(max_new_tokens)[None, :] < written[:, None]
+            ever_eos = jnp.any((out == eos_id) & emitted, axis=1)
+            return ever_eos | full_rows
+
+        def cond(carry):
+            out, caches, hist, written, iters = carry
+            return ~jnp.all(finished(out, written))
+
+        def body(carry):
+            out, caches, hist, written, iters = carry
+            pos_last = lens + written - 1                        # [B]
+            cur = hist[rows, pos_last]                           # [B]
+            prev = hist[rows, pos_last - 1]
+
+            # latest earlier bigram match: hist[j] == prev, hist[j+1]
+            # == cur, with j+1 strictly before the suffix itself
+            m = (hist[:, :-1] == prev[:, None]) \
+                & (hist[:, 1:] == cur[:, None])
+            j_arange = jnp.arange(hist_len - 1)
+            m &= (j_arange + 1)[None, :] < pos_last[:, None]
+            jbest = jnp.max(jnp.where(m, j_arange[None, :], -1), axis=1)
+
+            # draft k tokens following the match; unknown/unmatched
+            # slots become token 0 — verification simply rejects them
+            # (or accepts them exactly when 0 IS the greedy argmax)
+            dpos = jbest[:, None] + 2 + jnp.arange(k)[None, :]   # [B, k]
+            known = (jbest[:, None] >= 0) & (dpos <= pos_last[:, None])
+            draft = jnp.take_along_axis(
+                hist, jnp.clip(dpos, 0, hist_len - 1), axis=1)
+            draft = jnp.where(known & (draft >= 0), draft, 0)
+
+            # one verify forward over the whole chain (t = k + 1)
+            tokens_in = jnp.concatenate([cur[:, None], draft], axis=1)
+            positions = pos_last[:, None] + jnp.arange(k + 1)[None, :]
+            chain_caches = [
+                {"k": c["k"], "v": c["v"], "index": pos_last}
+                for c in caches
+            ]
+            logits, caches = model.apply(
+                params, tokens_in, positions, chain_caches,
+                method=lambda mdl, tok, pos, cc:
+                    mdl.llm(input_embeds=mdl.llm.embed(tok), positions=pos,
+                            caches=cc))
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B, k+1]
+
+            match = (draft == g[:, :k]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B]
+            slot = jnp.arange(k + 1)[None, :]
+            cand = jnp.where(
+                slot < n_acc[:, None],
+                jnp.concatenate([draft, draft[:, -1:]], axis=1), g)
+
+            n_emit = jnp.minimum(n_acc + 1,
+                                 max_new_tokens - written).astype(jnp.int32)
+            emit = slot < n_emit[:, None]
+            oidx = jnp.where(emit, written[:, None] + slot,
+                             max_new_tokens)              # OOB -> dropped
+            out = out.at[rows[:, None], oidx].set(
+                cand.astype(out.dtype), mode="drop")
+            hidx = jnp.where(emit, pos_last[:, None] + 1 + slot, hist_len)
+            hist = hist.at[rows[:, None], hidx].set(cand, mode="drop")
+            return out, caches, hist, written + n_emit, iters + 1
+
+        out, _, _, _, iters = jax.lax.while_loop(
+            cond, body, (out0, caches, hist, written0,
+                         jnp.zeros((), jnp.int32)))
+        return out, iters
+
+    return run
+
+
+def speculative_generate(
+    model: MultiFrameMLLM,
+    params,
+    input_ids: jax.Array,
+    tiles: jax.Array,
+    max_new_tokens: int = 32,
+    eos_id: int | None = None,
+    prompt_lens=None,
+    n_draft: int = 4,
+    return_stats: bool = False,
+):
+    """Greedy decoding accelerated by prompt-lookup speculation.
+
+    Tokens are IDENTICAL to `greedy_generate_batched` up to each row's
+    eos (test-asserted); only the number of device forwards changes.
+    MultiSPA answers are formulaic ("The camera moved X millimeters to
+    the left."), so drafted continuations copied from the prompt+history
+    verify at high acceptance rates. `return_stats=True` additionally
+    returns the number of decode-loop iterations (forwards), i.e.
+    decoded_tokens / iters = tokens per forward.
+    """
+    b, t = input_ids.shape
+    if prompt_lens is None:
+        lens = jnp.full((b,), t, dtype=jnp.int32)
+    else:
+        lens = jnp.asarray(prompt_lens, dtype=jnp.int32)
+        assert lens.shape == (b,), (lens.shape, b)
+    caches = init_cache(model.cfg.llm, b,
+                        t + max_new_tokens + int(n_draft))
+    logits, caches = _prefill_fn(model)(params, input_ids, tiles, caches,
+                                        lens)
+    first = jnp.take_along_axis(
+        jnp.argmax(logits, axis=-1), (lens - 1)[:, None], axis=1)
+    prompt_hist = jnp.where(
+        jnp.arange(t)[None, :] < lens[:, None],
+        jnp.asarray(input_ids, jnp.int32), -1)
+    run = _spec_decode_fn(model, b, t, int(max_new_tokens),
+                          None if eos_id is None else int(eos_id),
+                          int(n_draft))
+    out, iters = run(params, first, caches, lens, prompt_hist)
+    if return_stats:
+        return out, int(iters)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Sampling (temperature / top-k / top-p) — same one-dispatch while_loop
 # decoder as greedy, with a PRNG key threaded through the carry.
 # ---------------------------------------------------------------------------

@@ -207,14 +207,19 @@ class Attention(nn.Module):
                 out = reference_attention(q, k, v, causal=True,
                                           key_valid=attn_valid,
                                           segment_ids=segment_ids)
-        elif t > 1:
-            # prompt prefill (cache index starts at 0; both prefill entry
-            # points guarantee it): attend causally within the fresh
-            # prompt kv instead of the masked full-cache einsum — flash
-            # on TPU, and even the XLA fallback works over t keys rather
-            # than max_len. Right padding + causal means logits at real
-            # positions are unaffected by pad rows, whose logits the
+        elif t > 1 and jnp.ndim(cache["index"]) == 0:
+            # prompt prefill (cache index starts at 0 as a SCALAR; both
+            # prefill entry points guarantee it): attend causally within
+            # the fresh prompt kv instead of the masked full-cache einsum
+            # — flash on TPU, and even the XLA fallback works over t keys
+            # rather than max_len. Right padding + causal means logits at
+            # real positions are unaffected by pad rows, whose logits the
             # caller discards (cache index rewinds to true_length).
+            # Multi-token apply with a PER-ROW [B] index instead falls
+            # through to the chunked-decode branch below, which attends
+            # over the filled cache prefix — the speculative-verify
+            # chain (models/generate.speculative_generate) depends on
+            # that distinction.
             if cfg.use_flash_attention:
                 from ..ops.attention import trainable_flash_attention
 
