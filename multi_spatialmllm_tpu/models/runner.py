@@ -16,7 +16,7 @@ import numpy as np
 
 from .data import DataConfig
 from .eval_harness import ScoreConfig, evaluate
-from .generate import greedy_generate, pad_to_bucket
+from .generate import pad_to_bucket
 from .mllm import MLLMConfig, MultiFrameMLLM
 from .preprocess import tile_image
 from .tokenizer import (
@@ -33,7 +33,28 @@ from .tokenizer import (
 class EvalRunConfig:
     max_new_tokens: int = 24
     length_bucket: int = 128
+    speculate: int = 0  # >0: prompt-lookup speculative decoding with this
+    #   many draft tokens per forward (generate.speculative_generate) —
+    #   answers stay BIT-identical to greedy (test-asserted); formulaic
+    #   MultiSPA answers verify at high acceptance, cutting forwards
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+
+def _decode_batched(model, params, prompt, tiles, lens, eos_id, config):
+    """Greedy decode, optionally accelerated by speculation (identical
+    outputs either way)."""
+    if config.speculate > 0:
+        from .generate import speculative_generate
+
+        return speculative_generate(
+            model, params, prompt, tiles,
+            max_new_tokens=config.max_new_tokens, eos_id=eos_id,
+            prompt_lens=lens, n_draft=config.speculate)
+    from .generate import greedy_generate_batched
+
+    return greedy_generate_batched(
+        model, params, prompt, tiles, lens,
+        max_new_tokens=config.max_new_tokens, eos_id=eos_id)
 
 
 def build_prompt_ids(
@@ -70,10 +91,9 @@ def predict_sample(
     prompt = np.asarray([ids], dtype=np.int32)
     real_len = prompt.shape[1]
     prompt = pad_to_bucket(prompt, config.length_bucket, tokenizer.pad_id)
-    out = greedy_generate(
+    out = _decode_batched(
         model, params, prompt, tiles,
-        max_new_tokens=config.max_new_tokens, eos_id=tokenizer.eos_id,
-        prompt_len=real_len)
+        np.asarray([real_len], np.int32), tokenizer.eos_id, config)
     gen = np.asarray(out[0])
     if tokenizer.eos_id in gen:
         gen = gen[: int(np.where(gen == tokenizer.eos_id)[0][0])]
@@ -101,8 +121,6 @@ def predict_batch(
     length bucket; within a group one prefill + decode serves every row.
     Per-sample outputs are identical to `predict_sample` (test-asserted).
     """
-    from .generate import greedy_generate_batched
-
     prepped = []
     for s in samples:
         stacks = [tile_image(image_loader(p), config.data.preprocess)
@@ -126,10 +144,8 @@ def predict_batch(
         for r, i in enumerate(rows):
             prompt[r, : lens[r]] = prepped[i][1]
         tiles = np.stack([prepped[i][0] for i in rows])
-        out = np.asarray(greedy_generate_batched(
-            model, params, prompt, tiles, lens,
-            max_new_tokens=config.max_new_tokens,
-            eos_id=tokenizer.eos_id))
+        out = np.asarray(_decode_batched(
+            model, params, prompt, tiles, lens, tokenizer.eos_id, config))
         for r, i in enumerate(rows):
             predictions[i] = tokenizer.decode(
                 _decode_row(out[r], tokenizer.eos_id))

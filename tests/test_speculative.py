@@ -108,6 +108,55 @@ class TestSpeculativeGreedyParity:
         np.testing.assert_array_equal(np.asarray(base), np.asarray(spec))
         assert iters <= 6, iters  # ~4 forwards for 20 tokens
 
+    def test_eval_runner_speculate_flag_identical_predictions(self):
+        """EvalRunConfig(speculate=n) routes the eval decode through
+        speculation; predictions are string-identical to the greedy
+        runner."""
+        from multi_spatialmllm_tpu.models.data import DataConfig
+        from multi_spatialmllm_tpu.models.preprocess import PreprocessConfig
+        from multi_spatialmllm_tpu.models.runner import (
+            EvalRunConfig,
+            predict_batch,
+        )
+        from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+        tok = SpatialTokenizer()
+        cfg = M.MLLMConfig(
+            vit=ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                          num_layers=1, num_heads=2),
+            llm=LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                          num_layers=1, num_heads=2, num_kv_heads=2,
+                          ffn_size=64, dtype="float32"),
+            img_context_id=tok.img_context_id,
+        )
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        samples = [
+            {"id": "a", "image": ["s/0.jpg"],
+             "text": "<image>\nHow deep is the point at (10, 20)?"},
+            {"id": "b", "image": ["s/1.jpg"],
+             "text": "<image>\nWhich way did the camera move?"},
+        ]
+
+        def loader(path):
+            seed = int(path.split("/")[-1].split(".")[0])
+            return np.random.default_rng(seed).integers(
+                0, 255, (96, 128, 3), dtype=np.uint8)
+
+        pp = DataConfig(preprocess=PreprocessConfig(
+            tile_size=56, max_tiles=1, resize_hw=None))
+        greedy_cfg = EvalRunConfig(max_new_tokens=6, length_bucket=32,
+                                   data=pp)
+        spec_cfg = EvalRunConfig(max_new_tokens=6, length_bucket=32,
+                                 speculate=3, data=pp)
+        base = predict_batch(model, params, tok, samples, loader,
+                             greedy_cfg)
+        spec = predict_batch(model, params, tok, samples, loader,
+                             spec_cfg)
+        assert base == spec
+
     def test_single_row_matches_batched(self, setup):
         cfg, model, batch, params = setup
         lens = np.asarray([50], np.int32)
