@@ -60,6 +60,10 @@ class ServeConfig:
     length_bucket: int = 128       # prefill shape bucketing
     sampling: bool = False         # enable per-request SamplingParams
     top_k: int | None = None       # static top-k when sampling
+    speculate: int = 0             # >0: prompt-lookup speculative decode
+    #   with this many draft tokens per forward (greedy only — tokens
+    #   stay BIT-identical to the plain batcher; each chunk iteration
+    #   then emits 1..speculate+1 tokens per slot instead of exactly 1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,9 +167,87 @@ def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
+                   n_draft: int, hist_len: int):
+    """`chunk` SPECULATIVE iterations for every slot in one dispatch.
+
+    Same drafting/verification as generate._spec_decode_fn, restated for
+    the batcher's state layout: `hist` `[B, hist_len]` carries each
+    slot's prompt+generated tokens (-1 = unknown; host-owned, reset on
+    refill), `positions` `[B]` is the sequence position of each slot's
+    LAST token (== its cache index). Each iteration drafts `n_draft`
+    tokens by bigram lookup, verifies them in one t = n_draft + 1
+    forward, and emits 1..n_draft+1 tokens; the host consumes
+    `counts[slot, i]` tokens of `cands[slot, i]` per iteration, so the
+    consumed stream is bit-identical to the plain one-token chunk loop.
+    Slots advance at different rates (per-row cache indices). Inactive
+    slots decode garbage the host discards, exactly like _decode_chunk_fn.
+    """
+    k = n_draft
+    rows = jnp.arange(n_slots)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def run(params, positions, caches, hist):
+        # normalize the carry: per-slot [B] cache indices
+        caches = [
+            {"k": c["k"], "v": c["v"], "index": positions} for c in caches
+        ]
+
+        def body(carry, _):
+            positions, caches, hist = carry
+            cur = hist[rows, positions]
+            prev = hist[rows, positions - 1]
+            m = (hist[:, :-1] == prev[:, None]) \
+                & (hist[:, 1:] == cur[:, None])
+            j_arange = jnp.arange(hist_len - 1)
+            m &= (j_arange + 1)[None, :] < positions[:, None]
+            jbest = jnp.max(jnp.where(m, j_arange[None, :], -1), axis=1)
+            dpos = jbest[:, None] + 2 + jnp.arange(k)[None, :]
+            known = (jbest[:, None] >= 0) & (dpos <= positions[:, None])
+            draft = jnp.take_along_axis(
+                hist, jnp.clip(dpos, 0, hist_len - 1), axis=1)
+            draft = jnp.where(known & (draft >= 0), draft, 0)
+
+            # idle slots carry cur == -1; clip for a safe embed lookup
+            # (their logits are discarded by the host either way)
+            tokens_in = jnp.clip(
+                jnp.concatenate([cur[:, None], draft], axis=1), 0, None)
+            pos_block = positions[:, None] + jnp.arange(k + 1)[None, :]
+            chain = [{"k": c["k"], "v": c["v"], "index": positions}
+                     for c in caches]
+            logits, caches = model.apply(
+                params, tokens_in, pos_block, chain,
+                method=lambda mdl, tok, pos, cc:
+                    mdl.llm(input_embeds=mdl.llm.embed(tok),
+                            positions=pos, caches=cc))
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            match = (draft == g[:, :k]).astype(jnp.int32)
+            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            slot = jnp.arange(k + 1)[None, :]
+            cand = jnp.where(
+                slot < n_acc[:, None],
+                jnp.concatenate([draft, draft[:, -1:]], axis=1), g)
+            n_emit = (n_acc + 1).astype(jnp.int32)
+            emit = slot < n_emit[:, None]
+            hidx = jnp.where(emit, positions[:, None] + 1 + slot,
+                             hist_len)                 # OOB -> dropped
+            hist = hist.at[rows[:, None], hidx].set(cand, mode="drop")
+            return (positions + n_emit, caches, hist), (cand, n_emit)
+
+        (positions, caches, hist), (cands, counts) = jax.lax.scan(
+            body, (positions, caches, hist), None, length=chunk)
+        # cands: [chunk, B, k+1] -> [B, chunk, k+1]; counts -> [B, chunk]
+        return (jnp.transpose(cands, (1, 0, 2)), jnp.transpose(counts),
+                positions, caches, hist)
+
+    return run
+
+
 class ContinuousBatcher:
     """Serving over a fixed pool of decode slots (greedy by default;
-    per-request sampling with ServeConfig(sampling=True))."""
+    per-request sampling with ServeConfig(sampling=True); greedy-exact
+    speculative decoding with ServeConfig(speculate=n))."""
 
     def __init__(self, model: MultiFrameMLLM, params,
                  config: ServeConfig | None = None,
@@ -176,13 +258,23 @@ class ContinuousBatcher:
         self.pad_id = pad_id
         self.eos_id = eos_id
         cfg = self.config
-        self.max_len = cfg.max_prompt_len + cfg.max_new_tokens
+        assert not (cfg.speculate and cfg.sampling), \
+            "speculative decoding is greedy-exact; disable sampling"
+        # speculation margin: an unfinished slot one token from its
+        # max_new limit still dispatches a full t = speculate+1 verify
+        # chain, whose kv rows must not clamp into earlier valid rows
+        self.max_len = cfg.max_prompt_len + cfg.max_new_tokens \
+            + (cfg.speculate + 1 if cfg.speculate else 0)
         self.caches = init_cache(model.cfg.llm, cfg.slots, self.max_len)
         self.positions = np.zeros(cfg.slots, dtype=np.int32)
         self.last_token = np.zeros((cfg.slots, 1), dtype=np.int32)
         self.temperature = np.zeros(cfg.slots, dtype=np.float32)
         self.top_p = np.ones(cfg.slots, dtype=np.float32)
         self.seed = np.zeros(cfg.slots, dtype=np.int32)
+        # per-slot prompt+generated history for prompt-lookup drafting
+        # (host-owned; -1 = unknown; row reset on refill)
+        self.hist_len = cfg.max_prompt_len + cfg.max_new_tokens + 1
+        self.hist = np.full((cfg.slots, self.hist_len), -1, np.int32)
 
     @staticmethod
     def _unpack(request):
@@ -217,6 +309,10 @@ class ContinuousBatcher:
         self.temperature[slot] = sp.temperature
         self.top_p[slot] = sp.top_p
         self.seed[slot] = sp.seed
+        if cfg.speculate:
+            self.hist[slot, :] = -1
+            self.hist[slot, : len(prompt_ids)] = prompt_ids
+            self.hist[slot, int(true_len)] = int(first[0, 0])
         return int(first[0, 0])
 
     def generate_all(self, requests) -> list[np.ndarray]:
@@ -227,8 +323,12 @@ class ContinuousBatcher:
         queue = list(enumerate(requests))
         results: dict[int, list[int]] = {}
         slot_req = [-1] * cfg.slots      # request id per slot (-1 = free)
-        decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk,
-                                  cfg.sampling, cfg.top_k)
+        if cfg.speculate:
+            decode = _spec_chunk_fn(self.model, cfg.slots, cfg.chunk,
+                                    cfg.speculate, self.hist_len)
+        else:
+            decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk,
+                                      cfg.sampling, cfg.top_k)
 
         def finished(rid):
             toks = results[rid]
@@ -246,6 +346,27 @@ class ContinuousBatcher:
                     if finished(rid):
                         slot_req[slot] = -1
             if not any(r >= 0 for r in slot_req):
+                continue
+            if cfg.speculate:
+                cands, counts, positions, self.caches, hist = decode(
+                    self.params, jnp.asarray(self.positions), self.caches,
+                    jnp.asarray(self.hist))
+                cands, counts = np.asarray(cands), np.asarray(counts)
+                self.positions = np.array(positions)
+                self.hist = np.array(hist)
+                for slot in range(cfg.slots):
+                    rid = slot_req[slot]
+                    if rid < 0:
+                        continue
+                    for i in range(cfg.chunk):
+                        for tok in cands[slot, i, : counts[slot, i]]:
+                            if finished(rid):
+                                break
+                            results[rid].append(int(tok))
+                        if finished(rid):
+                            break
+                    if finished(rid):
+                        slot_req[slot] = -1
                 continue
             toks, last, positions, self.caches = decode(
                 self.params, jnp.asarray(self.last_token),

@@ -108,6 +108,44 @@ class TestSpeculativeGreedyParity:
         np.testing.assert_array_equal(np.asarray(base), np.asarray(spec))
         assert iters <= 6, iters  # ~4 forwards for 20 tokens
 
+    def test_batcher_speculate_bit_identical(self, setup):
+        """ServeConfig(speculate=n): the continuous batcher's outputs are
+        bit-identical to the plain greedy batcher across mixed prompt
+        lengths, more requests than slots (slot reuse resets the history
+        row), and eos early exit."""
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        cfg, model, batch, params = setup
+        lens = np.asarray([50, 64, 40], np.int32)
+        reqs = [(np.asarray(batch["input_ids"][i % 3][: lens[i % 3]]),
+                 np.asarray(batch["tiles"][i % 3])) for i in range(5)]
+        base_sc = ServeConfig(slots=2, max_prompt_len=128,
+                              max_new_tokens=10, chunk=3, length_bucket=16)
+        spec_sc = ServeConfig(slots=2, max_prompt_len=128,
+                              max_new_tokens=10, chunk=3, length_bucket=16,
+                              speculate=3)
+        base = ContinuousBatcher(model, params, base_sc,
+                                 eos_id=2).generate_all(reqs)
+        spec = ContinuousBatcher(model, params, spec_sc,
+                                 eos_id=2).generate_all(reqs)
+        assert len(base) == len(spec) == 5
+        for a, b in zip(base, spec):
+            np.testing.assert_array_equal(a, b)
+
+    def test_batcher_speculate_rejects_sampling(self, setup):
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        cfg, model, batch, params = setup
+        with pytest.raises(AssertionError):
+            ContinuousBatcher(model, params,
+                              ServeConfig(speculate=2, sampling=True))
+
     def test_eval_runner_speculate_flag_identical_predictions(self):
         """EvalRunConfig(speculate=n) routes the eval decode through
         speculation; predictions are string-identical to the greedy
