@@ -123,8 +123,9 @@ class Attention(nn.Module):
             idx = jnp.asarray(cache["index"], dtype=jnp.int32)   # [B]
             pt = cache["page_table"]                             # [B, PPS]
             ps = cache["k_pages"].shape[2]
+            quant = "k_scale" in cache     # int8 pools + per-row scales
             from ..ops.paged_attention import (
-                paged_decode_attention, paged_kernel_ok,
+                paged_decode_attention, paged_kernel_ok, quantize_kv_rows,
             )
 
             if paged_kernel_ok(q, cache["k_pages"]):
@@ -133,22 +134,42 @@ class Attention(nn.Module):
                 # makes XLA relayout-copy the full pools around the
                 # kernel call every step) and the page copies stream only
                 # the slot's live pages — no materialized window gather.
-                out, kp, vp = paged_decode_attention(
-                    q, cache["k_pages"], cache["v_pages"], pt, idx,
-                    k_new=k[:, :, 0, :], v_new=v[:, :, 0, :])
-                new_cache = {"k_pages": kp, "v_pages": vp,
-                             "page_table": pt, "index": idx + 1}
+                new_cache = {"page_table": pt, "index": idx + 1}
+                if quant:
+                    (out, new_cache["k_pages"], new_cache["v_pages"],
+                     new_cache["k_scale"], new_cache["v_scale"]) = \
+                        paged_decode_attention(
+                            q, cache["k_pages"], cache["v_pages"], pt,
+                            idx, k_new=k[:, :, 0, :], v_new=v[:, :, 0, :],
+                            k_scale=cache["k_scale"],
+                            v_scale=cache["v_scale"])
+                else:
+                    (out, new_cache["k_pages"],
+                     new_cache["v_pages"]) = paged_decode_attention(
+                        q, cache["k_pages"], cache["v_pages"], pt, idx,
+                        k_new=k[:, :, 0, :], v_new=v[:, :, 0, :])
                 out = out.transpose(0, 2, 1, 3)
                 return wo(out), new_cache
             page = jnp.take_along_axis(pt, (idx // ps)[:, None],
                                        axis=1)[:, 0]             # [B]
             off = idx % ps
-            kp = cache["k_pages"].at[page, :, off, :].set(k[:, :, 0, :])
-            vp = cache["v_pages"].at[page, :, off, :].set(v[:, :, 0, :])
-            new_cache = {"k_pages": kp, "v_pages": vp, "page_table": pt,
-                         "index": idx + 1}
+            k_row, v_row = k[:, :, 0, :], v[:, :, 0, :]
+            new_cache = {"page_table": pt, "index": idx + 1}
+            if quant:
+                k_row, ks_row = quantize_kv_rows(k_row)
+                v_row, vs_row = quantize_kv_rows(v_row)
+                ks = cache["k_scale"].at[page, :, off].set(ks_row)
+                vs = cache["v_scale"].at[page, :, off].set(vs_row)
+                new_cache["k_scale"], new_cache["v_scale"] = ks, vs
+            kp = cache["k_pages"].at[page, :, off, :].set(k_row)
+            vp = cache["v_pages"].at[page, :, off, :].set(v_row)
+            new_cache["k_pages"], new_cache["v_pages"] = kp, vp
             kw = kp[pt]                       # [B, PPS, KVH, ps, hd]
             vw = vp[pt]
+            if quant:                         # dequantize the windows
+                kw = kw.astype(jnp.float32) * ks[pt][..., None]
+                vw = vw.astype(jnp.float32) * vs[pt][..., None]
+                kw, vw = kw.astype(q.dtype), vw.astype(q.dtype)
             win = kw.shape[1] * kw.shape[3]
             k = kw.transpose(0, 2, 1, 3, 4).reshape(b, kw.shape[2], win, hd)
             v = vw.transpose(0, 2, 1, 3, 4).reshape(b, vw.shape[2], win, hd)

@@ -45,6 +45,13 @@ class PagedConfig:
     max_new_tokens: int = 32
     chunk: int = 8                 # decode steps per device dispatch
     length_bucket: int = 128       # prefill shape bucketing
+    # "native" keeps pages in the model dtype; "int8" quantizes kv rows
+    # symmetrically with per-row f32 scales (ops.paged_attention.
+    # quantize_kv_rows): half the page-pool HBM and half the decode
+    # DMA bytes, at a per-element relative error of ~1/254. Outputs are
+    # deterministic (identical across slot/batch composition) but NOT
+    # bit-identical to the unquantized path.
+    kv_dtype: str = "native"
 
     @property
     def max_len(self) -> int:
@@ -79,12 +86,21 @@ class PageAllocator:
 
 
 def init_paged_pools(cfg: LLMConfig, pcfg: PagedConfig):
-    """Per-layer page pools `[num_pages, kv_heads, page_size, head_dim]`."""
-    dtype = jnp.dtype(cfg.dtype)
+    """Per-layer page pools `[num_pages, kv_heads, page_size, head_dim]`
+    (+ per-row f32 scale pools `[num_pages, kv_heads, page_size]` when
+    `pcfg.kv_dtype == "int8"`)."""
+    assert pcfg.kv_dtype in ("native", "int8"), pcfg.kv_dtype
+    dtype = jnp.dtype(cfg.dtype if pcfg.kv_dtype == "native" else jnp.int8)
     shape = (pcfg.num_pages, cfg.num_kv_heads, pcfg.page_size, cfg.head_dim)
-    return [{"k_pages": jnp.zeros(shape, dtype=dtype),
-             "v_pages": jnp.zeros(shape, dtype=dtype)}
-            for _ in range(cfg.num_layers)]
+    out = []
+    for _ in range(cfg.num_layers):
+        pool = {"k_pages": jnp.zeros(shape, dtype=dtype),
+                "v_pages": jnp.zeros(shape, dtype=dtype)}
+        if pcfg.kv_dtype == "int8":
+            pool["k_scale"] = jnp.zeros(shape[:3], dtype=jnp.float32)
+            pool["v_scale"] = jnp.zeros(shape[:3], dtype=jnp.float32)
+        out.append(pool)
+    return out
 
 
 @functools.lru_cache(maxsize=16)
@@ -107,14 +123,22 @@ def _paged_insert_fn(model: MultiFrameMLLM, page_size: int,
         return r.transpose(1, 0, 2, 3)
 
     def fn(pools, row_caches, page_ids):
+        from ..ops.paged_attention import quantize_kv_rows
+
         out = []
         for pool, rc in zip(pools, row_caches):
-            out.append({
-                "k_pages": pool["k_pages"].at[page_ids].set(
-                    to_pages(rc["k"])),
-                "v_pages": pool["v_pages"].at[page_ids].set(
-                    to_pages(rc["v"])),
-            })
+            kr, vr = to_pages(rc["k"]), to_pages(rc["v"])
+            new = dict(pool)
+            if "k_scale" in pool:       # int8 pools: quantize per row
+                kr, ks = quantize_kv_rows(kr)
+                vr, vs = quantize_kv_rows(vr)
+                new["k_scale"] = pool["k_scale"].at[page_ids].set(ks)
+                new["v_scale"] = pool["v_scale"].at[page_ids].set(vs)
+            new["k_pages"] = pool["k_pages"].at[page_ids].set(
+                kr.astype(pool["k_pages"].dtype))
+            new["v_pages"] = pool["v_pages"].at[page_ids].set(
+                vr.astype(pool["v_pages"].dtype))
+            out.append(new)
         return out
 
     return jax.jit(fn, donate_argnums=(0,))
@@ -127,16 +151,16 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
     chunk (the host pre-extends coverage before dispatch)."""
 
     def step(params, token, positions, pools, page_table):
-        caches = [{"k_pages": p["k_pages"], "v_pages": p["v_pages"],
-                   "page_table": page_table, "index": positions}
+        pool_keys = [k for k in ("k_pages", "v_pages", "k_scale",
+                                 "v_scale") if k in pools[0]]
+        caches = [dict(p, page_table=page_table, index=positions)
                   for p in pools]
         logits, caches = model.apply(
             params, token, positions[:, None], caches,
             method=lambda m, tok, pos, cc:
                 m.llm(input_embeds=m.llm.embed(tok), positions=pos,
                       caches=cc))
-        pools = [{"k_pages": c["k_pages"], "v_pages": c["v_pages"]}
-                 for c in caches]
+        pools = [{k: c[k] for k in pool_keys} for c in caches]
         return jnp.argmax(logits[:, -1], axis=-1)[:, None], pools
 
     @functools.partial(jax.jit, donate_argnums=(3,))

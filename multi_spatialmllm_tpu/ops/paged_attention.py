@@ -46,6 +46,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .attention import NEG_INF
 
+# Guard for all-zero kv rows: scale floors here so dequantization of a
+# zero row stays exactly zero instead of dividing by zero.
+KV_QUANT_EPS = 1e-8
+
+
+def quantize_kv_rows(rows: jax.Array):
+    """Symmetric per-row int8 quantization of kv rows.
+
+    rows `[..., hd]` (any float dtype) -> `(int8 rows [..., hd],
+    f32 scales [...])` with `rows ~= int8 * scale`. The SAME formula runs
+    inside the Pallas kernel's fused write (`_paged_decode_kernel`) and
+    in the XLA fallback (models/llm.py) so pools stay bit-identical
+    across paths.
+    """
+    r = rows.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(r), axis=-1) / 127.0, KV_QUANT_EPS)
+    q = jnp.clip(jnp.round(r / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
 
 def _dot_qk_g(q, k):
     """[G, m, d] x [G, n, d] -> [G, m, n] f32 (batched over kv groups)."""
@@ -64,21 +83,35 @@ def _dot_pv_g(p, v):
 def _paged_decode_kernel(
     # scalar prefetch
     idx_ref, pt_ref, buf_ref, init_ref,
-    # inputs: q_ref, kp_hbm, vp_hbm [, knew_ref, vnew_ref]
-    # outputs: o_ref [, kp_out, vp_out aliased onto the input pools]
-    # scratch: kbuf, vbuf, ksem, vsem [, wsem], m_scr, l_scr, acc_scr
+    # inputs: q_ref, kp_hbm, vp_hbm [, ks_hbm, vs_hbm if quant]
+    #         [, knew_ref, vnew_ref if write]
+    # outputs: o_ref [, kp_out, vp_out (+ ks_out, vs_out if quant)
+    #          aliased onto the input pools, if write]
+    # scratch: kbuf, vbuf [, kscbuf, vscbuf if quant], ksem, vsem
+    #          [, wsem if write], m_scr, l_scr, acc_scr
     q_ref, kp_hbm, vp_hbm, *rest,
     page_size: int, ppb: int, pps: int, batch: int, sm_scale: float,
-    write: bool,
+    write: bool, quant: bool,
 ):
+    rest = list(rest)
+    ks_hbm = vs_hbm = kscbuf = vscbuf = None
+    if quant:
+        ks_hbm, vs_hbm = rest.pop(0), rest.pop(0)
     if write:
-        (knew_ref, vnew_ref, o_ref, kp_out, vp_out, kbuf, vbuf,
-         ksem, vsem, wsem, m_scr, l_scr, acc_scr) = rest
+        knew_ref, vnew_ref = rest.pop(0), rest.pop(0)
+    o_ref = rest.pop(0)
+    if write:
         # the pools are aliased input->output: the donated input refs
         # are dead; all reads and writes go through the output refs
-        kp_hbm, vp_hbm = kp_out, vp_out
-    else:
-        (o_ref, kbuf, vbuf, ksem, vsem, m_scr, l_scr, acc_scr) = rest
+        kp_hbm, vp_hbm = rest.pop(0), rest.pop(0)
+        if quant:
+            ks_hbm, vs_hbm = rest.pop(0), rest.pop(0)
+    kbuf, vbuf = rest.pop(0), rest.pop(0)
+    if quant:
+        kscbuf, vscbuf = rest.pop(0), rest.pop(0)
+    ksem, vsem = rest.pop(0), rest.pop(0)
+    wsem = rest.pop(0) if write else None
+    m_scr, l_scr, acc_scr = rest
     b, i = pl.program_id(0), pl.program_id(1)
     bk = ppb * page_size
     length = idx_ref[b] + 1
@@ -87,7 +120,9 @@ def _paged_decode_kernel(
     def page_copies(bb, ii, slot):
         # buffers are [2, KVH, ppb*ps, hd]: page j lands at row-slice
         # j*ps (a strided dst across the KVH dim), so the whole block is
-        # one [KVH, bk, hd] operand afterwards — no in-kernel transpose
+        # one [KVH, bk, hd] operand afterwards — no in-kernel transpose.
+        # Scale buffers are [2, ppb, KVH, ps]: page j's scale slab lands
+        # at leading index j (a whole tile-aligned [KVH, ps] block).
         out = []
         for j in range(ppb):
             page = pt_ref[bb * pps + ii * ppb + j]
@@ -96,6 +131,11 @@ def _paged_decode_kernel(
                 kp_hbm.at[page], kbuf.at[slot, :, dst], ksem.at[slot]))
             out.append(pltpu.make_async_copy(
                 vp_hbm.at[page], vbuf.at[slot, :, dst], vsem.at[slot]))
+            if quant:
+                out.append(pltpu.make_async_copy(
+                    ks_hbm.at[page], kscbuf.at[slot, j], ksem.at[slot]))
+                out.append(pltpu.make_async_copy(
+                    vs_hbm.at[page], vscbuf.at[slot, j], vsem.at[slot]))
         return out
 
     @pl.when(i < num_blocks)
@@ -135,17 +175,24 @@ def _paged_decode_kernel(
             c.wait()
 
         wpage = pt_ref[b * pps + idx // page_size]
-        wrow0 = (idx // page_size - i * ppb) * page_size
+        wj = idx // page_size - i * ppb               # block-local page
+        wrow0 = wj * page_size
 
         def wb_copies():
             # the touched page's row-slice of the block buffer, back to
             # the pool (page starts are block-aligned: wrow0 is a
             # multiple of the sublane tiling)
             dst = pl.ds(pl.multiple_of(wrow0, page_size), page_size)
-            return [pltpu.make_async_copy(
-                        kbuf.at[buf, :, dst], kp_hbm.at[wpage], wsem),
-                    pltpu.make_async_copy(
-                        vbuf.at[buf, :, dst], vp_hbm.at[wpage], wsem)]
+            out = [pltpu.make_async_copy(
+                       kbuf.at[buf, :, dst], kp_hbm.at[wpage], wsem),
+                   pltpu.make_async_copy(
+                       vbuf.at[buf, :, dst], vp_hbm.at[wpage], wsem)]
+            if quant:
+                out += [pltpu.make_async_copy(
+                            kscbuf.at[buf, wj], ks_hbm.at[wpage], wsem),
+                        pltpu.make_async_copy(
+                            vscbuf.at[buf, wj], vs_hbm.at[wpage], wsem)]
+            return out
 
         if write:
             # land the current step's kv row: the row lives in this
@@ -157,9 +204,36 @@ def _paged_decode_kernel(
             def _patch():
                 r = idx - i * bk
                 rows = jax.lax.broadcasted_iota(jnp.int32, (1, bk, 1), 1)
-                kbuf[buf] = jnp.where(rows == r, knew_ref[0][:, None, :],
+                kn, vn = knew_ref[0], vnew_ref[0]     # [KVH, hd]
+                if quant:
+                    # same formula as quantize_kv_rows (pools must stay
+                    # bit-identical to the XLA fallback's writes)
+                    kn32 = kn.astype(jnp.float32)
+                    vn32 = vn.astype(jnp.float32)
+                    ksc_n = jnp.maximum(
+                        jnp.max(jnp.abs(kn32), -1, keepdims=True) / 127.0,
+                        KV_QUANT_EPS)                 # [KVH, 1]
+                    vsc_n = jnp.maximum(
+                        jnp.max(jnp.abs(vn32), -1, keepdims=True) / 127.0,
+                        KV_QUANT_EPS)
+                    kn = jnp.clip(jnp.round(kn32 / ksc_n),
+                                  -127, 127).astype(jnp.int8)
+                    vn = jnp.clip(jnp.round(vn32 / vsc_n),
+                                  -127, 127).astype(jnp.int8)
+                    # scale buffers are [ppb, KVH, ps]: flat position
+                    # j*ps + row == r selects the one scalar per head
+                    posq = (jax.lax.broadcasted_iota(
+                                jnp.int32, (ppb, 1, page_size), 0)
+                            * page_size
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (ppb, 1, page_size), 2))
+                    kscbuf[buf] = jnp.where(posq == r, ksc_n[None],
+                                            kscbuf[buf])
+                    vscbuf[buf] = jnp.where(posq == r, vsc_n[None],
+                                            vscbuf[buf])
+                kbuf[buf] = jnp.where(rows == r, kn[:, None, :],
                                       kbuf[buf])
-                vbuf[buf] = jnp.where(rows == r, vnew_ref[0][:, None, :],
+                vbuf[buf] = jnp.where(rows == r, vn[:, None, :],
                                       vbuf[buf])
                 for c in wb_copies():
                     c.start()
@@ -167,7 +241,18 @@ def _paged_decode_kernel(
         q = q_ref[0]                                  # [KVH, rep, hd]
         k = kbuf[buf]                                 # [KVH, bk, hd]
         v = vbuf[buf]
+        if quant:
+            # int8 pools: cast to the q dtype for the MXU and apply the
+            # per-row scales AFTER the matmuls on the [KVH, rep, bk]
+            # score/probability tiles (bk values per head instead of
+            # bk*hd — the dequant multiply never touches the big block)
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         s = _dot_qk_g(q, k) * sm_scale                # [KVH, rep, bk]
+        if quant:
+            ksc = kscbuf[buf].transpose(1, 0, 2).reshape(
+                kscbuf.shape[2], bk)                  # [KVH, bk]
+            s = s * ksc[:, None, :]
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos <= idx, s, NEG_INF)
         m_prev, l_prev = m_scr[:], l_scr[:]
@@ -176,6 +261,10 @@ def _paged_decode_kernel(
         alpha = jnp.exp(m_prev - m_cur)
         m_scr[:] = m_cur
         l_scr[:] = l_prev * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
+        if quant:
+            vsc = vscbuf[buf].transpose(1, 0, 2).reshape(
+                vscbuf.shape[2], bk)                  # [KVH, bk]
+            pexp = pexp * vsc[:, None, :]
         acc_scr[:] = acc_scr[:] * alpha + _dot_pv_g(pexp, v)
 
         @pl.when(i == num_blocks - 1)
@@ -207,6 +296,8 @@ def paged_decode_attention(
     sm_scale: float | None = None,
     k_new: jax.Array | None = None,
     v_new: jax.Array | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ):
     """Decode-step attention over a paged KV pool.
 
@@ -225,9 +316,15 @@ def paged_decode_attention(
         pool layout and relayout-copy the full pools across the pallas
         boundary every step (measured ~10x the kernel cost) — fusing the
         write keeps the pools untouched by XLA.
+      k_scale, v_scale: optional `[P, KVH, ps]` f32 per-row scale pools.
+        When given the pools must be int8 (`quantize_kv_rows`); the
+        kernel DMAs half the kv bytes and dequantizes on the score /
+        probability tiles. With k_new/v_new, the kernel quantizes the
+        fresh rows itself and the updated scale pools are returned too.
     Returns:
-      `[B, H, 1, hd]`, or `(out, k_pages, v_pages)` when k_new/v_new are
-      given (donate the pools at the call boundary to alias in place).
+      `[B, H, 1, hd]`; with k_new/v_new: `(out, k_pages, v_pages)` or
+      `(out, k_pages, v_pages, k_scale, v_scale)` when quantized
+      (donate pools at the call boundary to alias in place).
     """
     b, h, t, hd = q.shape
     assert t == 1, "paged decode kernel is decode-only"
@@ -239,6 +336,10 @@ def paged_decode_attention(
         sm_scale = hd ** -0.5
     write = k_new is not None
     assert write == (v_new is not None), "pass both k_new and v_new"
+    quant = k_scale is not None
+    assert quant == (v_scale is not None), "pass both k_scale and v_scale"
+    if quant:
+        assert k_pages.dtype == jnp.int8, k_pages.dtype
 
     qg = q.reshape(b, kvh, rep, hd)
     q_spec = pl.BlockSpec((1, kvh, rep, hd),
@@ -247,16 +348,13 @@ def paged_decode_attention(
     in_specs = [q_spec, any_spec, any_spec]
     out_specs = [q_spec]
     out_shape = [jax.ShapeDtypeStruct((b, kvh, rep, hd), q.dtype)]
-    scratch = [
-        pltpu.VMEM((2, kvh, ppb * ps, hd), k_pages.dtype),
-        pltpu.VMEM((2, kvh, ppb * ps, hd), v_pages.dtype),
-        pltpu.SemaphoreType.DMA((2,)),
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
     operands = [index.astype(jnp.int32),
                 page_table.astype(jnp.int32).reshape(-1),
                 jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
                 qg, k_pages, v_pages]
+    if quant:
+        in_specs += [any_spec, any_spec]
+        operands += [k_scale, v_scale]
     aliases = {}
     if write:
         new_spec = pl.BlockSpec((1, kvh, hd), lambda bi, i, *_: (bi, 0, 0))
@@ -264,10 +362,28 @@ def paged_decode_attention(
         out_specs += [any_spec, any_spec]
         out_shape += [jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
                       jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)]
-        scratch.append(pltpu.SemaphoreType.DMA)
         operands += [k_new, v_new]
         # flat input indices include the 4 scalar-prefetch operands
         aliases = {5: 1, 6: 2}
+        if quant:
+            out_specs += [any_spec, any_spec]
+            out_shape += [
+                jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+            aliases = {5: 1, 6: 2, 7: 3, 8: 4}
+    scratch = [
+        pltpu.VMEM((2, kvh, ppb * ps, hd), k_pages.dtype),
+        pltpu.VMEM((2, kvh, ppb * ps, hd), v_pages.dtype),
+    ]
+    if quant:
+        scratch += [pltpu.VMEM((2, ppb, kvh, ps), jnp.float32),
+                    pltpu.VMEM((2, ppb, kvh, ps), jnp.float32)]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if write:
+        scratch.append(pltpu.SemaphoreType.DMA)
     scratch += [
         pltpu.VMEM((kvh, rep, 1), jnp.float32),
         pltpu.VMEM((kvh, rep, 1), jnp.float32),
@@ -276,7 +392,7 @@ def paged_decode_attention(
 
     kernel = functools.partial(
         _paged_decode_kernel, page_size=ps, ppb=ppb, pps=pps, batch=b,
-        sm_scale=sm_scale, write=write)
+        sm_scale=sm_scale, write=write, quant=quant)
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -291,6 +407,9 @@ def paged_decode_attention(
         input_output_aliases=aliases,
         out_shape=out_shape,
     )(*operands)
+    if write and quant:
+        out, kp, vp, ks, vs = res
+        return out.reshape(b, h, 1, hd), kp, vp, ks, vs
     if write:
         out, kp, vp = res
         return out.reshape(b, h, 1, hd), kp, vp
@@ -302,9 +421,12 @@ def paged_kernel_ok(q, k_pages) -> bool:
     needs TPU (or interpret mode), a lane-aligned head dim (the page
     DMAs slice [KVH, ps, hd] out of the pool — Mosaic requires the
     minor dim aligned to the 128 lane tiling), sublane-aligned page
-    rows, and GQA head divisibility. The XLA gather path handles
-    everything else."""
+    rows (8 rows for >=16-bit pools, 32 for int8 — the writeback slices
+    the block buffer at page starts, which must land on the dtype's
+    sublane tiling), and GQA head divisibility. The XLA gather path
+    handles everything else."""
     h, hd = q.shape[1], q.shape[3]
     kvh, ps = k_pages.shape[1], k_pages.shape[2]
+    min_rows = 32 if k_pages.dtype == jnp.int8 else 8
     return (jax.default_backend() == "tpu"
-            and h % kvh == 0 and hd % 128 == 0 and ps % 8 == 0)
+            and h % kvh == 0 and hd % 128 == 0 and ps % min_rows == 0)

@@ -200,6 +200,131 @@ class TestPagedDecodeKernel:
                                    atol=1e-6)
 
 
+def _deq(pages, scales):
+    return pages.astype(jnp.float32) * scales[..., None]
+
+
+class TestInt8PagedKernel:
+    """int8 kv pools with per-row scales (PagedConfig(kv_dtype="int8")):
+    the kernel DMAs half the kv bytes and applies the scales on the
+    score/probability tiles; its fused write quantizes with the exact
+    quantize_kv_rows formula so pools stay bit-identical to the XLA
+    fallback path."""
+
+    def _quantized_setup(self, key, b=3, h=4, kvh=2, ps=16, pool=12,
+                         hd=64):
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            quantize_kv_rows,
+        )
+
+        keys = jax.random.split(key, 3)
+        q = jax.random.normal(keys[0], (b, h, 1, hd), dtype=jnp.float32)
+        kp, ks = quantize_kv_rows(
+            jax.random.normal(keys[1], (pool, kvh, ps, hd)))
+        vp, vs = quantize_kv_rows(
+            jax.random.normal(keys[2], (pool, kvh, ps, hd)))
+        pt = jnp.asarray([[1, 4, 7, 0],
+                          [2, 5, 0, 0],
+                          [3, 0, 0, 0]], dtype=jnp.int32)
+        idx = jnp.asarray([ps * 2 + 5, ps * 2 - 1, 3], dtype=jnp.int32)
+        return q, kp, ks, vp, vs, pt, idx
+
+    def test_quantize_roundtrip_error_bounded(self):
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            quantize_kv_rows,
+        )
+
+        rows = jax.random.normal(jax.random.key(3), (5, 2, 16, 64))
+        qr, sc = quantize_kv_rows(rows)
+        assert qr.dtype == jnp.int8
+        err = np.abs(np.asarray(_deq(qr, sc)) - np.asarray(rows))
+        # symmetric per-row quant: |err| <= scale/2 elementwise
+        assert (err <= np.asarray(sc)[..., None] * 0.5 + 1e-7).all()
+        z, zs = quantize_kv_rows(jnp.zeros((2, 3, 8)))
+        assert (np.asarray(z) == 0).all() and (np.asarray(zs) > 0).all()
+
+    def test_int8_kernel_matches_quantized_reference(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            paged_decode_attention,
+        )
+
+        q, kp, ks, vp, vs, pt, idx = self._quantized_setup(jax.random.key(4))
+        with pltpu.force_tpu_interpret_mode():
+            out = paged_decode_attention(q, kp, vp, pt, idx,
+                                         k_scale=ks, v_scale=vs)
+        want = TestPagedDecodeKernel._window_reference(
+            q, _deq(kp, ks), _deq(vp, vs), pt, idx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-4)
+
+    def test_int8_fused_write_matches_xla_quantized_scatter(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            paged_decode_attention, quantize_kv_rows,
+        )
+
+        q, kp, ks, vp, vs, pt, idx = self._quantized_setup(jax.random.key(5))
+        b, kvh, hd = q.shape[0], kp.shape[1], q.shape[3]
+        ps = kp.shape[2]
+        keys = jax.random.split(jax.random.key(6), 2)
+        kn = jax.random.normal(keys[0], (b, kvh, hd), dtype=jnp.float32)
+        vn = jax.random.normal(keys[1], (b, kvh, hd), dtype=jnp.float32)
+        # the XLA fallback's write: quantize rows, scatter ints + scales
+        knq, kns = quantize_kv_rows(kn)
+        vnq, vns = quantize_kv_rows(vn)
+        page = jnp.take_along_axis(pt, (idx // ps)[:, None], axis=1)[:, 0]
+        off = idx % ps
+        kp_ref = kp.at[page, :, off, :].set(knq)
+        vp_ref = vp.at[page, :, off, :].set(vnq)
+        ks_ref = ks.at[page, :, off].set(kns)
+        vs_ref = vs.at[page, :, off].set(vns)
+        want = TestPagedDecodeKernel._window_reference(
+            q, _deq(kp_ref, ks_ref), _deq(vp_ref, vs_ref), pt, idx)
+        with pltpu.force_tpu_interpret_mode():
+            out, kp2, vp2, ks2, vs2 = paged_decode_attention(
+                q, kp, vp, pt, idx, k_new=kn, v_new=vn,
+                k_scale=ks, v_scale=vs)
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp_ref))
+        np.testing.assert_array_equal(np.asarray(vp2), np.asarray(vp_ref))
+        np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ks_ref))
+        np.testing.assert_array_equal(np.asarray(vs2), np.asarray(vs_ref))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=2e-4)
+
+    def test_int8_attention_close_to_fp(self):
+        """Quantization noise on the attention OUTPUT stays small (the
+        softmax renormalizes the per-row score perturbations)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            paged_decode_attention,
+        )
+
+        keys = jax.random.split(jax.random.key(7), 3)
+        b, h, kvh, ps, pool, hd = 2, 4, 2, 16, 8, 64
+        q = jax.random.normal(keys[0], (b, h, 1, hd), dtype=jnp.float32)
+        kfp = jax.random.normal(keys[1], (pool, kvh, ps, hd))
+        vfp = jax.random.normal(keys[2], (pool, kvh, ps, hd))
+        pt = jnp.asarray([[1, 3, 5], [2, 4, 6]], dtype=jnp.int32)
+        idx = jnp.asarray([ps * 2 + 7, ps + 3], dtype=jnp.int32)
+        from multi_spatialmllm_tpu.ops.paged_attention import (
+            quantize_kv_rows,
+        )
+
+        kp, ks = quantize_kv_rows(kfp)
+        vp, vs = quantize_kv_rows(vfp)
+        with pltpu.force_tpu_interpret_mode():
+            out_q = paged_decode_attention(q, kp, vp, pt, idx,
+                                           k_scale=ks, v_scale=vs)
+        out_fp = TestPagedDecodeKernel._window_reference(
+            q, kfp, vfp, pt, idx)
+        err = np.abs(np.asarray(out_q) - np.asarray(out_fp))
+        assert err.max() < 0.05, err.max()
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
@@ -291,6 +416,61 @@ class TestPagedBatcher:
             pad_id=0, eos_id=2)
         with pytest.raises(RuntimeError, match="paged pool too small"):
             batcher.generate_all(requests)
+
+    def test_int8_outputs_invariant_to_slots_and_pressure(self):
+        """kv_dtype="int8": outputs are deterministic functions of the
+        request alone — a 1-slot ample-pool run and a 3-slot
+        pressure run (deferrals + slot reuse) must agree EXACTLY,
+        because per-row quantization and window dequantization never
+        depend on page placement or batch composition."""
+        cfg, model, params, requests = _tiny_model_and_requests(5)
+        eos = 2
+
+        def run(slots, num_pages):
+            batcher = PagedBatcher(
+                model, params,
+                PagedConfig(slots=slots, page_size=16, num_pages=num_pages,
+                            max_prompt_len=128, max_new_tokens=6, chunk=2,
+                            length_bucket=64, kv_dtype="int8"),
+                pad_id=0, eos_id=eos)
+            out = batcher.generate_all(requests)
+            assert batcher.allocator.available == num_pages - 1
+            return out
+
+        ample = run(1, 64)
+        pressured = run(3, 13)
+        for a, p in zip(ample, pressured):
+            np.testing.assert_array_equal(a, p)
+        # sanity: the tiny random model's greedy path is only mildly
+        # perturbed by int8 kv — first tokens (pure prefill, full
+        # precision) must match the fp batcher exactly
+        fp = PagedBatcher(
+            model, params,
+            PagedConfig(slots=2, page_size=16, num_pages=64,
+                        max_prompt_len=128, max_new_tokens=6, chunk=2,
+                        length_bucket=64),
+            pad_id=0, eos_id=eos).generate_all(requests)
+        for a, f in zip(ample, fp):
+            assert a[0] == f[0]
+
+    def test_int8_pool_half_the_bytes(self):
+        from multi_spatialmllm_tpu.models.paged_kv import init_paged_pools
+
+        cfg = M.tiny_config()
+        pcfg = PagedConfig(slots=4, page_size=16, num_pages=33)
+        native = init_paged_pools(cfg.llm, pcfg)
+        q8 = init_paged_pools(
+            cfg.llm, PagedConfig(slots=4, page_size=16, num_pages=33,
+                                 kv_dtype="int8"))
+        nat_bytes = sum(p["k_pages"].nbytes + p["v_pages"].nbytes
+                        for p in native)
+        q8_bytes = sum(sum(a.nbytes for a in p.values()) for p in q8)
+        # int8 rows + f32 scales vs native rows: (hd + 4) / (hd * nb)
+        nb = native[0]["k_pages"].dtype.itemsize
+        hd = cfg.llm.head_dim
+        assert q8_bytes == nat_bytes * (hd + 4) // (hd * nb)
+        assert q8[0]["k_pages"].dtype == jnp.int8
+        assert q8[0]["k_scale"].shape == q8[0]["k_pages"].shape[:3]
 
     def test_memory_footprint_beats_contiguous(self):
         """The paged pool's HBM budget is pool-sized, not slots*max_len:
