@@ -31,6 +31,7 @@ from multi_spatialmllm_tpu.models.generate import (
     pad_to_bucket,
 )
 from multi_spatialmllm_tpu.models.llm import LLMConfig, init_cache
+from multi_spatialmllm_tpu.models.paged_kv import PagedBatcher, PagedConfig
 from multi_spatialmllm_tpu.models.serving import ContinuousBatcher, ServeConfig
 from multi_spatialmllm_tpu.models.vit import ViTConfig
 from multi_spatialmllm_tpu.parallel.mesh import make_mesh
@@ -112,3 +113,32 @@ class TestTensorParallelServing:
                 prompt_len=len(ids_i)))[0]
             cut = np.argmax(ref == 2) if (ref == 2).any() else len(ref)
             np.testing.assert_array_equal(got[i], ref[:cut])
+
+    def test_paged_batcher_bit_identical_under_tp(self, setup):
+        """The PAGED batcher needs zero TP-specific code either: its
+        insert/decode programs are pure XLA gather/scatter on the CPU
+        mesh, so GSPMD propagates the Megatron layout through them.
+        Under sharded params the tokens are bit-identical to the
+        unsharded paged run AND invariant to pool pressure (deferral +
+        preemption replay identically)."""
+        cfg, model, batch, params = setup
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded = shard_params(params, mesh)
+        lens = np.asarray([40, 48], np.int32)
+        reqs = [(np.asarray(batch["input_ids"][i][: lens[i]]),
+                 np.asarray(batch["tiles"][i])) for i in range(2)]
+
+        def run(pp, slots, num_pages):
+            return PagedBatcher(
+                model, pp,
+                PagedConfig(slots=slots, page_size=16, num_pages=num_pages,
+                            max_prompt_len=128, max_new_tokens=8, chunk=4,
+                            length_bucket=16),
+                pad_id=0, eos_id=2).generate_all(reqs)
+
+        base = run(params, 2, 64)
+        tp = run(sharded, 2, 64)
+        tp_pressure = run(sharded, 2, 9)
+        for b, t, tpr in zip(base, tp, tp_pressure):
+            np.testing.assert_array_equal(b, t)
+            np.testing.assert_array_equal(b, tpr)
