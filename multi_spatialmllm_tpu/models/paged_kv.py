@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +54,18 @@ class PagedConfig:
     # deterministic (identical across slot/batch composition) but NOT
     # bit-identical to the unquantized path.
     kv_dtype: str = "native"
+    # vLLM-style automatic prefix caching: full pages whose token (and,
+    # for vision positions, tile-pixel) prefix matches a previous
+    # request are reused by refcount instead of recomputed — prefill
+    # then runs only the unshared suffix through the chunked-decode
+    # branch against the gathered prefix kv. MultiSPA serving is the
+    # motivating workload: many questions share one image-context
+    # prefix (same tiles, ~tokens_per_tile*tiles rows). Cached pages
+    # are evicted LRU when the pool runs dry. The resumed suffix
+    # forward reassociates reductions differently from the one-shot
+    # prefill, so logits agree to float tolerance, not bitwise; greedy
+    # tokens are stable whenever the argmax margin exceeds that noise.
+    prefix_cache: bool = False
 
     @property
     def max_len(self) -> int:
@@ -63,11 +77,15 @@ class PagedConfig:
 
 
 class PageAllocator:
-    """Host-side free list over pages 1..num_pages-1 (0 is the sink)."""
+    """Host-side refcounted free list over pages 1..num_pages-1 (0 is
+    the sink). A freshly allocated page has one reference; prefix
+    sharing adds references (`retain`) and `release` only returns a
+    page to the free list when the last reference drops."""
 
     def __init__(self, num_pages: int):
         self.num_pages = num_pages
         self._free = list(range(num_pages - 1, 0, -1))
+        self.refs: dict[int, int] = {}
 
     @property
     def available(self) -> int:
@@ -77,12 +95,21 @@ class PageAllocator:
         """n pages, or None (allocation is all-or-nothing)."""
         if n < 0 or len(self._free) < n:
             return None
-        return [self._free.pop() for _ in range(n)]
+        got = [self._free.pop() for _ in range(n)]
+        for p in got:
+            self.refs[p] = 1
+        return got
+
+    def retain(self, page: int) -> None:
+        self.refs[page] += 1
 
     def release(self, pages) -> None:
         for p in pages:
             assert 0 < p < self.num_pages, p
-            self._free.append(p)
+            self.refs[p] -= 1
+            if self.refs[p] == 0:
+                del self.refs[p]
+                self._free.append(p)
 
 
 def init_paged_pools(cfg: LLMConfig, pcfg: PagedConfig):
@@ -144,6 +171,85 @@ def _paged_insert_fn(model: MultiFrameMLLM, page_size: int,
     return jax.jit(fn, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=64)
+def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
+                      n_shared_pages: int, t_total: int):
+    """Prefill resumed after a prefix-cache hit: gather the shared
+    pages into a contiguous row cache, run ONLY the suffix tokens
+    through the chunked-decode branch (llm.py's per-row `[B]` cache
+    index path — the same machinery speculative verify uses), and
+    scatter the fresh suffix kv into the suffix pages.
+
+    The suffix must be text-only (no img_context positions): its
+    embeddings come straight from the token table. `ids` is the full
+    bucketed prompt `[1, t_total]`; positions are absolute, so RoPE
+    matches the one-shot prefill exactly — only reduction order in the
+    suffix attention differs.
+    """
+    shared = n_shared_pages * page_size
+    t_suf = t_total - shared
+    assert t_suf >= 1, (t_total, shared)
+    n_cover = -(-t_total // page_size)
+    n_suf_pages = n_cover - n_shared_pages
+    pad = n_suf_pages * page_size - t_suf
+    assert pad >= 0, (n_suf_pages, page_size, t_suf)
+
+    def fn(params, pools, shared_page_ids, suf_page_ids, ids, true_len):
+        from ..ops.paged_attention import quantize_kv_rows
+
+        def rows_from_pages(pool, name):
+            pw = pool[f"{name}_pages"][shared_page_ids]  # [j, KVH, ps, hd]
+            if f"{name}_scale" in pool:
+                sc = pool[f"{name}_scale"][shared_page_ids]
+                pw = pw.astype(jnp.float32) * sc[..., None]
+                pw = pw.astype(jnp.dtype(model.cfg.llm.dtype))
+            kvh, hd = pw.shape[1], pw.shape[3]
+            return pw.transpose(1, 0, 2, 3).reshape(kvh, shared, hd)[None]
+
+        caches = []
+        for pool in pools:
+            kr, vr = rows_from_pages(pool, "k"), rows_from_pages(pool, "v")
+            pad_rows = ((0, 0), (0, 0), (0, t_suf), (0, 0))
+            caches.append({"k": jnp.pad(kr, pad_rows),
+                           "v": jnp.pad(vr, pad_rows),
+                           "index": jnp.full((1,), shared, jnp.int32)})
+
+        suffix = ids[:, shared:]
+        positions = (shared + jnp.arange(t_suf))[None]
+        logits, caches = model.apply(
+            params, suffix, positions, caches,
+            method=lambda m, tok, pos, cc:
+                m.llm(input_embeds=m.llm.embed(tok), positions=pos,
+                      caches=cc))
+        last = jnp.take_along_axis(
+            logits, (true_len - shared - 1)[None, None, None], axis=1)[:, 0]
+        first = jnp.argmax(last, axis=-1)[:, None]
+
+        def to_pages(rows):             # [1, KVH, t_total, hd] suffix part
+            r = jnp.pad(rows[0, :, shared:], ((0, 0), (0, pad), (0, 0)))
+            kvh, _, hd = r.shape
+            r = r.reshape(kvh, n_suf_pages, page_size, hd)
+            return r.transpose(1, 0, 2, 3)
+
+        out = []
+        for pool, rc in zip(pools, caches):
+            kr, vr = to_pages(rc["k"]), to_pages(rc["v"])
+            new = dict(pool)
+            if "k_scale" in pool:
+                kr, ks = quantize_kv_rows(kr)
+                vr, vs = quantize_kv_rows(vr)
+                new["k_scale"] = pool["k_scale"].at[suf_page_ids].set(ks)
+                new["v_scale"] = pool["v_scale"].at[suf_page_ids].set(vs)
+            new["k_pages"] = pool["k_pages"].at[suf_page_ids].set(
+                kr.astype(pool["k_pages"].dtype))
+            new["v_pages"] = pool["v_pages"].at[suf_page_ids].set(
+                vr.astype(pool["v_pages"].dtype))
+            out.append(new)
+        return first, out
+
+    return jax.jit(fn, donate_argnums=(1,))
+
+
 @functools.lru_cache(maxsize=16)
 def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
     """`chunk` greedy steps for every slot in one dispatch over the paged
@@ -201,6 +307,12 @@ class PagedBatcher:
         self.slot_pages: list[list[int]] = [[] for _ in range(cfg.slots)]
         self.positions = np.zeros(cfg.slots, dtype=np.int32)
         self.last_token = np.zeros((cfg.slots, 1), dtype=np.int32)
+        # prefix cache: page-key -> page id, LRU-ordered; the cache holds
+        # one reference per entry so shared pages survive slot frees
+        self.prefix_pages: OrderedDict[bytes, int] = OrderedDict()
+        self._page_key: dict[int, bytes] = {}
+        self.stats = {"prefill_full": 0, "prefill_resumed": 0,
+                      "pages_reused": 0, "pages_evicted": 0}
 
     # -- page management ---------------------------------------------------
 
@@ -211,6 +323,22 @@ class PagedBatcher:
         self.positions[slot] = 0                # idle decode stays in-range
         self.last_token[slot, 0] = 0
 
+    def _alloc(self, n: int) -> list[int] | None:
+        """Allocate n pages, evicting LRU prefix-cache entries whose only
+        reference is the cache itself when the free list runs dry."""
+        got = self.allocator.alloc(n)
+        while got is None:
+            victim = next((k for k, p in self.prefix_pages.items()
+                           if self.allocator.refs.get(p) == 1), None)
+            if victim is None:
+                return None
+            page = self.prefix_pages.pop(victim)
+            del self._page_key[page]
+            self.allocator.release([page])
+            self.stats["pages_evicted"] += 1
+            got = self.allocator.alloc(n)
+        return got
+
     def _extend_to(self, slot: int, n_positions: int) -> bool:
         """Ensure the slot's table covers logical positions < n_positions."""
         cfg = self.config
@@ -219,12 +347,42 @@ class PagedBatcher:
         if need <= have:
             return True
         assert need <= cfg.pages_per_slot, (need, cfg.pages_per_slot)
-        got = self.allocator.alloc(need - have)
+        got = self._alloc(need - have)
         if got is None:
             return False
         self.page_table[slot, have:need] = got
         self.slot_pages[slot].extend(got)
         return True
+
+    def _page_keys(self, prompt_ids: np.ndarray, tiles) -> list[bytes]:
+        """Digest per FULL page of real prompt tokens. A page's key
+        covers every token id up to its end plus, once any vision
+        position precedes that end, the tile pixels (vision-token kv
+        depends on the tile content, not just the placeholder id)."""
+        ps = self.config.page_size
+        img = int(self.model.cfg.img_context_id)
+        ids = np.asarray(prompt_ids, dtype=np.int32)
+        tiles_digest = None
+        keys = []
+        for p in range(len(ids) // ps):
+            head = ids[: (p + 1) * ps]
+            h = hashlib.blake2b(head.tobytes(), digest_size=16)
+            if (head == img).any():
+                if tiles_digest is None:
+                    tiles_digest = hashlib.blake2b(
+                        np.ascontiguousarray(tiles).tobytes(),
+                        digest_size=16).digest()
+                h.update(tiles_digest)
+            keys.append(h.digest())
+        return keys
+
+    def clear_prefix_cache(self) -> None:
+        """Drop every cache-owned page reference (pages still borrowed
+        by live slots stay resident until their slot frees them)."""
+        for key, page in list(self.prefix_pages.items()):
+            del self._page_key[page]
+            self.allocator.release([page])
+        self.prefix_pages.clear()
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -232,21 +390,70 @@ class PagedBatcher:
         """Returns the first generated token id, or None if the pool
         cannot cover the prompt right now."""
         cfg = self.config
+        ps = cfg.page_size
         ids = pad_to_bucket(prompt_ids[None], cfg.length_bucket, self.pad_id)
         t = ids.shape[1]
         assert t <= cfg.max_prompt_len, (t, cfg.max_prompt_len)
-        if not self._extend_to(slot, t):
-            return None
         true_len = np.int32(len(prompt_ids))
-        zero = jnp.zeros((), jnp.float32)
-        first, row_caches = _prefill_one_fn(self.model, t)(
-            self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
-            jnp.asarray(true_len), zero, zero + 1.0,
-            jnp.zeros((), jnp.int32))
-        n_write = -(-t // cfg.page_size)
-        self.pools = _paged_insert_fn(self.model, cfg.page_size, n_write, t)(
-            self.pools, row_caches,
-            jnp.asarray(self.slot_pages[slot][:n_write], dtype=jnp.int32))
+        n_cover = -(-t // ps)
+
+        # prefix-cache lookup: longest run of cached full pages, capped
+        # so at least one REAL token remains in the suffix (the resumed
+        # forward needs the last real row for the first-token logits)
+        # and requiring a text-only suffix (the resume embeds tokens
+        # without tiles).
+        keys: list[bytes] = []
+        j = 0
+        if cfg.prefix_cache:
+            keys = self._page_keys(prompt_ids, tiles)
+            j_max = (int(true_len) - 1) // ps
+            while j < j_max and keys[j] in self.prefix_pages:
+                j += 1
+            img = int(self.model.cfg.img_context_id)
+            if j and (np.asarray(prompt_ids[j * ps:]) == img).any():
+                j = 0
+
+        fresh = self._alloc(n_cover - j)
+        if fresh is None:
+            return None
+        shared = []
+        for p in range(j):
+            page = self.prefix_pages[keys[p]]
+            self.prefix_pages.move_to_end(keys[p])
+            self.allocator.retain(page)
+            shared.append(page)
+        pages = shared + fresh
+        self.slot_pages[slot] = pages
+        self.page_table[slot, :n_cover] = pages
+        self.stats["pages_reused"] += j
+
+        if j:
+            self.stats["prefill_resumed"] += 1
+            first, self.pools = _prefix_resume_fn(self.model, ps, j, t)(
+                self.params, self.pools,
+                jnp.asarray(shared, dtype=jnp.int32),
+                jnp.asarray(fresh[: n_cover - j], dtype=jnp.int32),
+                jnp.asarray(ids), jnp.asarray(true_len))
+        else:
+            self.stats["prefill_full"] += 1
+            zero = jnp.zeros((), jnp.float32)
+            first, row_caches = _prefill_one_fn(self.model, t)(
+                self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
+                jnp.asarray(true_len), zero, zero + 1.0,
+                jnp.zeros((), jnp.int32))
+            self.pools = _paged_insert_fn(self.model, ps, n_cover, t)(
+                self.pools, row_caches,
+                jnp.asarray(pages, dtype=jnp.int32))
+
+        # register this prompt's full pages for future prefix hits (one
+        # cache-owned reference each)
+        if cfg.prefix_cache:
+            for p in range(int(true_len) // ps):
+                if keys[p] not in self.prefix_pages:
+                    self.prefix_pages[keys[p]] = pages[p]
+                    self._page_key[pages[p]] = keys[p]
+                    self.allocator.retain(pages[p])
+
         self.positions[slot] = int(true_len)
         self.last_token[slot, 0] = int(first[0, 0])
         return int(first[0, 0])
@@ -344,8 +551,8 @@ class PagedBatcher:
         return out
 
 
-def bench_paged_config(chunk: int = 32,
-                       max_new_tokens: int = 128) -> PagedConfig:
+def bench_paged_config(chunk: int = 32, max_new_tokens: int = 128,
+                       kv_dtype: str = "native") -> PagedConfig:
     """The serving-benchmark configuration — ONE definition shared by
     bench.py, scripts/warm_bench_cache.py and
     scripts/profiles/_serve_drive.py so the warmed programs always match
@@ -353,7 +560,7 @@ def bench_paged_config(chunk: int = 32,
     compile-service stall CLAUDE.md warns about)."""
     return PagedConfig(slots=8, page_size=64, num_pages=105,
                        max_prompt_len=512, max_new_tokens=max_new_tokens,
-                       chunk=chunk, length_bucket=128)
+                       chunk=chunk, length_bucket=128, kv_dtype=kv_dtype)
 
 
 def make_serve_requests(cfg, n: int, seed: int = 5) -> list:

@@ -325,6 +325,117 @@ class TestInt8PagedKernel:
         assert err.max() < 0.05, err.max()
 
 
+def _shared_prefix_requests(cfg, n=5, seed=9, shared_len=36):
+    """Requests sharing one image + identical first `shared_len` tokens
+    (the MultiSPA serving shape: one image context, many questions)."""
+    t_img = cfg.tokens_per_tile
+    assert shared_len >= 1 + t_img
+    rng = np.random.default_rng(seed)
+    head = rng.integers(10, cfg.llm.vocab_size,
+                        size=shared_len).astype(np.int32)
+    head[1:1 + t_img] = cfg.img_context_id
+    tiles = np.asarray(jax.random.normal(
+        jax.random.key(77), (1, cfg.vit.image_size, cfg.vit.image_size, 3),
+        dtype=jnp.float32))
+    out = []
+    for i in range(n):
+        tail = rng.integers(10, cfg.llm.vocab_size,
+                            size=int(rng.integers(8, 26))).astype(np.int32)
+        out.append((np.concatenate([head, tail]), tiles))
+    return out
+
+
+class TestPrefixCache:
+    """vLLM-style automatic prefix caching (PagedConfig(prefix_cache=
+    True)): full pages shared across requests by refcount; prefill
+    resumes only the unshared suffix against the gathered prefix kv."""
+
+    def _run(self, model, params, requests, num_pages=64, slots=2,
+             prefix_cache=True, kv_dtype="native"):
+        b = PagedBatcher(
+            model, params,
+            PagedConfig(slots=slots, page_size=16, num_pages=num_pages,
+                        max_prompt_len=128, max_new_tokens=6, chunk=2,
+                        length_bucket=64, kv_dtype=kv_dtype,
+                        prefix_cache=prefix_cache),
+            pad_id=0, eos_id=2)
+        return b, b.generate_all(list(requests))
+
+    def test_reuse_outputs_match_uncached(self):
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        requests = _shared_prefix_requests(cfg)
+        _, want = self._run(model, params, requests, prefix_cache=False)
+        b, got = self._run(model, params, requests)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        # first request misses; every later one resumes off >= 2 full
+        # shared pages (36 shared tokens / 16-row pages)
+        assert b.stats["prefill_full"] == 1
+        assert b.stats["prefill_resumed"] == len(requests) - 1
+        assert b.stats["pages_reused"] >= 2 * (len(requests) - 1)
+
+    def test_duplicate_request_shares_maximally(self):
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        (ids, tiles) = _shared_prefix_requests(cfg, n=1)[0]
+        b, got = self._run(model, params, [(ids, tiles), (ids, tiles)])
+        np.testing.assert_array_equal(got[0], got[1])
+        # the repeat shares every full page before the last real token
+        assert b.stats["pages_reused"] == (len(ids) - 1) // 16
+
+    def test_different_tiles_do_not_share(self):
+        """Same token ids, different image pixels: vision-token kv
+        differs, so pages containing image positions must not hit."""
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        (ids, tiles) = _shared_prefix_requests(cfg, n=1)[0]
+        tiles2 = np.asarray(tiles) + 1.0
+        b, _ = self._run(model, params, [(ids, tiles), (ids, tiles2)])
+        assert b.stats["prefill_resumed"] == 0
+        assert b.stats["pages_reused"] == 0
+
+    def test_refcount_conservation_and_clear(self):
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        requests = _shared_prefix_requests(cfg)
+        b, _ = self._run(model, params, requests, num_pages=64)
+        held = len(b.prefix_pages)
+        assert held > 0
+        assert b.allocator.available == 64 - 1 - held
+        b.clear_prefix_cache()
+        assert b.allocator.available == 64 - 1
+        assert b.allocator.refs == {}
+
+    def test_eviction_under_pool_pressure(self):
+        """A pool too small to keep every cached page resident evicts
+        LRU cache-only pages instead of deadlocking; outputs match the
+        ample-pool cached run."""
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        requests = _shared_prefix_requests(cfg, n=6)
+        _, want = self._run(model, params, requests, num_pages=64)
+        b, got = self._run(model, params, requests, num_pages=10)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        assert b.stats["pages_evicted"] > 0
+
+    def test_int8_composes_with_prefix_cache(self):
+        """int8 + prefix cache: the resumed suffix quantizes off
+        slightly different hidden states, so tokens are NOT asserted
+        against the uncached int8 run (bin flips swamp a random tiny
+        model's argmax margins). The pinned properties: determinism
+        (two fresh batchers agree exactly), an identical full-prefill
+        first request, and the sharing mechanics."""
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        requests = _shared_prefix_requests(cfg)
+        _, base = self._run(model, params, requests, prefix_cache=False,
+                            kv_dtype="int8")
+        b, got = self._run(model, params, requests, kv_dtype="int8")
+        _, again = self._run(model, params, requests, kv_dtype="int8")
+        for g, a in zip(got, again):
+            np.testing.assert_array_equal(g, a)
+        # request 0 misses the cache -> the exact same full-prefill path
+        np.testing.assert_array_equal(got[0], base[0])
+        assert b.stats["prefill_resumed"] == len(requests) - 1
+        assert b.stats["pages_reused"] >= 2 * (len(requests) - 1)
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
