@@ -118,8 +118,12 @@ class Attention(nn.Module):
         if cache is not None and "k_pages" in cache:
             # Paged decode (models/paged_kv.py): each row writes its new
             # kv at the (page, offset) of its logical position, then
-            # attends over its gathered page window. Decode-only (t == 1).
-            assert t == 1, "paged KV cache is decode-only"
+            # attends over its gathered page window. t == 1 is the plain
+            # decode step (Pallas kernel when shapes allow); t > 1 is the
+            # speculative verify chain — t rows land at consecutive
+            # logical positions and the window attention below masks each
+            # q row at its own position (the host guarantees page
+            # coverage through position index + t - 1).
             idx = jnp.asarray(cache["index"], dtype=jnp.int32)   # [B]
             pt = cache["page_table"]                             # [B, PPS]
             ps = cache["k_pages"].shape[2]
@@ -128,7 +132,7 @@ class Attention(nn.Module):
                 paged_decode_attention, paged_kernel_ok, quantize_kv_rows,
             )
 
-            if paged_kernel_ok(q, cache["k_pages"]):
+            if t == 1 and paged_kernel_ok(q, cache["k_pages"]):
                 # Pallas kernel: the new kv row is landed by the kernel
                 # itself (pools aliased in place — an XLA-side scatter
                 # makes XLA relayout-copy the full pools around the
@@ -150,19 +154,21 @@ class Attention(nn.Module):
                         k_new=k[:, :, 0, :], v_new=v[:, :, 0, :])
                 out = out.transpose(0, 2, 1, 3)
                 return wo(out), new_cache
-            page = jnp.take_along_axis(pt, (idx // ps)[:, None],
-                                       axis=1)[:, 0]             # [B]
-            off = idx % ps
-            k_row, v_row = k[:, :, 0, :], v[:, :, 0, :]
-            new_cache = {"page_table": pt, "index": idx + 1}
+            logical = idx[:, None] + jnp.arange(t)               # [B, t]
+            pages = jnp.take_along_axis(pt, logical // ps, axis=1)
+            off = logical % ps
+            # advanced-index dims land first: [B, t, KVH(, hd)] targets
+            k_rows = k.transpose(0, 2, 1, 3)      # [B, t, KVH, hd]
+            v_rows = v.transpose(0, 2, 1, 3)
+            new_cache = {"page_table": pt, "index": idx + t}
             if quant:
-                k_row, ks_row = quantize_kv_rows(k_row)
-                v_row, vs_row = quantize_kv_rows(v_row)
-                ks = cache["k_scale"].at[page, :, off].set(ks_row)
-                vs = cache["v_scale"].at[page, :, off].set(vs_row)
+                k_rows, ks_rows = quantize_kv_rows(k_rows)
+                v_rows, vs_rows = quantize_kv_rows(v_rows)
+                ks = cache["k_scale"].at[pages, :, off].set(ks_rows)
+                vs = cache["v_scale"].at[pages, :, off].set(vs_rows)
                 new_cache["k_scale"], new_cache["v_scale"] = ks, vs
-            kp = cache["k_pages"].at[page, :, off, :].set(k_row)
-            vp = cache["v_pages"].at[page, :, off, :].set(v_row)
+            kp = cache["k_pages"].at[pages, :, off, :].set(k_rows)
+            vp = cache["v_pages"].at[pages, :, off, :].set(v_rows)
             new_cache["k_pages"], new_cache["v_pages"] = kp, vp
             kw = kp[pt]                       # [B, PPS, KVH, ps, hd]
             vw = vp[pt]

@@ -54,6 +54,14 @@ class PagedConfig:
     # deterministic (identical across slot/batch composition) but NOT
     # bit-identical to the unquantized path.
     kv_dtype: str = "native"
+    # >0: prompt-lookup speculative decoding (models/generate.py): each
+    # iteration drafts n tokens by bigram lookup over the slot's
+    # prompt+generated history and verifies them in ONE t = n+1 paged
+    # forward (the gather path handles multi-token writes; the t=1
+    # Pallas kernel is bypassed while speculating). Emitted tokens are
+    # bit-identical to the greedy chunk loop — only the forward count
+    # changes.
+    speculate: int = 0
     # vLLM-style automatic prefix caching: full pages whose token (and,
     # for vision positions, tile-pixel) prefix matches a previous
     # request are reused by refcount instead of recomputed — prefill
@@ -69,7 +77,9 @@ class PagedConfig:
 
     @property
     def max_len(self) -> int:
-        return self.max_prompt_len + self.max_new_tokens
+        # speculative verify writes draft kv up to `speculate` rows past
+        # the last emitted position; page coverage must absorb them
+        return self.max_prompt_len + self.max_new_tokens + self.speculate
 
     @property
     def pages_per_slot(self) -> int:
@@ -287,6 +297,56 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _paged_spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
+                         n_draft: int, hist_len: int):
+    """`chunk` speculative iterations over the paged pools in one
+    dispatch. Drafting/acceptance is serving's prompt-lookup logic
+    (serving._draft_lookup/_accept_chain); each verify is ONE t = n+1
+    forward through the paged gather path (llm.py writes the chain's
+    kv rows at consecutive (page, offset) slots — rejected drafts leave
+    garbage past the emitted position that later writes overwrite
+    before the mask admits it, exactly like the contiguous path)."""
+    from .serving import _accept_chain, _draft_lookup
+
+    k = n_draft
+    rows = jnp.arange(n_slots)
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def run(params, positions, hist, pools, page_table):
+        pool_keys = [kk for kk in ("k_pages", "v_pages", "k_scale",
+                                   "v_scale") if kk in pools[0]]
+
+        def body(carry, _):
+            positions, hist, pools = carry
+            cur, draft = _draft_lookup(hist, positions, k, hist_len)
+            tokens_in = jnp.clip(
+                jnp.concatenate([cur[:, None], draft], axis=1), 0, None)
+            pos_block = positions[:, None] + jnp.arange(k + 1)[None, :]
+            chain = [dict(p, page_table=page_table, index=positions)
+                     for p in pools]
+            logits, caches = model.apply(
+                params, tokens_in, pos_block, chain,
+                method=lambda mdl, tok, pos, cc:
+                    mdl.llm(input_embeds=mdl.llm.embed(tok),
+                            positions=pos, caches=cc))
+            pools = [{kk: c[kk] for kk in pool_keys} for c in caches]
+            cand, n_emit = _accept_chain(draft, logits)
+            slot = jnp.arange(k + 1)[None, :]
+            emit = slot < n_emit[:, None]
+            hidx = jnp.where(emit, positions[:, None] + 1 + slot,
+                             hist_len)                 # OOB -> dropped
+            hist = hist.at[rows[:, None], hidx].set(cand, mode="drop")
+            return (positions + n_emit, hist, pools), (cand, n_emit)
+
+        (positions, hist, pools), (cands, counts) = jax.lax.scan(
+            body, (positions, hist, pools), None, length=chunk)
+        return (jnp.transpose(cands, (1, 0, 2)), jnp.transpose(counts),
+                positions, hist, pools)
+
+    return run
+
+
 class PagedBatcher:
     """Greedy continuous batching over a shared KV page pool."""
 
@@ -313,6 +373,10 @@ class PagedBatcher:
         self._page_key: dict[int, bytes] = {}
         self.stats = {"prefill_full": 0, "prefill_resumed": 0,
                       "pages_reused": 0, "pages_evicted": 0}
+        # per-slot prompt+generated history for prompt-lookup drafting
+        self.hist_len = cfg.max_prompt_len + cfg.max_new_tokens + 1
+        if cfg.speculate:
+            self.hist = np.full((cfg.slots, self.hist_len), -1, np.int32)
 
     # -- page management ---------------------------------------------------
 
@@ -322,6 +386,8 @@ class PagedBatcher:
         self.page_table[slot, :] = 0            # sink: writes can't corrupt
         self.positions[slot] = 0                # idle decode stays in-range
         self.last_token[slot, 0] = 0
+        if self.config.speculate:
+            self.hist[slot, :] = -1
 
     def _alloc(self, n: int) -> list[int] | None:
         """Allocate n pages, evicting LRU prefix-cache entries whose only
@@ -456,6 +522,10 @@ class PagedBatcher:
 
         self.positions[slot] = int(true_len)
         self.last_token[slot, 0] = int(first[0, 0])
+        if cfg.speculate:
+            self.hist[slot, :] = -1
+            self.hist[slot, : len(prompt_ids)] = prompt_ids
+            self.hist[slot, int(true_len)] = int(first[0, 0])
         return int(first[0, 0])
 
     def generate_all(self, requests) -> list[np.ndarray]:
@@ -470,7 +540,15 @@ class PagedBatcher:
         queue = sorted(payload)
         results: dict[int, list[int]] = {}
         slot_req = [-1] * cfg.slots
-        decode = _paged_decode_chunk_fn(self.model, cfg.slots, cfg.chunk)
+        if cfg.speculate:
+            decode = _paged_spec_chunk_fn(self.model, cfg.slots, cfg.chunk,
+                                          cfg.speculate, self.hist_len)
+        else:
+            decode = _paged_decode_chunk_fn(self.model, cfg.slots,
+                                            cfg.chunk)
+        # logical positions covered per dispatch (a speculative
+        # iteration writes up to speculate rows past its last emit)
+        advance = cfg.chunk * (cfg.speculate + 1)
         stalled = 0  # consecutive loop turns with no decode/finish progress
 
         def finished(rid):
@@ -504,7 +582,7 @@ class PagedBatcher:
                 rid = slot_req[slot]
                 if rid < 0:
                     continue
-                horizon = min(int(self.positions[slot]) + cfg.chunk,
+                horizon = min(int(self.positions[slot]) + advance,
                               cfg.max_len)
                 if not self._extend_to(slot, horizon):
                     queue.insert(0, rid)        # preempt: retry from prefill
@@ -513,16 +591,26 @@ class PagedBatcher:
                     self._free_slot(slot)
             if not any(r >= 0 for r in slot_req):
                 continue
-            toks, last, positions, self.pools = decode(
-                self.params, jnp.asarray(self.last_token),
-                jnp.asarray(self.positions), self.pools,
-                jnp.asarray(self.page_table))
-            stalled = 0
-            toks = np.asarray(toks)
-            self.last_token = np.array(last)
-            self.positions = np.array(positions)
+            if cfg.speculate:
+                cands, counts, positions, hist, self.pools = decode(
+                    self.params, jnp.asarray(self.positions),
+                    jnp.asarray(self.hist), self.pools,
+                    jnp.asarray(self.page_table))
+                stalled = 0
+                cands, counts = np.asarray(cands), np.asarray(counts)
+                self.positions = np.array(positions)
+                self.hist = np.array(hist)
+            else:
+                toks, last, positions, self.pools = decode(
+                    self.params, jnp.asarray(self.last_token),
+                    jnp.asarray(self.positions), self.pools,
+                    jnp.asarray(self.page_table))
+                stalled = 0
+                toks = np.asarray(toks)
+                self.last_token = np.array(last)
+                self.positions = np.array(positions)
             # idle slots decode into the sink page but their positions
-            # still advance by `chunk` each dispatch; re-zero them so a
+            # still advance by `advance` each dispatch; re-zero them so a
             # long pool-dry stretch cannot walk index//page_size past
             # the slot's page-table row (out-of-window scalar reads in
             # the paged kernel).
@@ -530,14 +618,25 @@ class PagedBatcher:
                 if slot_req[slot] < 0:
                     self.positions[slot] = 0
                     self.last_token[slot, 0] = 0
+                    if cfg.speculate:
+                        self.hist[slot, :] = -1
             for slot in range(cfg.slots):
                 rid = slot_req[slot]
                 if rid < 0:
                     continue
-                for tok in toks[slot]:
-                    if finished(rid):
-                        break
-                    results[rid].append(int(tok))
+                if cfg.speculate:
+                    for i in range(cfg.chunk):
+                        for tok in cands[slot, i, : counts[slot, i]]:
+                            if finished(rid):
+                                break
+                            results[rid].append(int(tok))
+                        if finished(rid):
+                            break
+                else:
+                    for tok in toks[slot]:
+                        if finished(rid):
+                            break
+                        results[rid].append(int(tok))
                 if finished(rid):
                     slot_req[slot] = -1
                     self._free_slot(slot)

@@ -167,6 +167,39 @@ def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
     return run
 
 
+def _draft_lookup(hist, positions, k: int, hist_len: int):
+    """Prompt-lookup drafting over per-slot history rows: find the last
+    earlier occurrence of the (prev, cur) bigram ending at `positions`
+    and propose the k tokens that followed it. Returns (cur `[B]`,
+    draft `[B, k]`; unknown positions draft token 0)."""
+    rows = jnp.arange(hist.shape[0])
+    cur = hist[rows, positions]
+    prev = hist[rows, positions - 1]
+    m = (hist[:, :-1] == prev[:, None]) & (hist[:, 1:] == cur[:, None])
+    j_arange = jnp.arange(hist_len - 1)
+    m &= (j_arange + 1)[None, :] < positions[:, None]
+    jbest = jnp.max(jnp.where(m, j_arange[None, :], -1), axis=1)
+    dpos = jbest[:, None] + 2 + jnp.arange(k)[None, :]
+    known = (jbest[:, None] >= 0) & (dpos <= positions[:, None])
+    draft = jnp.take_along_axis(hist, jnp.clip(dpos, 0, hist_len - 1),
+                                axis=1)
+    return cur, jnp.where(known & (draft >= 0), draft, 0)
+
+
+def _accept_chain(draft, logits):
+    """Greedy verification of a drafted chain: accept the longest prefix
+    where the model's argmax agrees, emit one extra model token. Returns
+    (cand `[B, k+1]`, n_emit `[B]`)."""
+    kk = draft.shape[1]
+    g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    match = (draft == g[:, :kk]).astype(jnp.int32)
+    n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+    slot = jnp.arange(kk + 1)[None, :]
+    cand = jnp.where(slot < n_acc[:, None],
+                     jnp.concatenate([draft, draft[:, -1:]], axis=1), g)
+    return cand, (n_acc + 1).astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=16)
 def _spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
                    n_draft: int, hist_len: int):
@@ -196,18 +229,7 @@ def _spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
 
         def body(carry, _):
             positions, caches, hist = carry
-            cur = hist[rows, positions]
-            prev = hist[rows, positions - 1]
-            m = (hist[:, :-1] == prev[:, None]) \
-                & (hist[:, 1:] == cur[:, None])
-            j_arange = jnp.arange(hist_len - 1)
-            m &= (j_arange + 1)[None, :] < positions[:, None]
-            jbest = jnp.max(jnp.where(m, j_arange[None, :], -1), axis=1)
-            dpos = jbest[:, None] + 2 + jnp.arange(k)[None, :]
-            known = (jbest[:, None] >= 0) & (dpos <= positions[:, None])
-            draft = jnp.take_along_axis(
-                hist, jnp.clip(dpos, 0, hist_len - 1), axis=1)
-            draft = jnp.where(known & (draft >= 0), draft, 0)
+            cur, draft = _draft_lookup(hist, positions, k, hist_len)
 
             # idle slots carry cur == -1; clip for a safe embed lookup
             # (their logits are discarded by the host either way)
@@ -221,14 +243,8 @@ def _spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
                 method=lambda mdl, tok, pos, cc:
                     mdl.llm(input_embeds=mdl.llm.embed(tok),
                             positions=pos, caches=cc))
-            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            match = (draft == g[:, :k]).astype(jnp.int32)
-            n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            cand, n_emit = _accept_chain(draft, logits)
             slot = jnp.arange(k + 1)[None, :]
-            cand = jnp.where(
-                slot < n_acc[:, None],
-                jnp.concatenate([draft, draft[:, -1:]], axis=1), g)
-            n_emit = (n_acc + 1).astype(jnp.int32)
             emit = slot < n_emit[:, None]
             hidx = jnp.where(emit, positions[:, None] + 1 + slot,
                              hist_len)                 # OOB -> dropped

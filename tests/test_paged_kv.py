@@ -436,6 +436,56 @@ class TestPrefixCache:
         assert b.stats["pages_reused"] >= 2 * (len(requests) - 1)
 
 
+class TestPagedSpeculative:
+    """PagedConfig(speculate=n): prompt-lookup drafts verified in one
+    t = n+1 paged forward (llm.py's multi-row page write + gather-path
+    window attention). Emitted tokens must be bit-identical to the
+    plain paged greedy loop."""
+
+    def _run(self, model, params, requests, speculate, num_pages=64,
+             slots=2, prefix_cache=False):
+        b = PagedBatcher(
+            model, params,
+            PagedConfig(slots=slots, page_size=16, num_pages=num_pages,
+                        max_prompt_len=128, max_new_tokens=8, chunk=2,
+                        length_bucket=64, speculate=speculate,
+                        prefix_cache=prefix_cache),
+            pad_id=0, eos_id=2)
+        out = b.generate_all(list(requests))
+        b.clear_prefix_cache()
+        assert b.allocator.available == num_pages - 1
+        return out
+
+    def test_bit_identical_to_paged_greedy(self):
+        cfg, model, params, requests = _tiny_model_and_requests(5)
+        base = self._run(model, params, requests, 0)
+        spec = self._run(model, params, requests, 3)
+        for a, s in zip(base, spec):
+            np.testing.assert_array_equal(a, s)
+
+    def test_bit_identical_under_pool_pressure(self):
+        """Deferral + preemption with speculative chunks: the wider
+        write horizon (chunk * (n+1) rows) must stay inside the page
+        coverage the host pre-extends."""
+        cfg, model, params, requests = _tiny_model_and_requests(5)
+        base = self._run(model, params, requests, 0)
+        spec = self._run(model, params, requests, 3, num_pages=16,
+                         slots=3)
+        for a, s in zip(base, spec):
+            np.testing.assert_array_equal(a, s)
+
+    def test_composes_with_prefix_cache(self):
+        """Speculation changes only the decode dispatch; with the same
+        prefix-cache state evolution, spec + prefix equals greedy +
+        prefix bitwise."""
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        requests = _shared_prefix_requests(cfg)
+        base = self._run(model, params, requests, 0, prefix_cache=True)
+        spec = self._run(model, params, requests, 3, prefix_cache=True)
+        for a, s in zip(base, spec):
+            np.testing.assert_array_equal(a, s)
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
