@@ -480,6 +480,33 @@ def main() -> None:
     log(f"serving (paged, 8 slots): {best_serve:,.0f} tok/s")
     model_block["serve_tokens_per_s"] = round(best_serve, 1)
 
+    # int8 kv pages: half the pool HBM + decode DMA bytes; outputs are
+    # deterministic but not bit-identical to native kv (PagedConfig doc)
+    pcfg8 = bench_paged_config(kv_dtype="int8")
+    PagedBatcher(smodel, sparams, pcfg8).generate_all(requests[:8])  # warm
+    best_serve8 = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = PagedBatcher(smodel, sparams, pcfg8).generate_all(requests)
+        dts = time.perf_counter() - t0
+        best_serve8 = max(best_serve8, sum(len(o) for o in outs) / dts)
+    log(f"serving (paged int8 kv, 8 slots): {best_serve8:,.0f} tok/s")
+    model_block["serve_tokens_per_s_int8"] = round(best_serve8, 1)
+
+    # eval-campaign mix (4 questions per image) with automatic prefix
+    # caching: the image-context prefill is paid once per image
+    reqs_px = make_serve_requests(cfg_m, 16, questions_per_image=4)
+    pcfg_px = bench_paged_config(prefix_cache=True)
+    PagedBatcher(smodel, sparams, pcfg_px).generate_all(reqs_px[:8])
+    best_px = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = PagedBatcher(smodel, sparams, pcfg_px).generate_all(reqs_px)
+        dts = time.perf_counter() - t0
+        best_px = max(best_px, sum(len(o) for o in outs) / dts)
+    log(f"serving (prefix cache, 4 q/image): {best_px:,.0f} tok/s")
+    model_block["serve_tokens_per_s_prefix"] = round(best_px, 1)
+
     print(json.dumps({
         "metric": "camera_movement_qa_samples_per_sec",
         "value": round(best_rate, 1),

@@ -651,7 +651,8 @@ class PagedBatcher:
 
 
 def bench_paged_config(chunk: int = 32, max_new_tokens: int = 128,
-                       kv_dtype: str = "native") -> PagedConfig:
+                       kv_dtype: str = "native",
+                       prefix_cache: bool = False) -> PagedConfig:
     """The serving-benchmark configuration — ONE definition shared by
     bench.py, scripts/warm_bench_cache.py and
     scripts/profiles/_serve_drive.py so the warmed programs always match
@@ -659,24 +660,35 @@ def bench_paged_config(chunk: int = 32, max_new_tokens: int = 128,
     compile-service stall CLAUDE.md warns about)."""
     return PagedConfig(slots=8, page_size=64, num_pages=105,
                        max_prompt_len=512, max_new_tokens=max_new_tokens,
-                       chunk=chunk, length_bucket=128, kv_dtype=kv_dtype)
+                       chunk=chunk, length_bucket=128, kv_dtype=kv_dtype,
+                       prefix_cache=prefix_cache)
 
 
-def make_serve_requests(cfg, n: int, seed: int = 5) -> list:
+def make_serve_requests(cfg, n: int, seed: int = 5,
+                        questions_per_image: int = 1) -> list:
     """MultiSPA-shaped serving requests: an image-context prompt (one
     tile's worth of img_context_id tokens) followed by a random text
-    tail of 40-200 tokens. Deterministic in (n, seed)."""
+    tail of 40-200 tokens. Deterministic in (n, seed).
+
+    `questions_per_image > 1` groups consecutive requests onto one
+    image AND one shared leading text stretch (the eval-campaign shape:
+    many questions per image pair) — the regime prefix caching serves.
+    """
     rng = np.random.default_rng(seed)
     t_img = cfg.tokens_per_tile
     out = []
+    head = tiles = None
     for i in range(n):
-        text = int(rng.integers(40, 200))
-        ids = rng.integers(10, cfg.llm.vocab_size,
-                           size=t_img + 2 + text).astype(np.int32)
-        ids[1:1 + t_img] = cfg.img_context_id
-        tiles = np.asarray(jax.random.normal(
-            jax.random.key(100 + i),
-            (1, cfg.vit.image_size, cfg.vit.image_size, 3),
-            dtype=jnp.float32))
-        out.append((ids, tiles))
+        if i % questions_per_image == 0:
+            head = rng.integers(10, cfg.llm.vocab_size,
+                                size=t_img + 2 + 24).astype(np.int32)
+            head[1:1 + t_img] = cfg.img_context_id
+            tiles = np.asarray(jax.random.normal(
+                jax.random.key(100 + i),
+                (1, cfg.vit.image_size, cfg.vit.image_size, 3),
+                dtype=jnp.float32))
+        text = int(rng.integers(16, 176))
+        tail = rng.integers(10, cfg.llm.vocab_size,
+                            size=text).astype(np.int32)
+        out.append((np.concatenate([head, tail]), tiles))
     return out

@@ -152,6 +152,37 @@ def predict_batch(
     return predictions
 
 
+def predict_with_batcher(
+    batcher,
+    tokenizer: SpatialTokenizer,
+    samples: list[dict],
+    image_loader: Callable[[str], np.ndarray],
+    config: EvalRunConfig,
+) -> list[str]:
+    """Serve an eval campaign through a continuous batcher (models/
+    serving.ContinuousBatcher or models/paged_kv.PagedBatcher).
+
+    This is where the paged features earn their keep on MultiSPA eval:
+    many records reference the same image pair, so
+    `PagedConfig(prefix_cache=True)` pays the image-context prefill
+    once per image; `speculate`/`kv_dtype` compose the same way. The
+    batcher's own config governs max_new_tokens and decode behavior.
+    """
+    assert batcher.eos_id == tokenizer.eos_id, \
+        (batcher.eos_id, tokenizer.eos_id)
+    requests = []
+    for s in samples:
+        stacks = [tile_image(image_loader(p), config.data.preprocess)
+                  for p in s["image"]]
+        tiles_per_image = [st.shape[0] for st in stacks]
+        tiles = np.concatenate(stacks, axis=0)
+        ids = build_prompt_ids(s, tokenizer, batcher.model.cfg,
+                               tiles_per_image)
+        requests.append((np.asarray(ids, dtype=np.int32), tiles))
+    outs = batcher.generate_all(requests)     # eos-cut, request order
+    return [tokenizer.decode(np.asarray(o)) for o in outs]
+
+
 def run_eval(
     model: MultiFrameMLLM,
     params,
@@ -161,13 +192,19 @@ def run_eval(
     config: EvalRunConfig | None = None,
     score_config: ScoreConfig | None = None,
     batch_size: int = 1,
+    batcher=None,
 ) -> dict:
     """Greedy-decode every sample and return eval_harness aggregates,
     plus the raw predictions under "predictions". `batch_size > 1` uses
-    the batched serving path (per-row prompt lengths) in chunks."""
+    the batched serving path (per-row prompt lengths) in chunks;
+    `batcher` routes the whole campaign through a continuous/paged
+    batcher instead (see predict_with_batcher)."""
     config = config or EvalRunConfig()
     samples = list(samples)
-    if batch_size <= 1:
+    if batcher is not None:
+        predictions = predict_with_batcher(
+            batcher, tokenizer, samples, image_loader, config)
+    elif batch_size <= 1:
         predictions = [
             predict_sample(model, params, tokenizer, s, image_loader,
                            config)

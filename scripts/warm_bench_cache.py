@@ -125,3 +125,13 @@ sparams = jax.jit(smodel.init)(jax.random.key(0), b0["input_ids"],
 requests = make_serve_requests(cfg_m, 8)
 PagedBatcher(smodel, sparams, bench_paged_config()).generate_all(requests)
 print("serving programs cached", round(time.time() - t0, 1), flush=True)
+PagedBatcher(smodel, sparams,
+             bench_paged_config(kv_dtype="int8")).generate_all(requests)
+print("int8 serving programs cached", round(time.time() - t0, 1), flush=True)
+# the resume program specializes on (shared pages, prompt bucket):
+# warm with the bench's EXACT 16-request list so every combo compiles
+reqs_px = make_serve_requests(cfg_m, 16, questions_per_image=4)
+PagedBatcher(smodel, sparams,
+             bench_paged_config(prefix_cache=True)).generate_all(reqs_px)
+print("prefix serving programs cached", round(time.time() - t0, 1),
+      flush=True)

@@ -332,6 +332,97 @@ class TestBatchedServing:
         assert batched == single
 
 
+class TestEvalThroughBatcher:
+    def _setup(self):
+        tok = SpatialTokenizer()
+        cfg = M.MLLMConfig(
+            vit=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                            num_layers=1, num_heads=2),
+            llm=M.LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                            num_layers=1, num_heads=2, num_kv_heads=2,
+                            ffn_size=64, dtype="float32"),
+            img_context_id=tok.img_context_id,
+        )
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        # 6 records over 2 images: 3 questions per image, all sharing
+        # the long instruction stem MultiSPA prompts carry (the
+        # eval-campaign shape prefix caching serves)
+        stem = ("These are two views of one indoor scene and every "
+                "distance in your answer must be reported in millimeters "
+                "measured from the first camera center. ")
+        qs = ["How deep is the point?", "Which way did the camera move?",
+              "Depth at the marked pixel?"]
+        samples = [{"id": f"{img}-{qi}", "image": [f"s/{img}.jpg"],
+                    "text": f"<image>\n{stem}{q}",
+                    "question_type": "depth_estimation_coor",
+                    "gt_value": 1000 + 10 * qi,
+                    "height_list": [96], "width_list": [128]}
+                   for img in (0, 1) for qi, q in enumerate(qs)]
+
+        def loader(path):
+            seed = int(path.split("/")[-1].split(".")[0])
+            return np.random.default_rng(seed).integers(
+                0, 255, (96, 128, 3), dtype=np.uint8)
+
+        from multi_spatialmllm_tpu.models.data import DataConfig
+        from multi_spatialmllm_tpu.models.preprocess import PreprocessConfig
+        from multi_spatialmllm_tpu.models.runner import EvalRunConfig
+
+        run_cfg = EvalRunConfig(
+            max_new_tokens=5, length_bucket=32,
+            data=DataConfig(preprocess=PreprocessConfig(
+                tile_size=56, max_tiles=1, resize_hw=None)))
+        return tok, model, params, samples, loader, run_cfg
+
+    def test_paged_batcher_matches_per_sample(self):
+        from multi_spatialmllm_tpu.models.paged_kv import (
+            PagedBatcher,
+            PagedConfig,
+        )
+        from multi_spatialmllm_tpu.models.runner import (
+            predict_sample,
+            run_eval,
+        )
+
+        tok, model, params, samples, loader, run_cfg = self._setup()
+        single = [predict_sample(model, params, tok, s, loader, run_cfg)
+                  for s in samples]
+        batcher = PagedBatcher(
+            model, params,
+            PagedConfig(slots=2, page_size=16, num_pages=64,
+                        max_prompt_len=160, max_new_tokens=5, chunk=2,
+                        length_bucket=32),
+            pad_id=tok.pad_id, eos_id=tok.eos_id)
+        report = run_eval(model, params, tok, samples, loader, run_cfg,
+                          batcher=batcher)
+        assert report["predictions"] == single
+
+    def test_prefix_cache_engages_on_repeated_images(self):
+        from multi_spatialmllm_tpu.models.paged_kv import (
+            PagedBatcher,
+            PagedConfig,
+        )
+        from multi_spatialmllm_tpu.models.runner import run_eval
+
+        tok, model, params, samples, loader, run_cfg = self._setup()
+        batcher = PagedBatcher(
+            model, params,
+            PagedConfig(slots=2, page_size=16, num_pages=64,
+                        max_prompt_len=160, max_new_tokens=5, chunk=2,
+                        length_bucket=32, prefix_cache=True),
+            pad_id=tok.pad_id, eos_id=tok.eos_id)
+        report = run_eval(model, params, tok, samples, loader, run_cfg,
+                          batcher=batcher)
+        assert len(report["predictions"]) == len(samples)
+        # 2 images x 3 questions: at most one full prefill per image
+        # (slot scheduling may resume the rest off the shared pages)
+        assert batcher.stats["prefill_resumed"] >= len(samples) - 2
+        assert batcher.stats["pages_reused"] > 0
+
+
 class TestContinuousBatching:
     def test_matches_per_request_greedy(self):
         """Slot-based continuous batching returns the same tokens as
