@@ -54,6 +54,17 @@ class PagedConfig:
     # deterministic (identical across slot/batch composition) but NOT
     # bit-identical to the unquantized path.
     kv_dtype: str = "native"
+    # >0: stream prompt prefill through fixed-size decoder chunks over
+    # the paged pools instead of one bucketed forward. The embeds
+    # program (embed + ViT + splice) stays bucketed but is light; the
+    # 24-layer decoder compiles ONE chunk program total instead of one
+    # per (bucket, shared-prefix) combination — the TPU-native answer
+    # to prefill program proliferation — and time-to-first-token is
+    # bounded by the chunk, not the prompt. With prefix_cache, resume
+    # just starts chunking at the shared-page boundary (no separate
+    # resume program, and no text-only-suffix restriction: the embeds
+    # carry spliced vision features for the whole prompt).
+    prefill_chunk: int = 0
     # >0: prompt-lookup speculative decoding (models/generate.py): each
     # iteration drafts n tokens by bigram lookup over the slot's
     # prompt+generated history and verifies them in ONE t = n+1 paged
@@ -78,8 +89,11 @@ class PagedConfig:
     @property
     def max_len(self) -> int:
         # speculative verify writes draft kv up to `speculate` rows past
-        # the last emitted position; page coverage must absorb them
-        return self.max_prompt_len + self.max_new_tokens + self.speculate
+        # the last emitted position, and a chunked prefill's final chunk
+        # writes pad rows up to `prefill_chunk - 1` past the prompt end;
+        # page coverage must absorb both
+        return (self.max_prompt_len + self.max_new_tokens
+                + self.speculate + self.prefill_chunk)
 
     @property
     def pages_per_slot(self) -> int:
@@ -179,6 +193,48 @@ def _paged_insert_fn(model: MultiFrameMLLM, page_size: int,
         return out
 
     return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=16)
+def _spliced_embeds_fn(model: MultiFrameMLLM, t: int, pad_to: int):
+    """Vision-spliced prompt embeddings, zero-padded to `pad_to` rows so
+    the chunk program below sees ONE static shape regardless of the
+    prompt's length bucket."""
+
+    def fn(params, ids, tiles):
+        emb = model.apply(params, ids, tiles,
+                          method=MultiFrameMLLM.spliced_embeds)
+        return jnp.pad(emb, ((0, 0), (0, pad_to - t), (0, 0)))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _prefill_chunk_fn(model: MultiFrameMLLM, c: int):
+    """One fixed-size prefill chunk over the paged pools: rows
+    `[start, start+c)` of the padded embeds forward through the decoder
+    (multi-token paged gather path — per-row position masks, kv rows
+    scattered at consecutive (page, offset) slots) and every row's
+    greedy token comes back so the host can read the first generated
+    token from the row at the true prompt end."""
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def fn(params, embeds, start, pools, pt_row):
+        pool_keys = [kk for kk in ("k_pages", "v_pages", "k_scale",
+                                   "v_scale") if kk in pools[0]]
+        chunk = jax.lax.dynamic_slice_in_dim(embeds, start, c, axis=1)
+        positions = (start + jnp.arange(c))[None]
+        caches = [dict(p, page_table=pt_row,
+                       index=jnp.full((1,), start, jnp.int32))
+                  for p in pools]
+        logits, caches = model.apply(
+            params, chunk, positions, caches,
+            method=lambda m, e, pos, cc:
+                m.llm(input_embeds=e, positions=pos, caches=cc))
+        pools = [{kk: cc[kk] for kk in pool_keys} for cc in caches]
+        return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), pools
+
+    return fn
 
 
 @functools.lru_cache(maxsize=64)
@@ -461,13 +517,16 @@ class PagedBatcher:
         t = ids.shape[1]
         assert t <= cfg.max_prompt_len, (t, cfg.max_prompt_len)
         true_len = np.int32(len(prompt_ids))
+        c = cfg.prefill_chunk
         n_cover = -(-t // ps)
 
         # prefix-cache lookup: longest run of cached full pages, capped
         # so at least one REAL token remains in the suffix (the resumed
-        # forward needs the last real row for the first-token logits)
-        # and requiring a text-only suffix (the resume embeds tokens
-        # without tiles).
+        # forward needs the last real row for the first-token logits).
+        # The one-shot resume program embeds tokens without tiles, so it
+        # additionally requires a text-only suffix; the chunked path
+        # splices vision features for the whole prompt and has no such
+        # restriction.
         keys: list[bytes] = []
         j = 0
         if cfg.prefix_cache:
@@ -476,8 +535,17 @@ class PagedBatcher:
             while j < j_max and keys[j] in self.prefix_pages:
                 j += 1
             img = int(self.model.cfg.img_context_id)
-            if j and (np.asarray(prompt_ids[j * ps:]) == img).any():
+            if j and not c \
+                    and (np.asarray(prompt_ids[j * ps:]) == img).any():
                 j = 0
+
+        if c:
+            # chunked prefill coverage: m fixed-size chunks starting at
+            # the shared-page boundary; the final chunk's pad-row writes
+            # land inside the covered span
+            start = j * ps
+            m = -(-(int(true_len) - start) // c)
+            n_cover = -(-(start + m * c) // ps)
 
         fresh = self._alloc(n_cover - j)
         if fresh is None:
@@ -493,15 +561,27 @@ class PagedBatcher:
         self.page_table[slot, :n_cover] = pages
         self.stats["pages_reused"] += j
 
-        if j:
-            self.stats["prefill_resumed"] += 1
+        self.stats["prefill_resumed" if j else "prefill_full"] += 1
+        if c:
+            emb = _spliced_embeds_fn(self.model, t,
+                                     cfg.max_prompt_len + c)(
+                self.params, jnp.asarray(ids), jnp.asarray(tiles[None]))
+            pt_row = jnp.asarray(self.page_table[slot][None])
+            chunk_fn = _prefill_chunk_fn(self.model, c)
+            for i in range(m):
+                toks, self.pools = chunk_fn(
+                    self.params, emb,
+                    jnp.asarray(start + i * c, jnp.int32),
+                    self.pools, pt_row)
+            first_row = (int(true_len) - 1) - (start + (m - 1) * c)
+            first = np.asarray(toks)[first_row][None, None]
+        elif j:
             first, self.pools = _prefix_resume_fn(self.model, ps, j, t)(
                 self.params, self.pools,
                 jnp.asarray(shared, dtype=jnp.int32),
                 jnp.asarray(fresh[: n_cover - j], dtype=jnp.int32),
                 jnp.asarray(ids), jnp.asarray(true_len))
         else:
-            self.stats["prefill_full"] += 1
             zero = jnp.zeros((), jnp.float32)
             first, row_caches = _prefill_one_fn(self.model, t)(
                 self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),

@@ -486,6 +486,66 @@ class TestPagedSpeculative:
             np.testing.assert_array_equal(a, s)
 
 
+class TestChunkedPrefill:
+    """PagedConfig(prefill_chunk=c): prompts stream through ONE
+    fixed-size decoder chunk program (multi-token paged path) instead
+    of one bucketed prefill program per length; prefix-cache resume
+    starts chunking at the shared-page boundary with no text-only
+    restriction."""
+
+    def _run(self, model, params, requests, chunk_prefill, num_pages=64,
+             prefix_cache=False, kv_dtype="native", speculate=0):
+        b = PagedBatcher(
+            model, params,
+            PagedConfig(slots=2, page_size=16, num_pages=num_pages,
+                        max_prompt_len=128, max_new_tokens=6, chunk=2,
+                        length_bucket=64, prefill_chunk=chunk_prefill,
+                        prefix_cache=prefix_cache, kv_dtype=kv_dtype,
+                        speculate=speculate),
+            pad_id=0, eos_id=2)
+        out = b.generate_all(list(requests))
+        b.clear_prefix_cache()
+        assert b.allocator.available == num_pages - 1
+        return b, out
+
+    def test_matches_one_shot_prefill(self):
+        """c=24 (not a page multiple: chunks straddle page boundaries)
+        produces the same tokens as the bucketed one-shot prefill."""
+        cfg, model, params, requests = _tiny_model_and_requests(5)
+        _, want = self._run(model, params, requests, 0)
+        _, got = self._run(model, params, requests, 24)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_prefix_resume_without_text_only_restriction(self):
+        """Shared prefixes whose boundary falls inside the image block
+        resume under chunked prefill (the one-shot resume would fall
+        back to a full prefill there)."""
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        # shared head barely longer than one page: page 1 still holds
+        # image-context tokens for tiny_config, so j=1 has an image in
+        # the suffix
+        requests = _shared_prefix_requests(cfg, shared_len=36)
+        b, got = self._run(model, params, requests, 24,
+                           prefix_cache=True)
+        again, got2 = self._run(model, params, requests, 24,
+                                prefix_cache=True)
+        for g, g2 in zip(got, got2):
+            np.testing.assert_array_equal(g, g2)
+        assert b.stats["prefill_full"] == 1
+        assert b.stats["prefill_resumed"] == len(requests) - 1
+
+    def test_composes_with_int8_and_speculation(self):
+        """chunked + int8 kv + speculative decode: spec stays bit-equal
+        to greedy under the same (chunked, int8) prefill."""
+        cfg, model, params, requests = _tiny_model_and_requests(5)
+        _, base = self._run(model, params, requests, 24, kv_dtype="int8")
+        _, spec = self._run(model, params, requests, 24, kv_dtype="int8",
+                            speculate=3)
+        for a, s in zip(base, spec):
+            np.testing.assert_array_equal(a, s)
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
