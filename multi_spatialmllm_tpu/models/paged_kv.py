@@ -65,6 +65,11 @@ class PagedConfig:
     # resume program, and no text-only-suffix restriction: the embeds
     # carry spliced vision features for the whole prompt).
     prefill_chunk: int = 0
+    # >0 (chunked prefill only): LRU-cache up to this many images'
+    # projected vision features by tile-pixel digest — a repeated image
+    # skips the whole ViT+projector forward even when the prompts
+    # differ. Features are a few hundred KB per image on device.
+    vision_cache: int = 0
     # >0: prompt-lookup speculative decoding (models/generate.py): each
     # iteration drafts n tokens by bigram lookup over the slot's
     # prompt+generated history and verifies them in ONE t = n+1 paged
@@ -204,6 +209,41 @@ def _spliced_embeds_fn(model: MultiFrameMLLM, t: int, pad_to: int):
     def fn(params, ids, tiles):
         emb = model.apply(params, ids, tiles,
                           method=MultiFrameMLLM.spliced_embeds)
+        return jnp.pad(emb, ((0, 0), (0, pad_to - t), (0, 0)))
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _vision_feats_fn(model: MultiFrameMLLM):
+    """Projected vision features for one request's tile stack:
+    `[1, n_tiles, H, W, 3] -> [1, n_tiles * tokens_per_tile, D]`."""
+
+    def fn(params, tiles):
+        feats = model.apply(
+            params, tiles.reshape((-1,) + tiles.shape[2:]),
+            method=MultiFrameMLLM.encode_tiles)
+        return feats.reshape(1, -1, feats.shape[-1])
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _splice_embeds_fn(model: MultiFrameMLLM, t: int, pad_to: int):
+    """spliced_embeds with the vision features passed IN (so a cached
+    feature array skips the ViT); same cumsum slot scatter as
+    MultiFrameMLLM.spliced_embeds, zero-padded to `pad_to` rows."""
+    img_id = model.cfg.img_context_id
+
+    def fn(params, ids, vis):
+        embeds = model.apply(params, ids,
+                             method=lambda m, i: m.llm.embed(i))
+        is_ctx = ids == img_id
+        slot_order = jnp.clip(jnp.cumsum(is_ctx, axis=1) - 1, 0,
+                              vis.shape[1] - 1)
+        gathered = jnp.take_along_axis(
+            vis.astype(embeds.dtype), slot_order[..., None], axis=1)
+        emb = jnp.where(is_ctx[..., None], gathered, embeds)
         return jnp.pad(emb, ((0, 0), (0, pad_to - t), (0, 0)))
 
     return jax.jit(fn)
@@ -428,7 +468,10 @@ class PagedBatcher:
         self.prefix_pages: OrderedDict[bytes, int] = OrderedDict()
         self._page_key: dict[int, bytes] = {}
         self.stats = {"prefill_full": 0, "prefill_resumed": 0,
-                      "pages_reused": 0, "pages_evicted": 0}
+                      "pages_reused": 0, "pages_evicted": 0,
+                      "vision_hits": 0}
+        # tile-digest -> projected vision features (chunked prefill)
+        self.vision_feats: OrderedDict[bytes, jax.Array] = OrderedDict()
         # per-slot prompt+generated history for prompt-lookup drafting
         self.hist_len = cfg.max_prompt_len + cfg.max_new_tokens + 1
         if cfg.speculate:
@@ -563,9 +606,27 @@ class PagedBatcher:
 
         self.stats["prefill_resumed" if j else "prefill_full"] += 1
         if c:
-            emb = _spliced_embeds_fn(self.model, t,
-                                     cfg.max_prompt_len + c)(
-                self.params, jnp.asarray(ids), jnp.asarray(tiles[None]))
+            if cfg.vision_cache:
+                digest = hashlib.blake2b(
+                    np.ascontiguousarray(tiles).tobytes(),
+                    digest_size=16).digest()
+                vis = self.vision_feats.get(digest)
+                if vis is None:
+                    vis = _vision_feats_fn(self.model)(
+                        self.params, jnp.asarray(tiles[None]))
+                    self.vision_feats[digest] = vis
+                    while len(self.vision_feats) > cfg.vision_cache:
+                        self.vision_feats.popitem(last=False)
+                else:
+                    self.stats["vision_hits"] += 1
+                    self.vision_feats.move_to_end(digest)
+                emb = _splice_embeds_fn(self.model, t,
+                                        cfg.max_prompt_len + c)(
+                    self.params, jnp.asarray(ids), vis)
+            else:
+                emb = _spliced_embeds_fn(self.model, t,
+                                         cfg.max_prompt_len + c)(
+                    self.params, jnp.asarray(ids), jnp.asarray(tiles[None]))
             pt_row = jnp.asarray(self.page_table[slot][None])
             chunk_fn = _prefill_chunk_fn(self.model, c)
             for i in range(m):

@@ -535,6 +535,31 @@ class TestChunkedPrefill:
         assert b.stats["prefill_full"] == 1
         assert b.stats["prefill_resumed"] == len(requests) - 1
 
+    def test_vision_cache_hits_and_matches(self):
+        """vision_cache: repeat images skip the ViT; tokens match the
+        uncached chunked run (same math, vis passed in)."""
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        requests = _shared_prefix_requests(cfg)  # one image, 5 prompts
+        b0 = PagedBatcher(
+            model, params,
+            PagedConfig(slots=2, page_size=16, num_pages=64,
+                        max_prompt_len=128, max_new_tokens=6, chunk=2,
+                        length_bucket=64, prefill_chunk=24),
+            pad_id=0, eos_id=2)
+        want = b0.generate_all(list(requests))
+        b = PagedBatcher(
+            model, params,
+            PagedConfig(slots=2, page_size=16, num_pages=64,
+                        max_prompt_len=128, max_new_tokens=6, chunk=2,
+                        length_bucket=64, prefill_chunk=24,
+                        vision_cache=4),
+            pad_id=0, eos_id=2)
+        got = b.generate_all(list(requests))
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        assert b.stats["vision_hits"] == len(requests) - 1
+        assert len(b.vision_feats) == 1
+
     def test_composes_with_int8_and_speculation(self):
         """chunked + int8 kv + speculative decode: spec stays bit-equal
         to greedy under the same (chunked, int8) prefill."""
