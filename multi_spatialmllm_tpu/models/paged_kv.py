@@ -676,10 +676,29 @@ class PagedBatcher:
         deferred; a running slot that cannot extend its window is
         preempted (pages freed, request restarted later from prefill) —
         greedy decoding makes the restart produce identical tokens."""
+        requests = list(requests)
+        acc: dict[int, list[int]] = {i: [] for i in range(len(requests))}
+        for rid, toks, _done in self.generate_stream(requests):
+            acc[rid].extend(toks)
+        return [np.asarray(acc[i], dtype=np.int32) for i in sorted(acc)]
+
+    def generate_stream(self, requests):
+        """Incremental serving: yields `(request_id, new_tokens, done)`
+        after every prefill / decode dispatch, where `new_tokens` is the
+        list of FRESH eos-cut tokens for that request (possibly empty on
+        the final `done` event). Concatenating a request's increments
+        reproduces `generate_all`'s output exactly. If pool pressure
+        preempts a running slot, its greedy replay re-derives the same
+        prefix and only tokens beyond the already-streamed count are
+        emitted (with approximate modes — int8 kv, prefix_cache — a
+        replay could in principle diverge from the streamed prefix; the
+        stream never rewinds, it keeps extending from the streamed
+        count)."""
         cfg = self.config
         payload = dict(enumerate(requests))
         queue = sorted(payload)
         results: dict[int, list[int]] = {}
+        emitted: dict[int, int] = {}      # clean tokens already yielded
         slot_req = [-1] * cfg.slots
         if cfg.speculate:
             decode = _paged_spec_chunk_fn(self.model, cfg.slots, cfg.chunk,
@@ -696,6 +715,14 @@ class PagedBatcher:
             toks = results[rid]
             return (len(toks) >= cfg.max_new_tokens
                     or (toks and toks[-1] == self.eos_id))
+
+        def increment(rid):
+            toks = results[rid]
+            if self.eos_id in toks:
+                toks = toks[: toks.index(self.eos_id)]
+            new = toks[emitted.get(rid, 0):]
+            emitted[rid] = max(emitted.get(rid, 0), len(toks))
+            return new
 
         while queue or any(r >= 0 for r in slot_req):
             if stalled > 2 * cfg.slots + 4:
@@ -714,7 +741,9 @@ class PagedBatcher:
                     queue.pop(0)
                     slot_req[slot] = rid
                     results[rid] = [first]
-                    if finished(rid):
+                    done = finished(rid)
+                    yield rid, increment(rid), done
+                    if done:
                         stalled = 0
                         slot_req[slot] = -1
                         self._free_slot(slot)
@@ -778,17 +807,11 @@ class PagedBatcher:
                         if finished(rid):
                             break
                         results[rid].append(int(tok))
-                if finished(rid):
+                done = finished(rid)
+                yield rid, increment(rid), done
+                if done:
                     slot_req[slot] = -1
                     self._free_slot(slot)
-
-        out = []
-        for rid in sorted(results):
-            toks = results[rid]
-            if self.eos_id in toks:
-                toks = toks[: toks.index(self.eos_id)]
-            out.append(np.asarray(toks, dtype=np.int32))
-        return out
 
 
 def bench_paged_config(chunk: int = 32, max_new_tokens: int = 128,

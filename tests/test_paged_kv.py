@@ -436,6 +436,50 @@ class TestPrefixCache:
         assert b.stats["pages_reused"] >= 2 * (len(requests) - 1)
 
 
+class TestGenerateStream:
+    """generate_stream: per-dispatch (rid, new_tokens, done) increments
+    whose concatenation reproduces generate_all exactly — including
+    across pool-pressure preemption (replayed tokens are not
+    re-emitted) and speculative chunks (1..n+1 tokens per event)."""
+
+    def _stream_collect(self, model, params, requests, **cfg_kw):
+        b = PagedBatcher(
+            model, params,
+            PagedConfig(page_size=16, max_prompt_len=128,
+                        max_new_tokens=6, chunk=2, length_bucket=64,
+                        **cfg_kw),
+            pad_id=0, eos_id=2)
+        acc: dict[int, list[int]] = {}
+        done_seen: dict[int, int] = {}
+        for rid, toks, done in b.generate_stream(list(requests)):
+            acc.setdefault(rid, []).extend(toks)
+            if done:
+                done_seen[rid] = done_seen.get(rid, 0) + 1
+        return acc, done_seen
+
+    @pytest.mark.parametrize("cfg_kw", [
+        dict(num_pages=64),
+        dict(num_pages=13, slots=3),               # deferral + preempt
+        dict(num_pages=64, speculate=3),
+    ], ids=["ample", "pressure", "speculative"])
+    def test_stream_reassembles_generate_all(self, cfg_kw):
+        cfg, model, params, requests = _tiny_model_and_requests(5)
+        slots = cfg_kw.pop("slots", 2)
+        want = PagedBatcher(
+            model, params,
+            PagedConfig(slots=slots, page_size=16, max_prompt_len=128,
+                        max_new_tokens=6, chunk=2, length_bucket=64,
+                        **cfg_kw),
+            pad_id=0, eos_id=2).generate_all(list(requests))
+        acc, done_seen = self._stream_collect(model, params, requests,
+                                              slots=slots, **cfg_kw)
+        assert set(acc) == set(range(len(requests)))
+        for rid, w in enumerate(want):
+            np.testing.assert_array_equal(
+                np.asarray(acc[rid], np.int32), w)
+            assert done_seen[rid] == 1
+
+
 class TestPagedSpeculative:
     """PagedConfig(speculate=n): prompt-lookup drafts verified in one
     t = n+1 paged forward (llm.py's multi-row page write + gather-path
