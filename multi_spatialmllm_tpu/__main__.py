@@ -208,6 +208,84 @@ def cmd_import_checkpoint(args) -> None:
                       "dtype": args.dtype}))
 
 
+def cmd_eval(args) -> None:
+    """MultiSPA evaluation from the CLI: orbax checkpoint x eval JSONL
+    (engine output records) x images directory -> eval_harness report.
+    `--paged` serves the campaign through the paged batcher, where
+    prefix caching / int8 kv / chunked prefill / vision cache /
+    speculation are opt-in flags; otherwise the batched-prefill path
+    runs with `--batch-size` rows."""
+    import multi_spatialmllm_tpu as msm
+
+    msm.enable_compilation_cache()
+    from .models import mllm as M
+    from .models.data import DataConfig
+    from .models.preprocess import PreprocessConfig
+    from .models.runner import EvalRunConfig, run_eval
+    from .models.tokenizer import load_tokenizer
+    from .parallel.train import restore_checkpoint
+
+    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
+           "bench": M.bench_1chip_config}[args.config]()
+    if args.vocab_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         vocab_size=args.vocab_size))
+    model = M.MultiFrameMLLM(cfg)
+    tok = load_tokenizer(args.tokenizer)
+    assert tok.vocab_size <= cfg.llm.vocab_size, \
+        (tok.vocab_size, cfg.llm.vocab_size)
+    restored = restore_checkpoint(os.path.abspath(args.checkpoint))
+    params = restored.get("params", restored) \
+        if isinstance(restored, dict) else restored
+
+    with open(args.eval_jsonl) as f:
+        samples = [json.loads(line) for line in f if line.strip()]
+    if args.limit:
+        samples = samples[: args.limit]
+
+    def loader(path):
+        import cv2
+
+        img = cv2.imread(os.path.join(args.images_root, path))
+        assert img is not None, f"unreadable image: {path}"
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    run_cfg = EvalRunConfig(
+        max_new_tokens=args.max_new_tokens,
+        speculate=0 if args.paged else args.speculate,
+        data=DataConfig(preprocess=PreprocessConfig(
+            tile_size=cfg.vit.image_size, max_tiles=args.max_tiles,
+            resize_hw=None)))
+    batcher = None
+    if args.paged:
+        from .models.paged_kv import PagedBatcher, PagedConfig
+
+        batcher = PagedBatcher(
+            model, params,
+            PagedConfig(slots=args.slots, page_size=args.page_size,
+                        num_pages=args.num_pages,
+                        max_prompt_len=args.max_prompt_len,
+                        max_new_tokens=args.max_new_tokens,
+                        kv_dtype=args.kv_dtype,
+                        prefix_cache=args.prefix_cache,
+                        prefill_chunk=args.prefill_chunk,
+                        vision_cache=args.vision_cache,
+                        speculate=args.speculate),
+            pad_id=tok.pad_id, eos_id=tok.eos_id)
+    report = run_eval(model, params, tok, samples, loader, run_cfg,
+                      batch_size=args.batch_size, batcher=batcher)
+    predictions = report.pop("predictions")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump({**report, "predictions": predictions}, f)
+    if batcher is not None:
+        report["serving_stats"] = batcher.stats
+    print(json.dumps(report))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(prog="multi_spatialmllm_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -277,6 +355,39 @@ def main() -> None:
     p.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16")
     p.set_defaults(fn=cmd_import_checkpoint)
+
+    p = sub.add_parser("eval",
+                       help="MultiSPA eval: checkpoint x JSONL -> scores")
+    p.add_argument("--checkpoint", required=True, help="orbax dir "
+                   "(import-checkpoint output or train save_checkpoint)")
+    p.add_argument("--config", choices=("flagship", "bench", "tiny"),
+                   default="flagship")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer.json (default: builtin word-level)")
+    p.add_argument("--vocab-size", type=int, default=0,
+                   help="override the config's vocab (0 = keep; must "
+                        "cover the tokenizer)")
+    p.add_argument("--eval-jsonl", required=True,
+                   help="engine evaluation_data JSONL")
+    p.add_argument("--images-root", default=".")
+    p.add_argument("--output", default=None, help="report+predictions json")
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--max-new-tokens", type=int, default=24)
+    p.add_argument("--max-tiles", type=int, default=6)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--speculate", type=int, default=0)
+    p.add_argument("--paged", action="store_true",
+                   help="serve through the paged continuous batcher")
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--num-pages", type=int, default=128)
+    p.add_argument("--max-prompt-len", type=int, default=2048)
+    p.add_argument("--kv-dtype", choices=("native", "int8"),
+                   default="native")
+    p.add_argument("--prefix-cache", action="store_true")
+    p.add_argument("--prefill-chunk", type=int, default=0)
+    p.add_argument("--vision-cache", type=int, default=0)
+    p.set_defaults(fn=cmd_eval)
 
     args = parser.parse_args()
     args.fn(args)

@@ -423,6 +423,71 @@ class TestEvalThroughBatcher:
         assert batcher.stats["pages_reused"] > 0
 
 
+class TestEvalCLI:
+    def test_eval_subcommand_end_to_end(self, tmp_path, monkeypatch,
+                                        capsys):
+        """`python -m multi_spatialmllm_tpu eval`: orbax checkpoint +
+        eval JSONL + images on disk -> scored report, served through
+        the paged batcher with prefix caching + chunked prefill."""
+        import dataclasses
+        import json
+        import sys
+
+        import cv2
+
+        from multi_spatialmllm_tpu.__main__ import main
+        from multi_spatialmllm_tpu.parallel.train import save_checkpoint
+
+        tok = SpatialTokenizer()
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=800))
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        save_checkpoint(str(tmp_path / "ckpt"), params)
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(4)
+        for i in range(2):
+            cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                        rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+        samples = [
+            {"id": f"{i}-{q}", "image": [f"{i}.jpg"],
+             "text": f"<image>\nQuestion variant number {q} here?",
+             "question_type": "depth_estimation_coor",
+             "gt_value": 900 + q, "height_list": [96],
+             "width_list": [128]}
+            for i in range(2) for q in range(2)
+        ]
+        jsonl = tmp_path / "eval.jsonl"
+        jsonl.write_text("\n".join(json.dumps(s) for s in samples))
+
+        out = tmp_path / "report.json"
+        monkeypatch.setattr(sys, "argv", [
+            "multi_spatialmllm_tpu", "eval",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--config", "tiny", "--vocab-size", "800",
+            "--eval-jsonl", str(jsonl),
+            "--images-root", str(img_dir),
+            "--output", str(out),
+            "--max-new-tokens", "4", "--max-tiles", "1",
+            "--paged", "--slots", "2", "--page-size", "16",
+            "--num-pages", "64", "--max-prompt-len", "128",
+            "--prefix-cache", "--prefill-chunk", "16",
+            "--vision-cache", "2",
+        ])
+        main()
+        printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert printed["count"] == 4
+        assert "serving_stats" in printed
+        assert printed["serving_stats"]["vision_hits"] >= 2
+        saved = json.loads(out.read_text())
+        assert len(saved["predictions"]) == 4
+
+
 class TestContinuousBatching:
     def test_matches_per_request_greedy(self):
         """Slot-based continuous batching returns the same tokens as
