@@ -87,12 +87,30 @@ class RMSNorm(nn.Module):
         return (y * scale).astype(x.dtype)
 
 
+def apply_lora_delta(x, lora, name, out_shape, dtype):
+    """Per-row batched LoRA delta for serving (parallel/lora_serving):
+    `lora` carries stacked adapters `{name: (A [N, fan_in, r],
+    B [N, r, fan_out])}`, a per-row adapter index `idx [B]`, and the
+    alpha/rank scale; rows select their adapter by gather, so one batch
+    mixes adapters freely (index 0 is the zero base adapter). Returns
+    the delta reshaped to `[B, T, *out_shape]`, or None when `name` has
+    no adapter."""
+    if lora is None or name not in lora["tables"]:
+        return None
+    a_stack, b_stack = lora["tables"][name]
+    a = a_stack[lora["idx"]]                    # [B, fan_in, r]
+    b = b_stack[lora["idx"]]                    # [B, r, fan_out]
+    xa = jnp.einsum("btd,bdr->btr", x.astype(jnp.float32), a)
+    d = jnp.einsum("btr,bro->bto", xa, b) * lora["scale"]
+    return d.reshape(x.shape[:2] + out_shape).astype(dtype)
+
+
 class Attention(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
     def __call__(self, x, positions, attn_valid=None, cache=None,
-                 segment_ids=None):
+                 segment_ids=None, lora=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         b, t, _ = x.shape
@@ -107,9 +125,27 @@ class Attention(nn.Module):
         wo = nn.DenseGeneral(cfg.hidden_size, axis=(-2, -1), use_bias=False,
                              dtype=dtype, name="wo")
 
-        q = wq(x).transpose(0, 2, 1, 3)     # [B, H, T, hd]
-        k = wk(x).transpose(0, 2, 1, 3)     # [B, KVH, T, hd]
-        v = wv(x).transpose(0, 2, 1, 3)
+        def wo_proj(o):                     # o: [B, T, H, hd]
+            y = wo(o)
+            d = apply_lora_delta(
+                o.reshape(o.shape[0], o.shape[1], -1), lora, "wo",
+                (cfg.hidden_size,), dtype)
+            return y if d is None else y + d
+
+        q, k, v = wq(x), wk(x), wv(x)
+        if lora is not None:
+            for name, ref in (("wq", q), ("wk", k), ("wv", v)):
+                d = apply_lora_delta(x, lora, name, ref.shape[2:], dtype)
+                if d is not None:
+                    if name == "wq":
+                        q = q + d
+                    elif name == "wk":
+                        k = k + d
+                    else:
+                        v = v + d
+        q = q.transpose(0, 2, 1, 3)         # [B, H, T, hd]
+        k = k.transpose(0, 2, 1, 3)         # [B, KVH, T, hd]
+        v = v.transpose(0, 2, 1, 3)
 
         q = apply_rope(q, positions, cfg.rope_theta)
         k = apply_rope(k, positions, cfg.rope_theta)
@@ -153,7 +189,7 @@ class Attention(nn.Module):
                         q, cache["k_pages"], cache["v_pages"], pt, idx,
                         k_new=k[:, :, 0, :], v_new=v[:, :, 0, :])
                 out = out.transpose(0, 2, 1, 3)
-                return wo(out), new_cache
+                return wo_proj(out), new_cache
             logical = idx[:, None] + jnp.arange(t)               # [B, t]
             pages = jnp.take_along_axis(pt, logical // ps, axis=1)
             off = logical % ps
@@ -280,22 +316,25 @@ class Attention(nn.Module):
                 b, cfg.num_heads, t, hd)
 
         out = out.transpose(0, 2, 1, 3)      # [B, T, H, hd]
-        return wo(out), new_cache
+        return wo_proj(out), new_cache
 
 
 class MLP(nn.Module):
     cfg: LLMConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lora=None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
-        gate = nn.Dense(cfg.ffn_size, use_bias=False, dtype=dtype,
-                        name="gate")(x)
-        up = nn.Dense(cfg.ffn_size, use_bias=False, dtype=dtype,
-                      name="up")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, dtype=dtype,
-                        name="down")(nn.silu(gate) * up)
+
+        def dense(name, width, xin):
+            y = nn.Dense(width, use_bias=False, dtype=dtype, name=name)(xin)
+            d = apply_lora_delta(xin, lora, name, (width,), dtype)
+            return y if d is None else y + d
+
+        gate = dense("gate", cfg.ffn_size, x)
+        up = dense("up", cfg.ffn_size, x)
+        return dense("down", cfg.hidden_size, nn.silu(gate) * up)
 
 
 class DecoderLayer(nn.Module):
@@ -303,14 +342,14 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, attn_valid=None, cache=None,
-                 segment_ids=None):
+                 segment_ids=None, lora=None):
         attn_out, new_cache = Attention(self.cfg, name="attn")(
             RMSNorm(self.cfg.norm_eps, name="attn_norm")(x),
             positions, attn_valid=attn_valid, cache=cache,
-            segment_ids=segment_ids)
+            segment_ids=segment_ids, lora=lora)
         x = x + attn_out
         x = x + MLP(self.cfg, name="mlp")(
-            RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x))
+            RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x), lora=lora)
         return x, new_cache
 
 
@@ -340,7 +379,8 @@ class DecoderLM(nn.Module):
         return self.embed_table(input_ids)
 
     def __call__(self, input_ids=None, input_embeds=None, positions=None,
-                 attn_valid=None, caches=None, segment_ids=None):
+                 attn_valid=None, caches=None, segment_ids=None,
+                 lora=None):
         if input_embeds is None:
             input_embeds = self.embed_table(input_ids)
         b, t, _ = input_embeds.shape
@@ -351,8 +391,13 @@ class DecoderLM(nn.Module):
         new_caches = []
         for i, layer in enumerate(self.layers):
             layer_cache = None if caches is None else caches[i]
+            layer_lora = None
+            if lora is not None and lora["layers"][i]:
+                layer_lora = {"scale": lora["scale"], "idx": lora["idx"],
+                              "tables": lora["layers"][i]}
             x, nc = layer(x, positions, attn_valid=attn_valid,
-                          cache=layer_cache, segment_ids=segment_ids)
+                          cache=layer_cache, segment_ids=segment_ids,
+                          lora=layer_lora)
             new_caches.append(nc)
         x = self.final_norm(x)
         logits = self.lm_head(x)

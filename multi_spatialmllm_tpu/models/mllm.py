@@ -106,7 +106,7 @@ class MultiFrameMLLM(nn.Module):
                         positions=positions, segment_ids=segment_ids)
 
     def prefill(self, input_ids: jax.Array, tiles: jax.Array, caches,
-                true_length=None):
+                true_length=None, lora=None):
         """Prompt prefill: fills the KV caches and returns (logits, caches).
 
         `true_length` marks the real prompt length inside a padded
@@ -114,6 +114,8 @@ class MultiFrameMLLM(nn.Module):
         cache index is rewound to `true_length` so decoding overwrites the
         pad slots. A scalar shares one length across rows; a `[B]` array
         gives each row its own prompt length (batched serving).
+        `lora` is a multi-adapter serving bundle
+        (parallel/lora_serving.stack_adapters + per-row "idx").
         """
         embeds = self.spliced_embeds(input_ids, tiles)
         b, t, _ = embeds.shape
@@ -125,7 +127,8 @@ class MultiFrameMLLM(nn.Module):
             attn_valid = jnp.broadcast_to(
                 jnp.arange(t)[None, :] < lens_col, (b, t))
         logits, caches = self.llm(input_embeds=embeds, positions=positions,
-                                  attn_valid=attn_valid, caches=caches)
+                                  attn_valid=attn_valid, caches=caches,
+                                  lora=lora)
         if true_length is not None:
             caches = [{"k": c["k"], "v": c["v"], "index": true_length}
                       for c in caches]

@@ -259,7 +259,7 @@ def _prefill_chunk_fn(model: MultiFrameMLLM, c: int):
     token from the row at the true prompt end."""
 
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def fn(params, embeds, start, pools, pt_row):
+    def fn(params, embeds, start, pools, pt_row, lora=None):
         pool_keys = [kk for kk in ("k_pages", "v_pages", "k_scale",
                                    "v_scale") if kk in pools[0]]
         chunk = jax.lax.dynamic_slice_in_dim(embeds, start, c, axis=1)
@@ -270,7 +270,8 @@ def _prefill_chunk_fn(model: MultiFrameMLLM, c: int):
         logits, caches = model.apply(
             params, chunk, positions, caches,
             method=lambda m, e, pos, cc:
-                m.llm(input_embeds=e, positions=pos, caches=cc))
+                m.llm(input_embeds=e, positions=pos, caches=cc,
+                      lora=lora))
         pools = [{kk: cc[kk] for kk in pool_keys} for cc in caches]
         return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), pools
 
@@ -300,7 +301,8 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
     pad = n_suf_pages * page_size - t_suf
     assert pad >= 0, (n_suf_pages, page_size, t_suf)
 
-    def fn(params, pools, shared_page_ids, suf_page_ids, ids, true_len):
+    def fn(params, pools, shared_page_ids, suf_page_ids, ids, true_len,
+           lora=None):
         from ..ops.paged_attention import quantize_kv_rows
 
         def rows_from_pages(pool, name):
@@ -326,7 +328,7 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
             params, suffix, positions, caches,
             method=lambda m, tok, pos, cc:
                 m.llm(input_embeds=m.llm.embed(tok), positions=pos,
-                      caches=cc))
+                      caches=cc, lora=lora))
         last = jnp.take_along_axis(
             logits, (true_len - shared - 1)[None, None, None], axis=1)[:, 0]
         first = jnp.argmax(last, axis=-1)[:, None]
@@ -362,7 +364,7 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
     pools. positions is `[B]`; the page table is fixed for the whole
     chunk (the host pre-extends coverage before dispatch)."""
 
-    def step(params, token, positions, pools, page_table):
+    def step(params, token, positions, pools, page_table, lora):
         pool_keys = [k for k in ("k_pages", "v_pages", "k_scale",
                                  "v_scale") if k in pools[0]]
         caches = [dict(p, page_table=page_table, index=positions)
@@ -371,18 +373,18 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
             params, token, positions[:, None], caches,
             method=lambda m, tok, pos, cc:
                 m.llm(input_embeds=m.llm.embed(tok), positions=pos,
-                      caches=cc))
+                      caches=cc, lora=lora))
         pools = [{k: c[k] for k in pool_keys} for c in caches]
         return jnp.argmax(logits[:, -1], axis=-1)[:, None], pools
 
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def run(params, last_token, positions, pools, page_table):
+    def run(params, last_token, positions, pools, page_table, lora=None):
         last_token = last_token.astype(jnp.int32)
 
         def body(carry, _):
             token, positions, pools = carry
             token, pools = step(params, token, positions, pools,
-                                page_table)
+                                page_table, lora)
             return (token.astype(jnp.int32), positions + 1, pools), \
                 token[:, 0].astype(jnp.int32)
 
@@ -409,7 +411,7 @@ def _paged_spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
     rows = jnp.arange(n_slots)
 
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def run(params, positions, hist, pools, page_table):
+    def run(params, positions, hist, pools, page_table, lora=None):
         pool_keys = [kk for kk in ("k_pages", "v_pages", "k_scale",
                                    "v_scale") if kk in pools[0]]
 
@@ -425,7 +427,7 @@ def _paged_spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
                 params, tokens_in, pos_block, chain,
                 method=lambda mdl, tok, pos, cc:
                     mdl.llm(input_embeds=mdl.llm.embed(tok),
-                            positions=pos, caches=cc))
+                            positions=pos, caches=cc, lora=lora))
             pools = [{kk: c[kk] for kk in pool_keys} for c in caches]
             cand, n_emit = _accept_chain(draft, logits)
             slot = jnp.arange(k + 1)[None, :]
@@ -448,13 +450,30 @@ class PagedBatcher:
 
     def __init__(self, model: MultiFrameMLLM, params,
                  config: PagedConfig | None = None,
-                 pad_id: int = 0, eos_id: int = 2):
+                 pad_id: int = 0, eos_id: int = 2,
+                 adapters: dict | None = None, lora_config=None):
+        """`adapters`: optional {name: adapter_tree} of LoRA adapters
+        (parallel/lora.init_lora structure) served UNMERGED per request
+        (parallel/lora_serving): a request tuple may carry an adapter
+        name as its third element; one batch mixes adapters and base
+        rows freely."""
         self.model = model
         self.params = params
         self.config = config or PagedConfig()
         self.pad_id = pad_id
         self.eos_id = eos_id
         cfg = self.config
+        self.lora_tables = None
+        self.adapter_index: dict = {}
+        if adapters:
+            from ..parallel.lora_serving import stack_adapters
+
+            names = list(adapters)
+            self.lora_tables = stack_adapters(
+                [adapters[n] for n in names],
+                model.cfg.llm.num_layers, lora_config)
+            self.adapter_index = {n: i + 1 for i, n in enumerate(names)}
+        self.slot_adapter = np.zeros(cfg.slots, dtype=np.int32)
         self.pools = init_paged_pools(model.cfg.llm, cfg)
         self.allocator = PageAllocator(cfg.num_pages)
         # host-side mirrors; uploaded per chunk (a few hundred int32s)
@@ -485,6 +504,7 @@ class PagedBatcher:
         self.page_table[slot, :] = 0            # sink: writes can't corrupt
         self.positions[slot] = 0                # idle decode stays in-range
         self.last_token[slot, 0] = 0
+        self.slot_adapter[slot] = 0
         if self.config.speculate:
             self.hist[slot, :] = -1
 
@@ -519,11 +539,14 @@ class PagedBatcher:
         self.slot_pages[slot].extend(got)
         return True
 
-    def _page_keys(self, prompt_ids: np.ndarray, tiles) -> list[bytes]:
+    def _page_keys(self, prompt_ids: np.ndarray, tiles,
+                   adapter=None) -> list[bytes]:
         """Digest per FULL page of real prompt tokens. A page's key
         covers every token id up to its end plus, once any vision
         position precedes that end, the tile pixels (vision-token kv
-        depends on the tile content, not just the placeholder id)."""
+        depends on the tile content, not just the placeholder id) —
+        and the adapter name, since adapted projections change every
+        kv row (pages never shared across adapters)."""
         ps = self.config.page_size
         img = int(self.model.cfg.img_context_id)
         ids = np.asarray(prompt_ids, dtype=np.int32)
@@ -532,6 +555,7 @@ class PagedBatcher:
         for p in range(len(ids) // ps):
             head = ids[: (p + 1) * ps]
             h = hashlib.blake2b(head.tobytes(), digest_size=16)
+            h.update(repr(adapter).encode())
             if (head == img).any():
                 if tiles_digest is None:
                     tiles_digest = hashlib.blake2b(
@@ -549,9 +573,19 @@ class PagedBatcher:
             self.allocator.release([page])
         self.prefix_pages.clear()
 
+    def _lora_for(self, idx) -> dict | None:
+        """Serving bundle for the jitted programs: stacked tables + the
+        per-row adapter indices (0 = base)."""
+        if self.lora_tables is None:
+            return None
+        return {"scale": self.lora_tables["scale"],
+                "idx": jnp.asarray(idx, jnp.int32),
+                "layers": self.lora_tables["layers"]}
+
     # -- request lifecycle ---------------------------------------------------
 
-    def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles):
+    def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles,
+                      adapter=None):
         """Returns the first generated token id, or None if the pool
         cannot cover the prompt right now."""
         cfg = self.config
@@ -570,10 +604,12 @@ class PagedBatcher:
         # additionally requires a text-only suffix; the chunked path
         # splices vision features for the whole prompt and has no such
         # restriction.
+        aidx = 0 if adapter is None else self.adapter_index[adapter]
+        lora1 = self._lora_for([aidx])
         keys: list[bytes] = []
         j = 0
         if cfg.prefix_cache:
-            keys = self._page_keys(prompt_ids, tiles)
+            keys = self._page_keys(prompt_ids, tiles, adapter)
             j_max = (int(true_len) - 1) // ps
             while j < j_max and keys[j] in self.prefix_pages:
                 j += 1
@@ -633,7 +669,7 @@ class PagedBatcher:
                 toks, self.pools = chunk_fn(
                     self.params, emb,
                     jnp.asarray(start + i * c, jnp.int32),
-                    self.pools, pt_row)
+                    self.pools, pt_row, lora=lora1)
             first_row = (int(true_len) - 1) - (start + (m - 1) * c)
             first = np.asarray(toks)[first_row][None, None]
         elif j:
@@ -641,13 +677,13 @@ class PagedBatcher:
                 self.params, self.pools,
                 jnp.asarray(shared, dtype=jnp.int32),
                 jnp.asarray(fresh[: n_cover - j], dtype=jnp.int32),
-                jnp.asarray(ids), jnp.asarray(true_len))
+                jnp.asarray(ids), jnp.asarray(true_len), lora=lora1)
         else:
             zero = jnp.zeros((), jnp.float32)
             first, row_caches = _prefill_one_fn(self.model, t)(
                 self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
                 jnp.asarray(true_len), zero, zero + 1.0,
-                jnp.zeros((), jnp.int32))
+                jnp.zeros((), jnp.int32), lora=lora1)
             self.pools = _paged_insert_fn(self.model, ps, n_cover, t)(
                 self.pools, row_caches,
                 jnp.asarray(pages, dtype=jnp.int32))
@@ -663,6 +699,7 @@ class PagedBatcher:
 
         self.positions[slot] = int(true_len)
         self.last_token[slot, 0] = int(first[0, 0])
+        self.slot_adapter[slot] = aidx
         if cfg.speculate:
             self.hist[slot, :] = -1
             self.hist[slot, : len(prompt_ids)] = prompt_ids
@@ -761,11 +798,12 @@ class PagedBatcher:
                     self._free_slot(slot)
             if not any(r >= 0 for r in slot_req):
                 continue
+            lora = self._lora_for(self.slot_adapter)
             if cfg.speculate:
                 cands, counts, positions, hist, self.pools = decode(
                     self.params, jnp.asarray(self.positions),
                     jnp.asarray(self.hist), self.pools,
-                    jnp.asarray(self.page_table))
+                    jnp.asarray(self.page_table), lora=lora)
                 stalled = 0
                 cands, counts = np.asarray(cands), np.asarray(counts)
                 self.positions = np.array(positions)
@@ -774,7 +812,7 @@ class PagedBatcher:
                 toks, last, positions, self.pools = decode(
                     self.params, jnp.asarray(self.last_token),
                     jnp.asarray(self.positions), self.pools,
-                    jnp.asarray(self.page_table))
+                    jnp.asarray(self.page_table), lora=lora)
                 stalled = 0
                 toks = np.asarray(toks)
                 self.last_token = np.array(last)

@@ -90,10 +90,11 @@ def _prefill_one_fn(model: MultiFrameMLLM, prompt_len: int,
                     sampling: bool = False, top_k: int | None = None):
     """B=1 prefill at a bucketed prompt length -> (first token, caches)."""
 
-    def fn(params, ids, tiles, true_len, temperature, top_p, seed):
+    def fn(params, ids, tiles, true_len, temperature, top_p, seed,
+           lora=None):
         caches = init_cache(model.cfg.llm, 1, prompt_len)
         logits, caches = model.apply(
-            params, ids, tiles, caches, true_len,
+            params, ids, tiles, caches, true_len, lora,
             method=MultiFrameMLLM.prefill)
         last = jnp.take_along_axis(
             logits, (true_len - 1)[None, None, None], axis=1)[:, 0]

@@ -615,6 +615,173 @@ class TestChunkedPrefill:
             np.testing.assert_array_equal(a, s)
 
 
+def _make_adapters(params, names, lcfg, scale=0.3, seed=20):
+    """init_lora trees with RANDOMIZED b (zero-init b would make every
+    delta vanish and the test vacuous)."""
+    from multi_spatialmllm_tpu.parallel.lora import _path_keys, init_lora
+
+    out = {}
+    for i, name in enumerate(names):
+        tree = init_lora(params, lcfg, jax.random.key(seed + i))
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        rand = {}
+        for k, (path, leaf) in enumerate(leaves):
+            if _path_keys(path)[-1] == "b":
+                rand[_path_keys(path)] = scale * jax.random.normal(
+                    jax.random.key(seed + 100 * i + k), leaf.shape)
+
+        def walk(node, prefix=()):
+            if isinstance(node, dict) and "a" in node and "b" in node:
+                return {"a": node["a"],
+                        "b": rand.get(prefix + ("b",), node["b"])}
+            return {kk: walk(vv, prefix + (kk,)) for kk, vv in node.items()}
+
+        out[name] = walk(tree)
+    return out
+
+
+class TestMultiLoRAServing:
+    """Per-request LoRA adapters over one shared base (S-LoRA style):
+    stacked tables, per-row adapter gather, unmerged deltas at the
+    adapted kernels. Oracle: the SAME batcher with merge_lora'd params
+    per adapter."""
+
+    def _setup(self):
+        from multi_spatialmllm_tpu.parallel.lora import LoRAConfig
+
+        cfg, model, params, requests = _tiny_model_and_requests(4)
+        lcfg = LoRAConfig(rank=4, alpha=8.0,
+                          targets=("wq", "wv", "wo", "down"))
+        adapters = _make_adapters(params, ("ad_a", "ad_b"), lcfg)
+        return cfg, model, params, requests, lcfg, adapters
+
+    def _pcfg(self, **kw):
+        return PagedConfig(slots=2, page_size=16, num_pages=64,
+                           max_prompt_len=128, max_new_tokens=6, chunk=2,
+                           length_bucket=64, **kw)
+
+    def test_lora_logits_match_merged_oracle(self):
+        """Math correctness: prefill logits under the unmerged per-row
+        delta equal merge_lora'd params to float tolerance (the two
+        orders reassociate, so tokens can flip on knife-edge argmax of
+        a random model — logits are the right comparison)."""
+        import dataclasses
+
+        from multi_spatialmllm_tpu.models.llm import init_cache
+        from multi_spatialmllm_tpu.parallel.lora import (
+            LoRAConfig,
+            merge_lora,
+        )
+        from multi_spatialmllm_tpu.parallel.lora_serving import (
+            stack_adapters,
+        )
+
+        # f32 compute so the merged-vs-unmerged comparison is tight
+        # (bf16 rounding swamps any tolerance worth asserting)
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            vit=dataclasses.replace(cfg.vit, dtype="float32"),
+            llm=dataclasses.replace(cfg.llm, dtype="float32"))
+        model = M.MultiFrameMLLM(cfg)
+        b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), b0["input_ids"],
+                            b0["tiles"])
+        lcfg = LoRAConfig(rank=4, alpha=8.0,
+                          targets=("wq", "wv", "wo", "down"))
+        adapters = _make_adapters(params, ("ad_a", "ad_b"), lcfg)
+        _, _, _, requests = _tiny_model_and_requests(1)
+        ids, tiles = requests[0]
+        ids = pad_to_bucket(ids[None], 64, 0)
+        tables = stack_adapters([adapters["ad_a"], adapters["ad_b"]],
+                                cfg.llm.num_layers, lcfg)
+        for name, aidx in (("ad_a", 1), ("ad_b", 2)):
+            lora = {"scale": tables["scale"],
+                    "idx": jnp.asarray([aidx], jnp.int32),
+                    "layers": tables["layers"]}
+            got, _ = model.apply(
+                params, jnp.asarray(ids), jnp.asarray(tiles[None]),
+                init_cache(cfg.llm, 1, 64), jnp.asarray(len(requests[0][0])),
+                lora, method=model.prefill)
+            merged = merge_lora(params, adapters[name], lcfg)
+            want, _ = model.apply(
+                merged, jnp.asarray(ids), jnp.asarray(tiles[None]),
+                init_cache(cfg.llm, 1, 64), jnp.asarray(len(requests[0][0])),
+                method=model.prefill)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-4, rtol=5e-4)
+        # base row (idx 0, zero tables) is exactly the base model
+        lora0 = {"scale": tables["scale"],
+                 "idx": jnp.asarray([0], jnp.int32),
+                 "layers": tables["layers"]}
+        got0, _ = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(tiles[None]),
+            init_cache(cfg.llm, 1, 64), jnp.asarray(len(requests[0][0])),
+            lora0, method=model.prefill)
+        want0, _ = model.apply(
+            params, jnp.asarray(ids), jnp.asarray(tiles[None]),
+            init_cache(cfg.llm, 1, 64), jnp.asarray(len(requests[0][0])),
+            method=model.prefill)
+        np.testing.assert_array_equal(np.asarray(got0), np.asarray(want0))
+
+    def test_mixed_batch_invariant_to_composition(self):
+        """A mixed base/ad_a/ad_b batch produces exactly what each
+        request gets when served alone through the same multi-LoRA
+        batcher (per-row adapter gather has no cross-row effect)."""
+        cfg, model, params, requests, lcfg, adapters = self._setup()
+        tagged = [requests[0],                      # base
+                  (*requests[1], "ad_a"),
+                  (*requests[2], "ad_b"),
+                  (*requests[3], "ad_a")]
+
+        def run(reqs):
+            return PagedBatcher(model, params, self._pcfg(), pad_id=0,
+                                eos_id=2, adapters=adapters,
+                                lora_config=lcfg).generate_all(reqs)
+
+        got = run(tagged)
+        for i, req in enumerate(tagged):
+            solo = run([req])
+            np.testing.assert_array_equal(got[i], solo[0])
+
+    def test_adapters_change_outputs(self):
+        cfg, model, params, requests, lcfg, adapters = self._setup()
+        b = PagedBatcher(model, params, self._pcfg(), pad_id=0, eos_id=2,
+                         adapters=adapters, lora_config=lcfg)
+        got = b.generate_all([requests[0], (*requests[0], "ad_a")])
+        assert not np.array_equal(got[0], got[1]), got
+
+    def test_prefix_pages_not_shared_across_adapters(self):
+        cfg, model, params, requests, lcfg, adapters = self._setup()
+        b = PagedBatcher(model, params,
+                         self._pcfg(prefix_cache=True, prefill_chunk=16),
+                         pad_id=0, eos_id=2, adapters=adapters,
+                         lora_config=lcfg)
+        same = requests[0]
+        b.generate_all([same, (*same, "ad_a"), (*same, "ad_b")])
+        assert b.stats["prefill_resumed"] == 0    # three distinct keys
+        b.generate_all([(*same, "ad_a")])         # repeat ad_a: shares
+        assert b.stats["prefill_resumed"] == 1
+
+    def test_composes_with_speculation_and_chunked(self):
+        cfg, model, params, requests, lcfg, adapters = self._setup()
+        tagged = [(*r, "ad_a") for r in requests[:3]]
+
+        def run(**kw):
+            return PagedBatcher(
+                model, params, self._pcfg(**kw), pad_id=0, eos_id=2,
+                adapters=adapters,
+                lora_config=lcfg).generate_all(tagged)
+
+        plain = run()
+        spec = run(speculate=3)
+        chunked = run(prefill_chunk=24)
+        for a, s in zip(plain, spec):
+            np.testing.assert_array_equal(a, s)
+        for a, ch in zip(plain, chunked):
+            np.testing.assert_array_equal(a, ch)
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
