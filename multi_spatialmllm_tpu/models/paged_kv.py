@@ -32,10 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .generate import pad_to_bucket
+from .generate import _draw, pad_to_bucket
 from .llm import LLMConfig
 from .mllm import MultiFrameMLLM
-from .serving import _prefill_one_fn
+from .serving import SamplingParams, _prefill_one_fn, _row_keys
 
 
 @dataclasses.dataclass
@@ -90,6 +90,15 @@ class PagedConfig:
     # prefill, so logits agree to float tolerance, not bitwise; greedy
     # tokens are stable whenever the argmax margin exceeds that noise.
     prefix_cache: bool = False
+    # enable per-request SamplingParams (serving.SamplingParams as an
+    # extra request-tuple element): temperature / top-p / seeded draws
+    # keyed by fold_in(key(seed), absolute position) — the SAME streams
+    # as ContinuousBatcher, so results are deterministic and invariant
+    # to slot assignment, chunk boundaries, batch composition, and
+    # pool-pressure preemption replays. temperature=0 rows take the
+    # exact argmax. Mutually exclusive with speculate (greedy-exact).
+    sampling: bool = False
+    top_k: int | None = None       # static top-k when sampling
 
     @property
     def max_len(self) -> int:
@@ -250,16 +259,20 @@ def _splice_embeds_fn(model: MultiFrameMLLM, t: int, pad_to: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _prefill_chunk_fn(model: MultiFrameMLLM, c: int):
+def _prefill_chunk_fn(model: MultiFrameMLLM, c: int,
+                      sampling: bool = False, top_k: int | None = None):
     """One fixed-size prefill chunk over the paged pools: rows
     `[start, start+c)` of the padded embeds forward through the decoder
     (multi-token paged gather path — per-row position masks, kv rows
     scattered at consecutive (page, offset) slots) and every row's
-    greedy token comes back so the host can read the first generated
-    token from the row at the true prompt end."""
+    next token comes back so the host can read the first generated
+    token from the row at the true prompt end. With sampling, row i's
+    token is drawn with key fold(seed, start+i) — the row at
+    true_len-1 therefore matches the one-shot prefill's draw exactly."""
 
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def fn(params, embeds, start, pools, pt_row, lora=None):
+    def fn(params, embeds, start, pools, pt_row, lora=None,
+           temperature=None, top_p=None, seed=None):
         pool_keys = [kk for kk in ("k_pages", "v_pages", "k_scale",
                                    "v_scale") if kk in pools[0]]
         chunk = jax.lax.dynamic_slice_in_dim(embeds, start, c, axis=1)
@@ -273,14 +286,22 @@ def _prefill_chunk_fn(model: MultiFrameMLLM, c: int):
                 m.llm(input_embeds=e, positions=pos, caches=cc,
                       lora=lora))
         pools = [{kk: cc[kk] for kk in pool_keys} for cc in caches]
-        return jnp.argmax(logits[0], axis=-1).astype(jnp.int32), pools
+        if sampling:
+            keys = _row_keys(jnp.broadcast_to(seed, (c,)), positions[0])
+            toks = _draw(keys, logits[0],
+                         jnp.broadcast_to(temperature, (c,)), top_k,
+                         jnp.broadcast_to(top_p, (c,)))
+        else:
+            toks = jnp.argmax(logits[0], axis=-1)
+        return toks.astype(jnp.int32), pools
 
     return fn
 
 
 @functools.lru_cache(maxsize=64)
 def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
-                      n_shared_pages: int, t_total: int):
+                      n_shared_pages: int, t_total: int,
+                      sampling: bool = False, top_k: int | None = None):
     """Prefill resumed after a prefix-cache hit: gather the shared
     pages into a contiguous row cache, run ONLY the suffix tokens
     through the chunked-decode branch (llm.py's per-row `[B]` cache
@@ -302,7 +323,7 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
     assert pad >= 0, (n_suf_pages, page_size, t_suf)
 
     def fn(params, pools, shared_page_ids, suf_page_ids, ids, true_len,
-           lora=None):
+           lora=None, temperature=None, top_p=None, seed=None):
         from ..ops.paged_attention import quantize_kv_rows
 
         def rows_from_pages(pool, name):
@@ -331,7 +352,12 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
                       caches=cc, lora=lora))
         last = jnp.take_along_axis(
             logits, (true_len - shared - 1)[None, None, None], axis=1)[:, 0]
-        first = jnp.argmax(last, axis=-1)[:, None]
+        if sampling:
+            keys = _row_keys(seed[None], (true_len - 1)[None])
+            first = _draw(keys, last, temperature[None], top_k,
+                          top_p[None])[:, None]
+        else:
+            first = jnp.argmax(last, axis=-1)[:, None]
 
         def to_pages(rows):             # [1, KVH, t_total, hd] suffix part
             r = jnp.pad(rows[0, :, shared:], ((0, 0), (0, pad), (0, 0)))
@@ -359,12 +385,18 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
 
 
 @functools.lru_cache(maxsize=16)
-def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
-    """`chunk` greedy steps for every slot in one dispatch over the paged
+def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
+                           sampling: bool = False,
+                           top_k: int | None = None):
+    """`chunk` decode steps for every slot in one dispatch over the paged
     pools. positions is `[B]`; the page table is fixed for the whole
-    chunk (the host pre-extends coverage before dispatch)."""
+    chunk (the host pre-extends coverage before dispatch). With sampling,
+    each slot draws with key fold(seed, position) — the same streams as
+    serving._decode_chunk_fn, so paged sampled outputs are identical to
+    the contiguous batcher's."""
 
-    def step(params, token, positions, pools, page_table, lora):
+    def step(params, token, positions, pools, page_table, lora,
+             temperature, top_p, seed):
         pool_keys = [k for k in ("k_pages", "v_pages", "k_scale",
                                  "v_scale") if k in pools[0]]
         caches = [dict(p, page_table=page_table, index=positions)
@@ -375,16 +407,24 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int):
                 m.llm(input_embeds=m.llm.embed(tok), positions=pos,
                       caches=cc, lora=lora))
         pools = [{k: c[k] for k in pool_keys} for c in caches]
-        return jnp.argmax(logits[:, -1], axis=-1)[:, None], pools
+        if sampling:
+            keys = _row_keys(seed, positions)
+            token = _draw(keys, logits[:, -1], temperature, top_k,
+                          top_p)[:, None]
+        else:
+            token = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+        return token, pools
 
     @functools.partial(jax.jit, donate_argnums=(3,))
-    def run(params, last_token, positions, pools, page_table, lora=None):
+    def run(params, last_token, positions, pools, page_table, lora=None,
+            temperature=None, top_p=None, seed=None):
         last_token = last_token.astype(jnp.int32)
 
         def body(carry, _):
             token, positions, pools = carry
             token, pools = step(params, token, positions, pools,
-                                page_table, lora)
+                                page_table, lora, temperature, top_p,
+                                seed)
             return (token.astype(jnp.int32), positions + 1, pools), \
                 token[:, 0].astype(jnp.int32)
 
@@ -446,7 +486,8 @@ def _paged_spec_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
 
 
 class PagedBatcher:
-    """Greedy continuous batching over a shared KV page pool."""
+    """Continuous batching over a shared KV page pool (greedy by
+    default; per-request sampling with PagedConfig(sampling=True))."""
 
     def __init__(self, model: MultiFrameMLLM, params,
                  config: PagedConfig | None = None,
@@ -463,6 +504,8 @@ class PagedBatcher:
         self.pad_id = pad_id
         self.eos_id = eos_id
         cfg = self.config
+        assert not (cfg.speculate and cfg.sampling), \
+            "speculative decoding is greedy-exact; disable sampling"
         self.lora_tables = None
         self.adapter_index: dict = {}
         if adapters:
@@ -482,6 +525,10 @@ class PagedBatcher:
         self.slot_pages: list[list[int]] = [[] for _ in range(cfg.slots)]
         self.positions = np.zeros(cfg.slots, dtype=np.int32)
         self.last_token = np.zeros((cfg.slots, 1), dtype=np.int32)
+        # per-slot sampling knobs (cfg.sampling): temperature 0 = greedy
+        self.temperature = np.zeros(cfg.slots, dtype=np.float32)
+        self.top_p = np.ones(cfg.slots, dtype=np.float32)
+        self.seed = np.zeros(cfg.slots, dtype=np.int32)
         # prefix cache: page-key -> page id, LRU-ordered; the cache holds
         # one reference per entry so shared pages survive slot frees
         self.prefix_pages: OrderedDict[bytes, int] = OrderedDict()
@@ -505,6 +552,9 @@ class PagedBatcher:
         self.positions[slot] = 0                # idle decode stays in-range
         self.last_token[slot, 0] = 0
         self.slot_adapter[slot] = 0
+        self.temperature[slot] = 0.0
+        self.top_p[slot] = 1.0
+        self.seed[slot] = 0
         if self.config.speculate:
             self.hist[slot, :] = -1
 
@@ -584,11 +634,26 @@ class PagedBatcher:
 
     # -- request lifecycle ---------------------------------------------------
 
+    @staticmethod
+    def _unpack(request):
+        """(ids, tiles[, adapter_name][, SamplingParams]) in any trailing
+        order — an adapter is a str, sampling knobs a SamplingParams."""
+        ids, tiles, adapter, sp = request[0], request[1], None, None
+        for extra in request[2:]:
+            if isinstance(extra, SamplingParams):
+                sp = extra
+            else:
+                adapter = extra
+        return ids, tiles, adapter, sp or SamplingParams()
+
     def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles,
-                      adapter=None):
+                      adapter=None, sp: SamplingParams | None = None):
         """Returns the first generated token id, or None if the pool
         cannot cover the prompt right now."""
         cfg = self.config
+        sp = sp or SamplingParams()
+        assert cfg.sampling or (sp.temperature == 0.0), \
+            "pass PagedConfig(sampling=True) to use SamplingParams"
         ps = cfg.page_size
         ids = pad_to_bucket(prompt_ids[None], cfg.length_bucket, self.pad_id)
         t = ids.shape[1]
@@ -606,6 +671,11 @@ class PagedBatcher:
         # restriction.
         aidx = 0 if adapter is None else self.adapter_index[adapter]
         lora1 = self._lora_for([aidx])
+        samp = {}
+        if cfg.sampling:
+            samp = {"temperature": jnp.asarray(sp.temperature, jnp.float32),
+                    "top_p": jnp.asarray(sp.top_p, jnp.float32),
+                    "seed": jnp.asarray(sp.seed, jnp.int32)}
         keys: list[bytes] = []
         j = 0
         if cfg.prefix_cache:
@@ -664,26 +734,31 @@ class PagedBatcher:
                                          cfg.max_prompt_len + c)(
                     self.params, jnp.asarray(ids), jnp.asarray(tiles[None]))
             pt_row = jnp.asarray(self.page_table[slot][None])
-            chunk_fn = _prefill_chunk_fn(self.model, c)
+            chunk_fn = _prefill_chunk_fn(self.model, c, cfg.sampling,
+                                         cfg.top_k)
             for i in range(m):
                 toks, self.pools = chunk_fn(
                     self.params, emb,
                     jnp.asarray(start + i * c, jnp.int32),
-                    self.pools, pt_row, lora=lora1)
+                    self.pools, pt_row, lora=lora1, **samp)
             first_row = (int(true_len) - 1) - (start + (m - 1) * c)
             first = np.asarray(toks)[first_row][None, None]
         elif j:
-            first, self.pools = _prefix_resume_fn(self.model, ps, j, t)(
+            first, self.pools = _prefix_resume_fn(
+                self.model, ps, j, t, cfg.sampling, cfg.top_k)(
                 self.params, self.pools,
                 jnp.asarray(shared, dtype=jnp.int32),
                 jnp.asarray(fresh[: n_cover - j], dtype=jnp.int32),
-                jnp.asarray(ids), jnp.asarray(true_len), lora=lora1)
+                jnp.asarray(ids), jnp.asarray(true_len), lora=lora1,
+                **samp)
         else:
-            zero = jnp.zeros((), jnp.float32)
-            first, row_caches = _prefill_one_fn(self.model, t)(
+            first, row_caches = _prefill_one_fn(
+                self.model, t, cfg.sampling, cfg.top_k)(
                 self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
-                jnp.asarray(true_len), zero, zero + 1.0,
-                jnp.zeros((), jnp.int32), lora=lora1)
+                jnp.asarray(true_len),
+                jnp.asarray(sp.temperature, jnp.float32),
+                jnp.asarray(sp.top_p, jnp.float32),
+                jnp.asarray(sp.seed, jnp.int32), lora=lora1)
             self.pools = _paged_insert_fn(self.model, ps, n_cover, t)(
                 self.pools, row_caches,
                 jnp.asarray(pages, dtype=jnp.int32))
@@ -700,6 +775,9 @@ class PagedBatcher:
         self.positions[slot] = int(true_len)
         self.last_token[slot, 0] = int(first[0, 0])
         self.slot_adapter[slot] = aidx
+        self.temperature[slot] = sp.temperature
+        self.top_p[slot] = sp.top_p
+        self.seed[slot] = sp.seed
         if cfg.speculate:
             self.hist[slot, :] = -1
             self.hist[slot, : len(prompt_ids)] = prompt_ids
@@ -707,12 +785,16 @@ class PagedBatcher:
         return int(first[0, 0])
 
     def generate_all(self, requests) -> list[np.ndarray]:
-        """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3]).
+        """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3])
+        plus optional trailing elements: an adapter name (str, see
+        `adapters`) and/or a `SamplingParams` (PagedConfig(sampling=True)).
         Returns generated token arrays (cut at eos, <= max_new_tokens),
         in request order. Requests that cannot get prompt pages are
         deferred; a running slot that cannot extend its window is
         preempted (pages freed, request restarted later from prefill) —
-        greedy decoding makes the restart produce identical tokens."""
+        greedy decoding makes the restart produce identical tokens, and
+        sampled draws are keyed by (seed, absolute position), so replays
+        reproduce the same stream too."""
         requests = list(requests)
         acc: dict[int, list[int]] = {i: [] for i in range(len(requests))}
         for rid, toks, _done in self.generate_stream(requests):
@@ -742,7 +824,8 @@ class PagedBatcher:
                                           cfg.speculate, self.hist_len)
         else:
             decode = _paged_decode_chunk_fn(self.model, cfg.slots,
-                                            cfg.chunk)
+                                            cfg.chunk, cfg.sampling,
+                                            cfg.top_k)
         # logical positions covered per dispatch (a speculative
         # iteration writes up to speculate rows past its last emit)
         advance = cfg.chunk * (cfg.speculate + 1)
@@ -772,7 +855,8 @@ class PagedBatcher:
             for slot in range(cfg.slots):
                 if slot_req[slot] < 0 and queue:
                     rid = queue[0]
-                    first = self._prefill_into(slot, *payload[rid])
+                    first = self._prefill_into(
+                        slot, *self._unpack(payload[rid]))
                     if first is None:           # pool dry: defer refill
                         break
                     queue.pop(0)
@@ -809,10 +893,15 @@ class PagedBatcher:
                 self.positions = np.array(positions)
                 self.hist = np.array(hist)
             else:
+                dsamp = {}
+                if cfg.sampling:
+                    dsamp = {"temperature": jnp.asarray(self.temperature),
+                             "top_p": jnp.asarray(self.top_p),
+                             "seed": jnp.asarray(self.seed)}
                 toks, last, positions, self.pools = decode(
                     self.params, jnp.asarray(self.last_token),
                     jnp.asarray(self.positions), self.pools,
-                    jnp.asarray(self.page_table), lora=lora)
+                    jnp.asarray(self.page_table), lora=lora, **dsamp)
                 stalled = 0
                 toks = np.asarray(toks)
                 self.last_token = np.array(last)

@@ -782,6 +782,131 @@ class TestMultiLoRAServing:
             np.testing.assert_array_equal(a, ch)
 
 
+class TestPagedSampling:
+    """Per-request sampling over the paged pools: draws are keyed by
+    fold_in(key(seed), absolute position) — the ContinuousBatcher's
+    exact streams — so paged sampled outputs are bit-identical to the
+    contiguous batcher's, invariant to batch composition, and
+    reproduced across pool-pressure preemption replays."""
+
+    def _pcfg(self, **kw):
+        kw.setdefault("sampling", True)
+        kw.setdefault("slots", 2)
+        kw.setdefault("num_pages", 64)
+        kw.setdefault("max_prompt_len", 128)
+        return PagedConfig(page_size=16, max_new_tokens=6, chunk=2,
+                           length_bucket=64, **kw)
+
+    def _tagged(self, requests):
+        from multi_spatialmllm_tpu.models.serving import SamplingParams
+
+        sps = [SamplingParams(temperature=0.8, top_p=0.9, seed=7),
+               SamplingParams(),                       # greedy row
+               SamplingParams(temperature=1.2, seed=41),
+               SamplingParams(temperature=0.5, top_p=0.7, seed=3)]
+        return [(ids, tiles, sp)
+                for (ids, tiles), sp in zip(requests, sps)]
+
+    def test_matches_continuous_batcher(self):
+        """Paged sampled tokens are BIT-identical to the contiguous
+        ContinuousBatcher under the same SamplingParams (same logits,
+        same (seed, position)-keyed draws)."""
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        cfg, model, params, requests = _tiny_model_and_requests(4)
+        tagged = self._tagged(requests)
+        got = PagedBatcher(model, params, self._pcfg(), pad_id=0,
+                           eos_id=2).generate_all(tagged)
+        want = ContinuousBatcher(
+            model, params,
+            ServeConfig(slots=2, max_prompt_len=128, max_new_tokens=6,
+                        chunk=2, length_bucket=64, sampling=True),
+            pad_id=0, eos_id=2).generate_all(tagged)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_temperature_zero_is_exact_greedy(self):
+        """sampling=True with default (temperature=0) params is
+        bit-equal to the all-greedy batcher."""
+        cfg, model, params, requests = _tiny_model_and_requests(3)
+        got = PagedBatcher(model, params, self._pcfg(), pad_id=0,
+                           eos_id=2).generate_all(requests)
+        want = PagedBatcher(model, params, self._pcfg(sampling=False),
+                            pad_id=0, eos_id=2).generate_all(requests)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+    def test_invariant_to_batch_composition(self):
+        """Each request's sampled stream is unchanged by what shares
+        the batch (independent per-row keys)."""
+        cfg, model, params, requests = _tiny_model_and_requests(4)
+        tagged = self._tagged(requests)
+
+        def run(reqs):
+            return PagedBatcher(model, params, self._pcfg(), pad_id=0,
+                                eos_id=2).generate_all(reqs)
+
+        mixed = run(tagged)
+        for i, req in enumerate(tagged):
+            np.testing.assert_array_equal(mixed[i], run([req])[0])
+
+    def test_preemption_replays_same_stream(self):
+        """Pool pressure preempts and replays a sampled slot; position-
+        keyed draws make the replay reproduce the identical stream."""
+        from multi_spatialmllm_tpu.models.serving import SamplingParams
+
+        cfg, model, params, requests = _tiny_model_and_requests(
+            2, seed=9, lens=(63, 62))
+        sp = SamplingParams(temperature=0.9, top_p=0.85, seed=13)
+        tagged = [(*r, sp) for r in requests]
+        tight = PagedBatcher(
+            model, params,
+            self._pcfg(slots=2, num_pages=10, max_prompt_len=64),
+            pad_id=0, eos_id=2)
+        got = tight.generate_all(tagged)
+        ample = PagedBatcher(
+            model, params,
+            self._pcfg(slots=2, num_pages=64, max_prompt_len=64),
+            pad_id=0, eos_id=2)
+        want = ample.generate_all(tagged)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        assert tight.allocator.available == 9
+
+    def test_composes_with_chunked_prefill_and_top_k(self):
+        """Chunked prefill draws the first token from the true-length
+        row with the same position key as the one-shot prefill; static
+        top-k masks identically in both paths."""
+        cfg, model, params, requests = _tiny_model_and_requests(3)
+        tagged = self._tagged(requests)[:3]
+
+        def run(**kw):
+            return PagedBatcher(model, params,
+                                self._pcfg(top_k=8, **kw), pad_id=0,
+                                eos_id=2).generate_all(tagged)
+
+        plain = run()
+        chunked = run(prefill_chunk=24)
+        for a, c in zip(plain, chunked):
+            np.testing.assert_array_equal(a, c)
+
+    def test_rejects_sampling_params_without_flag(self):
+        cfg, model, params, requests = _tiny_model_and_requests(1)
+        with pytest.raises(AssertionError, match="sampling=True"):
+            PagedBatcher(model, params, self._pcfg(sampling=False),
+                         pad_id=0, eos_id=2).generate_all(
+                self._tagged(requests))
+
+    def test_speculate_rejects_sampling(self):
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        with pytest.raises(AssertionError, match="greedy-exact"):
+            PagedBatcher(model, params,
+                         self._pcfg(speculate=2), pad_id=0, eos_id=2)
+
+
 class TestPagedBatcher:
     def test_matches_per_request_greedy(self):
         """Ample pool: paged decode returns exactly the per-request greedy
