@@ -240,6 +240,10 @@ def cmd_eval(args) -> None:
     restored = restore_checkpoint(os.path.abspath(args.checkpoint))
     params = restored.get("params", restored) \
         if isinstance(restored, dict) else restored
+    if args.quantize_weights:
+        from .models.quantize import quantize_weights
+
+        params = quantize_weights(params)
 
     with open(args.eval_jsonl) as f:
         samples = [json.loads(line) for line in f if line.strip()]
@@ -382,6 +386,8 @@ def main() -> None:
     p.add_argument("--page-size", type=int, default=64)
     p.add_argument("--num-pages", type=int, default=128)
     p.add_argument("--max-prompt-len", type=int, default=2048)
+    p.add_argument("--quantize-weights", action="store_true",
+                   help="serve weight-only int8 (models/quantize)")
     p.add_argument("--kv-dtype", choices=("native", "int8"),
                    default="native")
     p.add_argument("--prefix-cache", action="store_true")

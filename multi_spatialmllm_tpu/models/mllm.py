@@ -59,6 +59,16 @@ class Projector(nn.Module):
 class MultiFrameMLLM(nn.Module):
     cfg: MLLMConfig
 
+    def apply(self, variables, *args, **kwargs):
+        """nn.Module.apply with one extra step: variables go through
+        models/quantize.maybe_dequantize first, so EVERY entry point
+        (training, prefill, decode chunks, paged programs) transparently
+        accepts weight-only-int8 trees (quantize.quantize_weights).
+        Identity — same object, no copy — for ordinary params."""
+        from .quantize import maybe_dequantize
+
+        return super().apply(maybe_dequantize(variables), *args, **kwargs)
+
     def setup(self):
         self.vision = VisionTransformer(self.cfg.vit)
         self.projector = Projector(self.cfg)
