@@ -259,6 +259,7 @@ def cmd_eval(args) -> None:
 
     run_cfg = EvalRunConfig(
         max_new_tokens=args.max_new_tokens,
+        mc_logprob=args.mc_logprob,
         speculate=0 if args.paged else args.speculate,
         data=DataConfig(preprocess=PreprocessConfig(
             tile_size=cfg.vit.image_size, max_tiles=args.max_tiles,
@@ -386,6 +387,9 @@ def main() -> None:
     p.add_argument("--page-size", type=int, default=64)
     p.add_argument("--num-pages", type=int, default=128)
     p.add_argument("--max-prompt-len", type=int, default=2048)
+    p.add_argument("--mc-logprob", action="store_true",
+                   help="score multiple-choice records by candidate "
+                        "logprob instead of free decoding")
     p.add_argument("--quantize-weights", action="store_true",
                    help="serve weight-only int8 (models/quantize)")
     p.add_argument("--kv-dtype", choices=("native", "int8"),

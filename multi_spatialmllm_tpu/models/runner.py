@@ -10,8 +10,11 @@ compiles only a handful of prefill shapes.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Iterable
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .data import DataConfig
@@ -37,6 +40,12 @@ class EvalRunConfig:
     #   many draft tokens per forward (generate.speculative_generate) —
     #   answers stay BIT-identical to greedy (test-asserted); formulaic
     #   MultiSPA answers verify at high acceptance, cutting forwards
+    # score multiple-choice records by candidate logprob instead of
+    # free decoding: each option's teacher-forced sum log-probability
+    # after the prompt, prediction = argmax (one B=n_options forward,
+    # no sampling noise, no answer-extraction failures). Non-MC
+    # records keep the decode path.
+    mc_logprob: bool = False
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
 
 
@@ -152,6 +161,84 @@ def predict_batch(
     return predictions
 
 
+def mc_candidates(sample: dict) -> list[str] | None:
+    """Candidate answer strings for a multiple-choice eval record: the
+    record's own "options" list when present, else the letter bank of
+    its question type (the MC engines' answer format: correspondence
+    dot->MC labels A-D, annotated depth comparison A/B; gt_value is the
+    correct letter — visual_correspondence.py:389, reference
+    visual_correspondence_qa_engine_dot_2_multichoice.py:362-391).
+    None for non-MC records."""
+    if "options" in sample:
+        return [str(o) for o in sample["options"]]
+    qt = sample.get("question_type", "")
+    if qt == "visual_correspondence_multiple_choice":
+        return ["A", "B", "C", "D"]
+    if qt == "depth_comparison_annotated":
+        return ["A", "B"]
+    return None
+
+
+@functools.lru_cache(maxsize=16)
+def _score_fn(model: MultiFrameMLLM, n: int, t: int, k: int):
+    """[n, t] candidate-spliced rows -> per-row sum logprob over the k
+    candidate-token slots starting at prompt_len (causal mask: trailing
+    pads cannot influence the scored positions)."""
+
+    @jax.jit
+    def fn(params, rows, tiles, prompt_len, cand_tok, cand_mask):
+        logits = model.apply(params, rows, tiles)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        pos = prompt_len - 1 + jnp.arange(k)[None]              # [1, k]
+        pos = jnp.broadcast_to(pos, (n, k))
+        at = jnp.take_along_axis(logp, pos[..., None], axis=1)  # [n,k,V]
+        tok = jnp.take_along_axis(at, cand_tok[..., None],
+                                  axis=2)[..., 0]               # [n, k]
+        return (tok * cand_mask).sum(axis=1)
+
+    return fn
+
+
+def score_candidates(
+    model: MultiFrameMLLM,
+    params,
+    tokenizer: SpatialTokenizer,
+    sample: dict,
+    candidates: list[str],
+    image_loader: Callable[[str], np.ndarray],
+    config: EvalRunConfig,
+) -> np.ndarray:
+    """Teacher-forced sum log-probability of each candidate answer
+    continuation after the sample's prompt — ONE [n_candidates, T]
+    forward sharing the prompt and tiles across rows."""
+    stacks = [tile_image(image_loader(p), config.data.preprocess)
+              for p in sample["image"]]
+    tiles_per_image = [s.shape[0] for s in stacks]
+    tiles = np.concatenate(stacks, axis=0)
+    ids = build_prompt_ids(sample, tokenizer, model.cfg, tiles_per_image)
+    cand_ids = [tokenizer.encode(c) for c in candidates]
+    assert all(ci for ci in cand_ids), candidates
+    k = max(len(ci) for ci in cand_ids)
+    n = len(candidates)
+    bucket = config.length_bucket
+    t = ((len(ids) + k + bucket - 1) // bucket) * bucket
+
+    rows = np.full((n, t), tokenizer.pad_id, dtype=np.int32)
+    cand_tok = np.zeros((n, k), dtype=np.int32)
+    cand_mask = np.zeros((n, k), dtype=np.float32)
+    for r, ci in enumerate(cand_ids):
+        rows[r, : len(ids)] = ids
+        rows[r, len(ids): len(ids) + len(ci)] = ci
+        cand_tok[r, : len(ci)] = ci
+        cand_mask[r, : len(ci)] = 1.0
+    scores = _score_fn(model, n, t, k)(
+        params, jnp.asarray(rows),
+        jnp.asarray(np.broadcast_to(tiles[None], (n,) + tiles.shape)),
+        jnp.asarray(len(ids), jnp.int32), jnp.asarray(cand_tok),
+        jnp.asarray(cand_mask))
+    return np.asarray(scores)
+
+
 def predict_with_batcher(
     batcher,
     tokenizer: SpatialTokenizer,
@@ -201,6 +288,27 @@ def run_eval(
     batcher instead (see predict_with_batcher)."""
     config = config or EvalRunConfig()
     samples = list(samples)
+    if config.mc_logprob:
+        mc_idx = [i for i, s in enumerate(samples)
+                  if mc_candidates(s) is not None]
+        if mc_idx:
+            rest = [s for i, s in enumerate(samples)
+                    if i not in set(mc_idx)]
+            sub_cfg = dataclasses.replace(config, mc_logprob=False)
+            rest_pred = run_eval(
+                model, params, tokenizer, rest, image_loader, sub_cfg,
+                score_config, batch_size, batcher)["predictions"] \
+                if rest else []
+            predictions = list(rest_pred)
+            for i in mc_idx:
+                cands = mc_candidates(samples[i])
+                scores = score_candidates(
+                    model, params, tokenizer, samples[i], cands,
+                    image_loader, config)
+                predictions.insert(i, cands[int(np.argmax(scores))])
+            report = evaluate(samples, predictions, score_config)
+            report["predictions"] = predictions
+            return report
     if batcher is not None:
         predictions = predict_with_batcher(
             batcher, tokenizer, samples, image_loader, config)

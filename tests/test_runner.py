@@ -541,3 +541,114 @@ class TestContinuousBatching:
             if eos in want:
                 want = want[: int(np.where(want == eos)[0][0])]
             np.testing.assert_array_equal(tokens, want)
+
+
+class TestMCLogprobScoring:
+    """Multiple-choice scoring by candidate logprob (runner.
+    score_candidates / EvalRunConfig(mc_logprob=True)): each option's
+    teacher-forced sum log-probability after the prompt, prediction =
+    argmax — no free decoding, no answer-extraction failures."""
+
+    @staticmethod
+    def _setup(rng):
+        from multi_spatialmllm_tpu.models.data import DataConfig
+        from multi_spatialmllm_tpu.models.preprocess import (
+            PreprocessConfig,
+        )
+        from multi_spatialmllm_tpu.models.runner import EvalRunConfig
+
+        tok = SpatialTokenizer()
+        cfg = M.MLLMConfig(
+            vit=M.ViTConfig(image_size=56, patch_size=14, hidden_size=32,
+                            num_layers=1, num_heads=2),
+            llm=M.LLMConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                            num_layers=1, num_heads=2, num_kv_heads=2,
+                            ffn_size=64, dtype="float32"),
+            img_context_id=tok.img_context_id,
+        )
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        run_cfg = EvalRunConfig(
+            max_new_tokens=4, length_bucket=64, mc_logprob=True,
+            data=DataConfig(preprocess=PreprocessConfig(
+                tile_size=56, max_tiles=1, resize_hw=None)))
+        loader = lambda p: rng.integers(0, 255, (96, 128, 3),
+                                        dtype=np.uint8)  # noqa: E731
+        return tok, cfg, model, params, run_cfg, loader
+
+    def test_scores_match_manual_log_softmax(self, rng):
+        from multi_spatialmllm_tpu.models.preprocess import tile_image
+        from multi_spatialmllm_tpu.models.runner import (
+            build_prompt_ids,
+            score_candidates,
+        )
+
+        tok, cfg, model, params, run_cfg, loader = self._setup(rng)
+        sample = {"id": "m", "image": ["s/0.jpg"],
+                  "text": "<image>\nWhich dot matches? Answer A or B.",
+                  "question_type": "visual_correspondence_multiple_choice",
+                  "gt_value": "A"}
+        img = loader("s/0.jpg")
+        cands = ["A", "B", "C", "D"]
+        got = score_candidates(model, params, tok, sample, cands,
+                               lambda p: img, run_cfg)
+
+        tiles = tile_image(img, run_cfg.data.preprocess)
+        ids = build_prompt_ids(sample, tok, cfg, [tiles.shape[0]])
+        manual = []
+        for c in cands:
+            ci = tok.encode(c)
+            full = np.asarray([ids + ci], np.int32)
+            full = np.pad(full, ((0, 0), (0, 64 - full.shape[1])))
+            logits = model.apply(params, jnp.asarray(full),
+                                 jnp.asarray(tiles[None]))
+            logp = np.asarray(
+                jax.nn.log_softmax(np.asarray(logits, np.float32),
+                                   axis=-1))
+            manual.append(sum(logp[0, len(ids) - 1 + j, t]
+                              for j, t in enumerate(ci)))
+        # the batched (B=4) forward reassociates reductions vs the B=1
+        # manual pass — values agree to float tolerance, ranking exactly
+        np.testing.assert_allclose(got, manual, atol=5e-2)
+        np.testing.assert_array_equal(np.argsort(got), np.argsort(manual))
+
+    def test_run_eval_mixes_mc_and_decode(self, rng):
+        from multi_spatialmllm_tpu.models.runner import (
+            mc_candidates,
+            run_eval,
+            score_candidates,
+        )
+
+        tok, cfg, model, params, run_cfg, loader = self._setup(rng)
+        img = loader("x")
+        samples = [
+            {"id": "a", "image": ["s/0.jpg"],
+             "text": "<image>\nHow deep is the point?",
+             "question_type": "depth_estimation_coor", "gt_value": 1000},
+            {"id": "m", "image": ["s/1.jpg"],
+             "text": "<image>\nWhich dot matches?",
+             "question_type": "visual_correspondence_multiple_choice",
+             "gt_value": "B"},
+            {"id": "d", "image": ["s/2.jpg"],
+             "text": "<image>\nWhich is closer, A or B?",
+             "question_type": "depth_comparison_annotated",
+             "gt_value": "A"},
+        ]
+        report = run_eval(model, params, tok, samples, lambda p: img,
+                          run_cfg)
+        preds = report["predictions"]
+        assert len(preds) == 3
+        assert preds[1] in ("A", "B", "C", "D")
+        assert preds[2] in ("A", "B")
+        # MC predictions equal the standalone argmax
+        for i in (1, 2):
+            cands = mc_candidates(samples[i])
+            scores = score_candidates(model, params, tok, samples[i],
+                                      cands, lambda p: img, run_cfg)
+            assert preds[i] == cands[int(np.argmax(scores))]
+        # options override wins over the letter bank
+        assert mc_candidates({"question_type": "x", "options": [1, 2]}) \
+            == ["1", "2"]
+        assert mc_candidates({"question_type": "x_movement"}) is None
