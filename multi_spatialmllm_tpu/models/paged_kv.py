@@ -511,6 +511,11 @@ class PagedBatcher:
         if adapters:
             from ..parallel.lora_serving import stack_adapters
 
+            if lora_config is None:
+                raise ValueError(
+                    "PagedBatcher(adapters=...) needs lora_config: the "
+                    "adapter trees carry rank but not alpha, and a "
+                    "default scale would silently mis-serve them")
             names = list(adapters)
             self.lora_tables = stack_adapters(
                 [adapters[n] for n in names],
@@ -634,16 +639,23 @@ class PagedBatcher:
 
     # -- request lifecycle ---------------------------------------------------
 
-    @staticmethod
-    def _unpack(request):
+    def _unpack(self, request):
         """(ids, tiles[, adapter_name][, SamplingParams]) in any trailing
         order — an adapter is a str, sampling knobs a SamplingParams."""
         ids, tiles, adapter, sp = request[0], request[1], None, None
         for extra in request[2:]:
             if isinstance(extra, SamplingParams):
                 sp = extra
-            else:
+            elif isinstance(extra, str):
+                if extra not in self.adapter_index:
+                    raise ValueError(
+                        f"unknown adapter {extra!r}; registered: "
+                        f"{sorted(self.adapter_index)}")
                 adapter = extra
+            else:
+                raise TypeError(
+                    f"request extras must be an adapter name (str) or "
+                    f"SamplingParams, got {type(extra).__name__}")
         return ids, tiles, adapter, sp or SamplingParams()
 
     def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles,
@@ -815,6 +827,8 @@ class PagedBatcher:
         count)."""
         cfg = self.config
         payload = dict(enumerate(requests))
+        for req in payload.values():
+            self._unpack(req)           # reject bad extras at enqueue
         queue = sorted(payload)
         results: dict[int, list[int]] = {}
         emitted: dict[int, int] = {}      # clean tokens already yielded

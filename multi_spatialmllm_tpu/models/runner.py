@@ -170,7 +170,8 @@ def mc_candidates(sample: dict) -> list[str] | None:
     visual_correspondence_qa_engine_dot_2_multichoice.py:362-391).
     None for non-MC records."""
     if "options" in sample:
-        return [str(o) for o in sample["options"]]
+        opts = [str(o) for o in sample["options"]]
+        return opts or None          # empty options list -> not MC
     qt = sample.get("question_type", "")
     if qt == "visual_correspondence_multiple_choice":
         return ["A", "B", "C", "D"]
@@ -183,11 +184,27 @@ def mc_candidates(sample: dict) -> list[str] | None:
 def _score_fn(model: MultiFrameMLLM, n: int, t: int, k: int):
     """[n, t] candidate-spliced rows -> per-row sum logprob over the k
     candidate-token slots starting at prompt_len (causal mask: trailing
-    pads cannot influence the scored positions)."""
+    pads cannot influence the scored positions). The rows share one
+    prompt and one tile stack, so the ViT runs ONCE over `[n_tiles]`
+    tiles and its projected features are broadcast across candidate
+    rows — not re-encoded per candidate."""
+
+    def scored(m: MultiFrameMLLM, rows, tiles):
+        vis = m.encode_tiles(tiles)                 # [n_tiles, tpt, D]
+        vis = vis.reshape(1, -1, vis.shape[-1])
+        embeds = m.llm.embed(rows)
+        is_ctx = rows == m.cfg.img_context_id
+        slot = jnp.clip(jnp.cumsum(is_ctx, axis=1) - 1,
+                        0, vis.shape[1] - 1)
+        gathered = jnp.take_along_axis(
+            jnp.broadcast_to(vis, (n,) + vis.shape[1:]),
+            slot[..., None], axis=1)
+        x = jnp.where(is_ctx[..., None], gathered, embeds)
+        return m.llm(input_embeds=x)
 
     @jax.jit
     def fn(params, rows, tiles, prompt_len, cand_tok, cand_mask):
-        logits = model.apply(params, rows, tiles)
+        logits = model.apply(params, rows, tiles, method=scored)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         pos = prompt_len - 1 + jnp.arange(k)[None]              # [1, k]
         pos = jnp.broadcast_to(pos, (n, k))
@@ -232,8 +249,7 @@ def score_candidates(
         cand_tok[r, : len(ci)] = ci
         cand_mask[r, : len(ci)] = 1.0
     scores = _score_fn(model, n, t, k)(
-        params, jnp.asarray(rows),
-        jnp.asarray(np.broadcast_to(tiles[None], (n,) + tiles.shape)),
+        params, jnp.asarray(rows), jnp.asarray(tiles),
         jnp.asarray(len(ids), jnp.int32), jnp.asarray(cand_tok),
         jnp.asarray(cand_mask))
     return np.asarray(scores)
@@ -288,42 +304,38 @@ def run_eval(
     batcher instead (see predict_with_batcher)."""
     config = config or EvalRunConfig()
     samples = list(samples)
-    if config.mc_logprob:
-        mc_idx = [i for i, s in enumerate(samples)
-                  if mc_candidates(s) is not None]
-        if mc_idx:
-            rest = [s for i, s in enumerate(samples)
-                    if i not in set(mc_idx)]
-            sub_cfg = dataclasses.replace(config, mc_logprob=False)
-            rest_pred = run_eval(
-                model, params, tokenizer, rest, image_loader, sub_cfg,
-                score_config, batch_size, batcher)["predictions"] \
-                if rest else []
-            predictions = list(rest_pred)
-            for i in mc_idx:
-                cands = mc_candidates(samples[i])
-                scores = score_candidates(
-                    model, params, tokenizer, samples[i], cands,
-                    image_loader, config)
-                predictions.insert(i, cands[int(np.argmax(scores))])
-            report = evaluate(samples, predictions, score_config)
-            report["predictions"] = predictions
-            return report
-    if batcher is not None:
-        predictions = predict_with_batcher(
-            batcher, tokenizer, samples, image_loader, config)
-    elif batch_size <= 1:
-        predictions = [
-            predict_sample(model, params, tokenizer, s, image_loader,
-                           config)
-            for s in samples
-        ]
-    else:
-        predictions = []
-        for lo in range(0, len(samples), batch_size):
-            predictions.extend(predict_batch(
-                model, params, tokenizer, samples[lo: lo + batch_size],
+
+    def decode_all(subset: list[dict]) -> list[str]:
+        if not subset:
+            return []
+        if batcher is not None:
+            return predict_with_batcher(
+                batcher, tokenizer, subset, image_loader, config)
+        if batch_size <= 1:
+            return [predict_sample(model, params, tokenizer, s,
+                                   image_loader, config)
+                    for s in subset]
+        out: list[str] = []
+        for lo in range(0, len(subset), batch_size):
+            out.extend(predict_batch(
+                model, params, tokenizer, subset[lo: lo + batch_size],
                 image_loader, config))
+        return out
+
+    mc_set = ({i for i, s in enumerate(samples)
+               if mc_candidates(s) is not None}
+              if config.mc_logprob else set())
+    rest_pred = iter(decode_all(
+        [s for i, s in enumerate(samples) if i not in mc_set]))
+    predictions = []
+    for i, s in enumerate(samples):
+        if i in mc_set:
+            cands = mc_candidates(s)
+            scores = score_candidates(model, params, tokenizer, s,
+                                      cands, image_loader, config)
+            predictions.append(cands[int(np.argmax(scores))])
+        else:
+            predictions.append(next(rest_pred))
     report = evaluate(samples, predictions, score_config)
     report["predictions"] = predictions
     return report

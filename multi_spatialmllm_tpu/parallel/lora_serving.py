@@ -28,7 +28,7 @@ _SERVING_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
 
 def stack_adapters(adapters: list, num_layers: int,
-                   cfg: LoRAConfig | None = None) -> dict:
+                   cfg: LoRAConfig) -> dict:
     """`[adapter_tree, ...]` (parallel/lora.init_lora structure, trained
     or exported) -> serving tables:
 
@@ -37,9 +37,15 @@ def stack_adapters(adapters: list, num_layers: int,
 
     Adapter i in the input list is served as index i + 1; index 0 is the
     zero adapter (the base model). All adapters must share one structure
-    (same rank and targets).
+    (same rank and targets); `cfg` must be the LoRAConfig the adapters
+    were trained with — the tree carries the rank (checked below) but
+    not alpha, so the scale cannot be inferred from the leaves.
     """
-    cfg = cfg or LoRAConfig()
+    if cfg is None:
+        raise ValueError(
+            "stack_adapters needs the adapters' LoRAConfig: the tree "
+            "carries rank but not alpha, so a default would silently "
+            "serve every adapter at the wrong scale")
     assert adapters, "need at least one adapter"
     layers: list[dict] = [dict() for _ in range(num_layers)]
 
@@ -47,6 +53,13 @@ def stack_adapters(adapters: list, num_layers: int,
         (_path_keys(p), leaf)
         for p, leaf in jax.tree_util.tree_flatten_with_path(ad)[0])
         for ad in adapters]
+    for i, f in enumerate(flats[1:], start=1):
+        extra = set(f) - set(flats[0])
+        if extra:
+            raise ValueError(
+                f"adapter {i} adapts targets absent from adapter 0 "
+                f"(e.g. {'/'.join(sorted(extra)[0])}); all adapters "
+                f"must share one structure")
     for keys in flats[0]:
         if keys[-1] not in ("a", "b"):
             continue
@@ -63,6 +76,10 @@ def stack_adapters(adapters: list, num_layers: int,
         li = int(layer_key.split("_")[1])
         b_keys = keys[:-1] + ("b",)
         a0, b0 = flats[0][keys], flats[0][b_keys]
+        if a0.shape[-1] != cfg.rank:
+            raise ValueError(
+                f"adapter rank {a0.shape[-1]} != cfg.rank {cfg.rank} "
+                f"at {'/'.join(keys)} — pass the training LoRAConfig")
         a_stack = jnp.stack(
             [jnp.zeros_like(a0)] + [f[keys] for f in flats])
         b_stack = jnp.stack(

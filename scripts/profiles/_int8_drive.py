@@ -1,9 +1,20 @@
-"""Verify int8 paged-KV serving end-to-end on the real TPU backend."""
+"""Verify int8 paged-KV serving end-to-end (TPU when up; CPU fallback).
+
+Drives the public PagedBatcher surface with real MLLM requests (tiles +
+IMG_CONTEXT prompts): int8-kv outputs must be invariant to slot count /
+pool pressure, and the first token (computed by full-precision prefill)
+must agree with the fp pool on every request.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 import multi_spatialmllm_tpu as msm
+
 msm.enable_compilation_cache()
 
 from multi_spatialmllm_tpu.models import mllm as M
@@ -13,14 +24,20 @@ print("backend:", jax.default_backend())
 
 cfg = M.tiny_config()
 model = M.MultiFrameMLLM(cfg)
-rng = jax.random.key(0)
-tok = jnp.ones((1, 8), dtype=jnp.int32)
-params = model.init(rng, tok, method=lambda m, t: m.llm(m.llm.embed(t)))
-vocab = cfg.llm.vocab_size
+b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=32)
+params = model.init(jax.random.key(0), b0["input_ids"], b0["tiles"])
 
 rq = np.random.default_rng(11)
-requests = [rq.integers(3, vocab, size=rq.integers(4, 60)).astype(np.int32)
-            for _ in range(5)]
+vocab = cfg.llm.vocab_size
+t_img = cfg.tokens_per_tile
+requests = []
+for n in (40, 18, 53, 27, 61):
+    ids = rq.integers(10, vocab, size=n).astype(np.int32)
+    ids[1:1 + t_img] = cfg.img_context_id
+    tiles = rq.standard_normal(
+        (1, cfg.vit.image_size, cfg.vit.image_size, 3)).astype(np.float32)
+    requests.append((ids, tiles))
+
 
 def run(kv_dtype, slots=3, num_pages=48):
     b = PagedBatcher(
@@ -30,6 +47,7 @@ def run(kv_dtype, slots=3, num_pages=48):
                     length_bucket=64, kv_dtype=kv_dtype),
         pad_id=0, eos_id=2)
     return b.generate_all(list(requests))
+
 
 fp = run("native")
 q8 = run("int8")

@@ -763,6 +763,42 @@ class TestMultiLoRAServing:
         b.generate_all([(*same, "ad_a")])         # repeat ad_a: shares
         assert b.stats["prefill_resumed"] == 1
 
+    def test_rejects_bad_requests_and_configs(self):
+        """Misconfigurations fail loudly at construction/enqueue, not as
+        a bare KeyError mid-campaign (review finding r3)."""
+        import dataclasses
+
+        import pytest
+
+        from multi_spatialmllm_tpu.parallel.lora import LoRAConfig
+        from multi_spatialmllm_tpu.parallel.lora_serving import (
+            stack_adapters,
+        )
+
+        cfg, model, params, requests, lcfg, adapters = self._setup()
+        # adapters without the training LoRAConfig: wrong-scale hazard
+        with pytest.raises(ValueError, match="lora_config"):
+            PagedBatcher(model, params, self._pcfg(), pad_id=0, eos_id=2,
+                         adapters=adapters)
+        b = PagedBatcher(model, params, self._pcfg(), pad_id=0, eos_id=2,
+                         adapters=adapters, lora_config=lcfg)
+        # unknown adapter name / stray extras rejected at enqueue
+        with pytest.raises(ValueError, match="unknown adapter"):
+            b.generate_all([(*requests[0], "ad_typo")])
+        with pytest.raises(TypeError, match="extras"):
+            b.generate_all([(*requests[0], 7)])
+        # rank mismatch between cfg and trees
+        with pytest.raises(ValueError, match="rank"):
+            stack_adapters([adapters["ad_a"]], cfg.llm.num_layers,
+                           dataclasses.replace(lcfg, rank=8))
+        # adapter 1 adapting targets adapter 0 lacks: silent-drop hazard
+        narrow = _make_adapters(
+            params, ("n",),
+            dataclasses.replace(lcfg, targets=("wq",)))["n"]
+        with pytest.raises(ValueError, match="absent from adapter 0"):
+            stack_adapters([narrow, adapters["ad_a"]],
+                           cfg.llm.num_layers, lcfg)
+
     def test_composes_with_speculation_and_chunked(self):
         cfg, model, params, requests, lcfg, adapters = self._setup()
         tagged = [(*r, "ad_a") for r in requests[:3]]

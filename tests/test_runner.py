@@ -652,3 +652,5 @@ class TestMCLogprobScoring:
         assert mc_candidates({"question_type": "x", "options": [1, 2]}) \
             == ["1", "2"]
         assert mc_candidates({"question_type": "x_movement"}) is None
+        # an EMPTY options list is not MC (would crash max() in scoring)
+        assert mc_candidates({"question_type": "x", "options": []}) is None
