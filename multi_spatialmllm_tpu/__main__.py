@@ -291,6 +291,170 @@ def cmd_eval(args) -> None:
     print(json.dumps(report))
 
 
+def cmd_train(args) -> None:
+    """SFT from the CLI: data-mixture meta JSON x model config -> orbax
+    checkpoint. The reference's training entry is InternVL-2's SFT stack
+    over a mixture meta (`data/configs/mix3M.json`, README.md:199); this
+    is that surface on the TPU stack — deterministic mixture streaming
+    (models/mixture.py), padded or packed batches, the pjit train step
+    on a (data, model, seq) mesh, optional LoRA (adapter-only state,
+    merged on export)."""
+    import multi_spatialmllm_tpu as msm
+
+    msm.enable_compilation_cache()
+    import jax
+
+    from .models import mllm as M
+    from .models.data import DataConfig
+    from .models.mixture import load_meta, mixture_batches, mixture_stats
+    from .models.preprocess import PreprocessConfig
+    from .models.tokenizer import load_tokenizer
+    from .parallel.mesh import make_mesh
+    from .parallel.train import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from .utils.logging import StageLogger
+
+    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
+           "bench": M.bench_1chip_config}[args.config]()
+    tok = load_tokenizer(args.tokenizer)
+    if args.vocab_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         vocab_size=args.vocab_size))
+    assert tok.vocab_size <= cfg.llm.vocab_size, \
+        (tok.vocab_size, cfg.llm.vocab_size)
+    assert tok.img_context_id == cfg.img_context_id, \
+        (tok.img_context_id, cfg.img_context_id)
+    assert not (args.resume and args.lora_rank), \
+        "--resume restores full-finetune opt_state; LoRA runs restart"
+
+    entries = load_meta(args.meta)
+    log = StageLogger("train")
+    log.event("mixture", **mixture_stats(entries))
+
+    def loader(path):
+        import cv2
+
+        img = cv2.imread(path)  # mixture resolves paths onto each root
+        assert img is not None, f"unreadable image: {path}"
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    data_cfg = DataConfig(
+        max_seq_len=args.seq_len, max_tiles=args.max_tiles,
+        preprocess=PreprocessConfig(
+            tile_size=cfg.vit.image_size, max_tiles=args.tiles_per_image,
+            resize_hw=None))
+    batches = mixture_batches(entries, tok, cfg, loader, args.batch_size,
+                              data_cfg, seed=args.seed, packed=args.packed)
+    first = next(batches)
+
+    devices = None
+    if args.data_parallel:          # explicit shape: use that many chips
+        devices = jax.devices()[: args.data_parallel
+                                * args.model_parallel * args.seq_parallel]
+    mesh = make_mesh(n_data=args.data_parallel or None,
+                     n_model=args.model_parallel,
+                     n_seq=args.seq_parallel, devices=devices)
+    train_cfg = TrainConfig(learning_rate=args.lr,
+                            warmup_steps=args.warmup,
+                            total_steps=args.steps, fsdp=args.fsdp)
+    model, params, opt_state, tx = init_train_state(
+        cfg, train_cfg, first, mesh, seed=args.seed)
+    start_step = 0
+    if args.init_checkpoint:
+        path = os.path.abspath(args.init_checkpoint)
+        if args.resume:
+            # train saves wrap {params, opt_state, step}; `like` restores
+            # the optax state with its exact pytree structure
+            restored = restore_checkpoint(
+                path, like={"params": params, "opt_state": opt_state,
+                            "step": 0})
+            new = restored["params"]
+            # moment trees inherit the params' mesh layout; optax
+            # counters (plain scalars) replicate — a bare device_put
+            # would commit them to one chip and clash with the mesh
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            opt_state = jax.tree_util.tree_map(
+                lambda cur, x: jax.device_put(
+                    x, cur.sharding
+                    if isinstance(cur.sharding, NamedSharding) else rep),
+                opt_state, restored["opt_state"])
+            start_step = int(restored["step"])
+        else:
+            # params-only init: accepts both a train save (wrapped) and
+            # an import-checkpoint output (bare params tree)
+            raw = restore_checkpoint(path)
+            new = raw["params"] if isinstance(raw, dict) \
+                and "params" in raw else raw
+        # commit the restored arrays onto the mesh layout init chose
+        params = jax.tree_util.tree_map(
+            lambda cur, x: jax.device_put(x, cur.sharding), params, new)
+        log.event("restored", path=path, step=start_step)
+
+    if args.lora_rank:
+        from .parallel.lora import (
+            LoRAConfig,
+            init_lora,
+            lora_param_count,
+            make_lora_train_step,
+            merge_lora,
+        )
+
+        lcfg = LoRAConfig(rank=args.lora_rank)
+        lora = init_lora(params, lcfg, jax.random.key(args.seed + 1))
+        opt_state = tx.init(lora)
+        step_fn = make_lora_train_step(model, tx, mesh, lcfg)
+        log.event("lora", rank=lcfg.rank,
+                  trainable=lora_param_count(lora))
+    else:
+        step_fn = make_train_step(model, tx, mesh,
+                                  accum_steps=args.accum)
+
+    def save(step):
+        out = os.path.abspath(args.output)
+        if args.lora_rank:
+            save_checkpoint(out, merge_lora(params, lora, lcfg),
+                            step=step)
+        else:
+            save_checkpoint(out, params, opt_state, step=step)
+        log.event("checkpoint", path=out, step=step)
+
+    import itertools
+
+    losses = []
+    for step, batch in enumerate(itertools.chain([first], batches),
+                                 start=start_step):
+        if step >= args.steps:
+            break
+        if args.lora_rank:
+            lora, opt_state, metrics = step_fn(lora, opt_state, params,
+                                               batch)
+        else:
+            params, opt_state, metrics = step_fn(params, opt_state, batch)
+        losses.append(float(metrics["loss"]))
+        if step % args.log_every == 0 or step == args.steps - 1:
+            log.event("step", step=step, loss=round(losses[-1], 6),
+                      grad_norm=round(float(metrics["grad_norm"]), 6))
+        if args.save_every and (step + 1) % args.save_every == 0:
+            save(step + 1)
+    if args.output:
+        save(min(args.steps, start_step + len(losses)))
+    print(json.dumps({"steps": len(losses),
+                      "first_loss": losses[0] if losses else None,
+                      "last_loss": losses[-1] if losses else None,
+                      "devices": len(jax.devices()),
+                      "mesh": dict(mesh.shape)}))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(prog="multi_spatialmllm_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -398,6 +562,51 @@ def main() -> None:
     p.add_argument("--prefill-chunk", type=int, default=0)
     p.add_argument("--vision-cache", type=int, default=0)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("train",
+                       help="SFT on a data-mixture meta JSON -> orbax")
+    p.add_argument("--meta", required=True,
+                   help="InternVL-style mixture meta JSON (the "
+                        "reference's mix3M.json format, README.md:199)")
+    p.add_argument("--config", choices=("flagship", "bench", "tiny"),
+                   default="flagship")
+    p.add_argument("--tokenizer", default=None,
+                   help="HF tokenizer.json (default: builtin word-level)")
+    p.add_argument("--vocab-size", type=int, default=0)
+    p.add_argument("--init-checkpoint", default=None,
+                   help="orbax params to start from (import-checkpoint "
+                        "output or a previous train save)")
+    p.add_argument("--resume", action="store_true",
+                   help="also restore opt_state + step from "
+                        "--init-checkpoint (full-finetune saves only)")
+    p.add_argument("--output", default=None, help="orbax checkpoint dir")
+    p.add_argument("--save-every", type=int, default=0)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=4096)
+    p.add_argument("--max-tiles", type=int, default=14,
+                   help="tile budget per sample across all frames")
+    p.add_argument("--tiles-per-image", type=int, default=6,
+                   help="dynamic-tiling cap per frame (reference "
+                        "trains with 6, README.md:197)")
+    p.add_argument("--packed", action="store_true",
+                   help="sequence-packed rows (segment_ids/positions)")
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--accum", type=int, default=1,
+                   help="gradient-accumulation microbatches")
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="adapter-only training (0 = full finetune); "
+                        "saves MERGED params")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="mesh data axis (0 = fill remaining devices)")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--seq-parallel", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true",
+                   help="also shard large params over the data axis")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args()
     args.fn(args)

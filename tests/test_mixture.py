@@ -1,0 +1,264 @@
+"""Data-mixture tests: meta parsing, deterministic epoch shuffles,
+repeat_time ratios, root-resolved streaming, and the `train` CLI on a
+real two-dataset mixture (the reference's mix3M.json surface,
+/root/reference/README.md:199)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.models.mixture import (
+    JsonlIndex,
+    MixtureEntry,
+    epoch_order,
+    load_meta,
+    mixture_batches,
+    mixture_samples,
+    mixture_stats,
+)
+
+
+def _write_jsonl(path, names):
+    with open(path, "w") as f:
+        for i, n in enumerate(names):
+            rec = {"id": f"{n}{i}", "image": [f"{n}_{i}.jpg"],
+                   "conversations": [
+                       {"from": "human", "value": f"<image>\nwhere is {n}?"},
+                       {"from": "gpt", "value": f"{n} at {i}"}]}
+            f.write(json.dumps(rec) + "\n")
+    return path
+
+
+@pytest.fixture
+def meta_dir(tmp_path):
+    (tmp_path / "imgs_a").mkdir()
+    (tmp_path / "imgs_b").mkdir()
+    _write_jsonl(tmp_path / "a.jsonl", ["a"] * 8)
+    _write_jsonl(tmp_path / "b.jsonl", ["b"] * 4)
+    meta = {
+        "spa_a": {"root": "imgs_a", "annotation": "a.jsonl",
+                  "repeat_time": 1, "length": 8},
+        "general_b": {"root": "imgs_b", "annotation": "b.jsonl",
+                      "repeat_time": 2.5, "data_augment": False},
+    }
+    mp = tmp_path / "mix.json"
+    mp.write_text(json.dumps(meta))
+    return tmp_path, mp
+
+
+class TestMeta:
+    def test_load_resolves_and_orders(self, meta_dir):
+        tmp, mp = meta_dir
+        entries = load_meta(str(mp))
+        assert [e.name for e in entries] == ["spa_a", "general_b"]
+        assert entries[0].annotation == str(tmp / "a.jsonl")
+        assert entries[1].root == str(tmp / "imgs_b")
+        assert entries[1].repeat_time == 2.5
+
+    def test_jsonl_index_random_access(self, meta_dir):
+        tmp, _ = meta_dir
+        ix = JsonlIndex(str(tmp / "a.jsonl"))
+        assert len(ix) == 8
+        assert ix[5]["id"] == "a5"
+        assert ix[0]["id"] == "a0"          # backwards seek works
+
+    def test_stats(self, meta_dir):
+        _, mp = meta_dir
+        st = mixture_stats(load_meta(str(mp)))
+        assert st["rows"] == {"spa_a": 8, "general_b": 4}
+        # 2.5 x 4 = 10 rows of b per epoch
+        assert st["rows_per_epoch"] == {"spa_a": 8, "general_b": 10}
+        assert st["epoch_size"] == 18
+
+
+class TestEpochOrder:
+    def _entries(self):
+        return [MixtureEntry("x", "x.jsonl", repeat_time=1.0),
+                MixtureEntry("y", "y.jsonl", repeat_time=2.5)]
+
+    def test_deterministic_and_epoch_varying(self):
+        e = self._entries()
+        o1 = epoch_order([8, 4], e, seed=3, epoch=0)
+        o2 = epoch_order([8, 4], e, seed=3, epoch=0)
+        np.testing.assert_array_equal(o1, o2)
+        o3 = epoch_order([8, 4], e, seed=3, epoch=1)
+        assert not np.array_equal(o1, o3)
+        o4 = epoch_order([8, 4], e, seed=4, epoch=0)
+        assert not np.array_equal(o1, o4)
+
+    def test_repeat_time_counts(self):
+        e = self._entries()
+        order = epoch_order([8, 4], e, seed=0, epoch=0)
+        ds, counts = np.unique(order[:, 0], return_counts=True)
+        assert dict(zip(ds.tolist(), counts.tolist())) == {0: 8, 1: 10}
+        # full copies: every y row appears at least twice
+        y_rows = order[order[:, 0] == 1][:, 1]
+        _, per_row = np.unique(y_rows, return_counts=True)
+        assert per_row.min() >= 2 and per_row.max() <= 3
+
+    def test_fractional_subsample(self):
+        e = [MixtureEntry("x", "x.jsonl", repeat_time=0.5)]
+        order = epoch_order([8], e, seed=0, epoch=0)
+        assert len(order) == 4
+        assert len(set(order[:, 1].tolist())) == 4   # distinct rows
+
+
+class TestStreaming:
+    def test_roots_joined_and_tagged(self, meta_dir):
+        tmp, mp = meta_dir
+        entries = load_meta(str(mp))
+        recs = list(mixture_samples(entries, seed=1, epochs=1))
+        assert len(recs) == 18
+        a = next(r for r in recs if r["_dataset"] == "spa_a")
+        assert a["image"][0].startswith(str(tmp / "imgs_a"))
+        names = {r["_dataset"] for r in recs}
+        assert names == {"spa_a", "general_b"}
+
+    def test_two_epochs_differ_but_replay_exactly(self, meta_dir):
+        _, mp = meta_dir
+        entries = load_meta(str(mp))
+        two = [r["id"] for r in mixture_samples(entries, seed=7, epochs=2)]
+        again = [r["id"] for r in mixture_samples(entries, seed=7,
+                                                  epochs=2)]
+        assert two == again
+        assert two[:18] != two[18:]          # epoch shuffles differ
+
+    def test_batches_assemble(self, meta_dir):
+        import jax
+
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.data import DataConfig
+        from multi_spatialmllm_tpu.models.preprocess import (
+            PreprocessConfig,
+        )
+        from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+        tmp, mp = meta_dir
+        entries = load_meta(str(mp))
+        tok = SpatialTokenizer()
+        cfg = M.tiny_config()
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         vocab_size=tok.vocab_size),
+            img_context_id=tok.img_context_id)
+        rng = np.random.default_rng(0)
+        loader = lambda p: rng.integers(  # noqa: E731
+            0, 255, (64, 96, 3), dtype=np.uint8)
+        dc = DataConfig(max_seq_len=128, max_tiles=2,
+                        preprocess=PreprocessConfig(
+                            tile_size=cfg.vit.image_size, max_tiles=1,
+                            resize_hw=None))
+        bs = list(mixture_batches(entries, tok, cfg, loader, 4, dc,
+                                  seed=0, epochs=1))
+        assert len(bs) == 4                  # 18 samples // 4
+        assert bs[0]["input_ids"].shape == (4, 128)
+        packed = list(mixture_batches(entries, tok, cfg, loader, 2, dc,
+                                      seed=0, epochs=1, packed=True))
+        assert packed and "segment_ids" in packed[0]
+        # packing reduces rows: fewer batches than padded at half size
+        assert len(packed) <= len(bs) * 2
+
+
+class TestTrainCLI:
+    def test_train_subcommand_end_to_end(self, tmp_path, monkeypatch,
+                                         capsys):
+        """`python -m multi_spatialmllm_tpu train` over a real mixture:
+        jsonl + ACTUAL image files, tiny config, 3 steps, orbax save,
+        then 1 more step initialized from the save."""
+        import cv2
+
+        import multi_spatialmllm_tpu.__main__ as cli
+
+        (tmp_path / "imgs").mkdir()
+        rng = np.random.default_rng(3)
+        recs = []
+        for i in range(6):
+            name = f"im{i}.jpg"
+            cv2.imwrite(str(tmp_path / "imgs" / name),
+                        rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            recs.append({"id": f"s{i}", "image": [name],
+                         "conversations": [
+                             {"from": "human",
+                              "value": "<image>\nhow far is the point?"},
+                             {"from": "gpt", "value": f"{100 + i} mm"}]})
+        with open(tmp_path / "train.jsonl", "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in recs)
+        meta = {"spa": {"root": "imgs", "annotation": "train.jsonl",
+                        "repeat_time": 1}}
+        (tmp_path / "mix.json").write_text(json.dumps(meta))
+
+        out = tmp_path / "ckpt"
+        argv = ["prog", "train", "--meta", str(tmp_path / "mix.json"),
+                "--config", "tiny", "--steps", "3", "--batch-size", "2",
+                "--seq-len", "128", "--max-tiles", "1",
+                "--tiles-per-image", "1", "--warmup", "1",
+                "--lr", "1e-3", "--log-every", "1",
+                "--data-parallel", "2",
+                "--vocab-size", "800", "--output", str(out)]
+        monkeypatch.setattr("sys.argv", argv)
+        cli.main()
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")][-1]
+        report = json.loads(line)
+        assert report["steps"] == 3
+        assert np.isfinite(report["last_loss"])
+        assert os.path.isdir(out)
+
+        # resume: one more step from the saved state
+        argv_resume = argv[:1] + ["train", "--meta",
+                                  str(tmp_path / "mix.json"),
+                                  "--config", "tiny", "--steps", "4",
+                                  "--batch-size", "2", "--seq-len", "128",
+                                  "--max-tiles", "1",
+                                  "--tiles-per-image", "1",
+                                  "--warmup", "1", "--lr", "1e-3",
+                                  "--log-every", "1",
+                                  "--vocab-size", "800",
+                                  "--data-parallel", "2",
+                                  "--init-checkpoint", str(out),
+                                  "--resume"]
+        monkeypatch.setattr("sys.argv", argv_resume)
+        cli.main()
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")][-1]
+        resumed = json.loads(line)
+        assert resumed["steps"] == 1          # steps 3 -> 4
+
+    def test_train_lora_mode(self, tmp_path, monkeypatch, capsys):
+        import cv2
+
+        import multi_spatialmllm_tpu.__main__ as cli
+
+        (tmp_path / "imgs").mkdir()
+        rng = np.random.default_rng(5)
+        recs = []
+        for i in range(4):
+            name = f"im{i}.jpg"
+            cv2.imwrite(str(tmp_path / "imgs" / name),
+                        rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            recs.append({"id": f"s{i}", "image": [name],
+                         "conversations": [
+                             {"from": "human", "value": "<image>\nwhat?"},
+                             {"from": "gpt", "value": "a wall"}]})
+        with open(tmp_path / "train.jsonl", "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in recs)
+        (tmp_path / "mix.json").write_text(json.dumps(
+            {"spa": {"root": "imgs", "annotation": "train.jsonl"}}))
+        out = tmp_path / "lora_ckpt"
+        monkeypatch.setattr("sys.argv", [
+            "prog", "train", "--meta", str(tmp_path / "mix.json"),
+            "--config", "tiny", "--steps", "2", "--batch-size", "2",
+            "--seq-len", "128", "--max-tiles", "1",
+            "--tiles-per-image", "1", "--warmup", "1",
+            "--lora-rank", "2", "--log-every", "1",
+            "--vocab-size", "800", "--data-parallel", "1",
+            "--output", str(out)])
+        cli.main()
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")][-1]
+        assert json.loads(line)["steps"] == 2
+        assert os.path.isdir(out)             # merged-params export
