@@ -303,6 +303,7 @@ def cmd_train(args) -> None:
 
     msm.enable_compilation_cache()
     import jax
+    import numpy as np
 
     from .models import mllm as M
     from .models.data import DataConfig
@@ -353,6 +354,10 @@ def cmd_train(args) -> None:
             resize_hw=None))
     batches = mixture_batches(entries, tok, cfg, loader, args.batch_size,
                               data_cfg, seed=args.seed, packed=args.packed)
+    if args.prefetch:
+        from .models.data import prefetch_iterator
+
+        batches = prefetch_iterator(batches, depth=args.prefetch)
     first = next(batches)
 
     devices = None
@@ -429,8 +434,11 @@ def cmd_train(args) -> None:
         log.event("checkpoint", path=out, step=step)
 
     import itertools
+    import time
 
     losses = []
+    steady_t0 = steady_tokens = steady_steps = 0
+    mark = time.perf_counter()
     for step, batch in enumerate(itertools.chain([first], batches),
                                  start=start_step):
         if step >= args.steps:
@@ -440,19 +448,34 @@ def cmd_train(args) -> None:
                                                batch)
         else:
             params, opt_state, metrics = step_fn(params, opt_state, batch)
-        losses.append(float(metrics["loss"]))
+        loss = float(metrics["loss"])       # fetch = step completed
+        losses.append(loss)
+        now = time.perf_counter()
+        if len(losses) == 1:                # step 0 paid the compile
+            steady_t0, mark = now, now
+        else:
+            steady_tokens += int(np.prod(batch["input_ids"].shape))
+            steady_steps += 1
         if step % args.log_every == 0 or step == args.steps - 1:
-            log.event("step", step=step, loss=round(losses[-1], 6),
-                      grad_norm=round(float(metrics["grad_norm"]), 6))
+            log.event("step", step=step, loss=round(loss, 6),
+                      grad_norm=round(float(metrics["grad_norm"]), 6),
+                      step_s=round(now - mark, 4))
+        mark = now
         if args.save_every and (step + 1) % args.save_every == 0:
             save(step + 1)
     if args.output:
         save(min(args.steps, start_step + len(losses)))
-    print(json.dumps({"steps": len(losses),
-                      "first_loss": losses[0] if losses else None,
-                      "last_loss": losses[-1] if losses else None,
-                      "devices": len(jax.devices()),
-                      "mesh": dict(mesh.shape)}))
+    steady_s = (time.perf_counter() - steady_t0) if steady_steps else 0.0
+    print(json.dumps({
+        "steps": len(losses),
+        "first_loss": losses[0] if losses else None,
+        "last_loss": losses[-1] if losses else None,
+        "devices": len(jax.devices()), "mesh": dict(mesh.shape),
+        # steady-state (post-compile) throughput; padded token count
+        "steps_per_s": round(steady_steps / steady_s, 4)
+        if steady_steps else None,
+        "tokens_per_s": round(steady_tokens / steady_s, 1)
+        if steady_steps else None}))
 
 
 def main() -> None:
@@ -606,6 +629,9 @@ def main() -> None:
                    help="also shard large params over the data axis")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches assembled ahead in a producer thread "
+                        "(0 = synchronous)")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args()

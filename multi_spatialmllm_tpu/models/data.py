@@ -251,6 +251,57 @@ def batch_iterator(
         }
 
 
+def prefetch_iterator(it, depth: int = 2):
+    """Run ANY iterator in a producer thread behind a bounded queue, so
+    host-side work (JPEG decode / tokenize / packing) overlaps device
+    compute. Yields exactly the wrapped iterator's items in order;
+    producer exceptions re-raise at the consumer; abandoning the
+    generator stops the producer (no thread leak). Composes with
+    mixture_batches / packed_batch_iterator, which prefetch_batches'
+    padded-only pipeline does not."""
+    import queue as queue_mod
+    import threading
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, depth))
+    _END = object()
+    stop = threading.Event()
+
+    def produce():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+            item = _END
+        except BaseException as exc:
+            item = exc
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue_mod.Full:
+                continue
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        thread.join()
+
+
 def prefetch_batches(
     samples: Sequence[dict],
     tokenizer: SpatialTokenizer,

@@ -283,3 +283,48 @@ class TestPrefetchLoader:
         while threading.active_count() > before and time.time() < deadline:
             time.sleep(0.05)
         assert threading.active_count() <= before
+
+
+class TestPrefetchIterator:
+    """Generic producer-thread wrapper (data.prefetch_iterator): exact
+    order, exception propagation, and no thread leak on abandonment —
+    the train CLI overlaps mixture batch assembly with device steps
+    through this."""
+
+    def test_order_identity(self):
+        from multi_spatialmllm_tpu.models.data import prefetch_iterator
+
+        items = list(range(57))
+        assert list(prefetch_iterator(iter(items), depth=3)) == items
+
+    def test_exception_propagates(self):
+        import pytest
+
+        from multi_spatialmllm_tpu.models.data import prefetch_iterator
+
+        def gen():
+            yield 1
+            raise RuntimeError("producer boom")
+
+        it = prefetch_iterator(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="producer boom"):
+            list(it)
+
+    def test_abandon_stops_producer(self):
+        import threading
+
+        from multi_spatialmllm_tpu.models.data import prefetch_iterator
+
+        before = threading.active_count()
+
+        def gen():
+            i = 0
+            while True:          # infinite producer
+                yield i
+                i += 1
+
+        it = prefetch_iterator(gen(), depth=2)
+        assert next(it) == 0
+        it.close()               # generator finally -> stop + join
+        assert threading.active_count() == before
