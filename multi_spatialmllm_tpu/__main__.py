@@ -245,10 +245,34 @@ def cmd_eval(args) -> None:
 
         params = quantize_weights(params)
 
-    with open(args.eval_jsonl) as f:
-        samples = [json.loads(line) for line in f if line.strip()]
-    if args.limit:
-        samples = samples[: args.limit]
+    assert bool(args.eval_jsonl) != bool(args.eval_root), \
+        "pass exactly one of --eval-jsonl / --eval-root"
+
+    def read_jsonl(path):
+        with open(path) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        return rows[: args.limit] if args.limit else rows
+
+    if args.eval_jsonl:
+        campaigns = [(os.path.basename(args.eval_jsonl),
+                      read_jsonl(args.eval_jsonl))]
+    else:
+        # pipeline layout: qa/evaluation_data/<engine>/*.jsonl; the
+        # *_orig.jsonl files are the full pre-subsample dumps
+        # (reference single_object_movement_engine_dot.py:676-686) and
+        # are skipped — they duplicate the subsampled eval set
+        campaigns = []
+        for engine in sorted(os.listdir(args.eval_root)):
+            edir = os.path.join(args.eval_root, engine)
+            if not os.path.isdir(edir):
+                continue
+            rows = []
+            for fn in sorted(os.listdir(edir)):
+                if fn.endswith(".jsonl") and not fn.endswith("_orig.jsonl"):
+                    rows.extend(read_jsonl(os.path.join(edir, fn)))
+            if rows:
+                campaigns.append((engine, rows))
+        assert campaigns, f"no eval JSONL under {args.eval_root}"
 
     def loader(path):
         import cv2
@@ -280,12 +304,26 @@ def cmd_eval(args) -> None:
                         vision_cache=args.vision_cache,
                         speculate=args.speculate),
             pad_id=tok.pad_id, eos_id=tok.eos_id)
-    report = run_eval(model, params, tok, samples, loader, run_cfg,
-                      batch_size=args.batch_size, batcher=batcher)
-    predictions = report.pop("predictions")
+    per_engine = {}
+    predictions = {}
+    for name, samples in campaigns:
+        rep = run_eval(model, params, tok, samples, loader, run_cfg,
+                       batch_size=args.batch_size, batcher=batcher)
+        predictions[name] = rep.pop("predictions")
+        per_engine[name] = rep
+    if len(campaigns) == 1:
+        report = per_engine[campaigns[0][0]]
+        flat_preds = predictions[campaigns[0][0]]
+    else:
+        total = sum(r["count"] for r in per_engine.values())
+        hits = sum(r["accuracy"] * r["count"]
+                   for r in per_engine.values())
+        report = {"accuracy": hits / total if total else 0.0,
+                  "count": total, "engines": per_engine}
+        flat_preds = predictions
     if args.output:
         with open(args.output, "w") as f:
-            json.dump({**report, "predictions": predictions}, f)
+            json.dump({**report, "predictions": flat_preds}, f)
     if batcher is not None:
         report["serving_stats"] = batcher.stats
     print(json.dumps(report))
@@ -559,8 +597,12 @@ def main() -> None:
     p.add_argument("--vocab-size", type=int, default=0,
                    help="override the config's vocab (0 = keep; must "
                         "cover the tokenizer)")
-    p.add_argument("--eval-jsonl", required=True,
-                   help="engine evaluation_data JSONL")
+    p.add_argument("--eval-jsonl", default=None,
+                   help="one engine evaluation_data JSONL")
+    p.add_argument("--eval-root", default=None,
+                   help="qa/evaluation_data directory: every engine's "
+                        "*.jsonl evaluated (skipping *_orig.jsonl), "
+                        "per-engine + aggregate report")
     p.add_argument("--images-root", default=".")
     p.add_argument("--output", default=None, help="report+predictions json")
     p.add_argument("--limit", type=int, default=0)

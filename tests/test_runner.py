@@ -487,6 +487,36 @@ class TestEvalCLI:
         saved = json.loads(out.read_text())
         assert len(saved["predictions"]) == 4
 
+        # --eval-root: whole evaluation_data tree -> per-engine reports
+        # + weighted aggregate; *_orig.jsonl (full pre-subsample dumps)
+        # are skipped
+        root = tmp_path / "evaluation_data"
+        for engine, qt in (("depth_perception", "depth_estimation_coor"),
+                           ("camera_movement", "x_movement")):
+            d = root / engine
+            d.mkdir(parents=True)
+            recs = [dict(samples[i], question_type=qt,
+                         gt_value="left" if qt == "x_movement" else 900)
+                    for i in range(2)]
+            (d / "val.jsonl").write_text(
+                "\n".join(json.dumps(s) for s in recs))
+            (d / "val_orig.jsonl").write_text(
+                "\n".join(json.dumps(s) for s in recs * 50))
+        monkeypatch.setattr(sys, "argv", [
+            "multi_spatialmllm_tpu", "eval",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--config", "tiny", "--vocab-size", "800",
+            "--eval-root", str(root),
+            "--images-root", str(img_dir),
+            "--max-new-tokens", "4", "--max-tiles", "1",
+        ])
+        main()
+        agg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert agg["count"] == 4              # _orig dumps skipped
+        assert set(agg["engines"]) == {"camera_movement",
+                                       "depth_perception"}
+        assert all(r["count"] == 2 for r in agg["engines"].values())
+
 
 class TestContinuousBatching:
     def test_matches_per_request_greedy(self):
