@@ -208,6 +208,69 @@ def cmd_import_checkpoint(args) -> None:
                       "dtype": args.dtype}))
 
 
+def cmd_export_checkpoint(args) -> None:
+    """Inverse of import-checkpoint: orbax params -> HF InternVL-2
+    safetensors shard(s) + index, so weights trained here load back
+    into the reference's InternVL-2 stack (layer scales stay folded —
+    checkpoint_import.export_state_dict)."""
+    import numpy as np
+
+    from .models import checkpoint_import as CI
+    from .models import mllm as M
+    from .parallel.train import restore_checkpoint
+
+    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
+           "bench": M.bench_1chip_config}[args.config]()
+    if args.vocab_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         vocab_size=args.vocab_size))
+    raw = restore_checkpoint(os.path.abspath(args.checkpoint))
+    # train saves wrap the variables as {"params": vars, "step": ...};
+    # import-checkpoint saves the bare vars ({"params": tree})
+    params = raw["params"] if isinstance(raw, dict) and "step" in raw \
+        else raw
+    state = CI.export_state_dict(params, cfg)
+    dtype = {"float32": np.float32, "bfloat16": None}[args.dtype]
+    if dtype is None:
+        import ml_dtypes
+
+        dtype = ml_dtypes.bfloat16
+    state = {k: np.ascontiguousarray(v, dtype=dtype)
+             for k, v in state.items()}
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(args.output, exist_ok=True)
+    budget = int(args.shard_gb * 1e9)
+    shards: list[dict] = [{}]
+    size = 0
+    for k in state:                      # insertion order, HF style
+        nbytes = state[k].nbytes
+        if size and size + nbytes > budget:
+            shards.append({})
+            size = 0
+        shards[-1][k] = state[k]
+        size += nbytes
+    n = len(shards)
+    weight_map = {}
+    for i, shard in enumerate(shards, start=1):
+        name = "model.safetensors" if n == 1 else \
+            f"model-{i:05d}-of-{n:05d}.safetensors"
+        save_file(shard, os.path.join(args.output, name))
+        weight_map.update({k: name for k in shard})
+    if n > 1:
+        with open(os.path.join(args.output,
+                               "model.safetensors.index.json"), "w") as f:
+            json.dump({"metadata": {"total_size": sum(
+                v.nbytes for v in state.values())},
+                "weight_map": weight_map}, f)
+    print(json.dumps({"output": args.output, "tensors": len(state),
+                      "shards": n, "dtype": args.dtype}))
+
+
 def cmd_eval(args) -> None:
     """MultiSPA evaluation from the CLI: orbax checkpoint x eval JSONL
     (engine output records) x images directory -> eval_harness report.
@@ -585,6 +648,23 @@ def main() -> None:
     p.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16")
     p.set_defaults(fn=cmd_import_checkpoint)
+
+    p = sub.add_parser("export-checkpoint",
+                       help="orbax params -> HF InternVL-2 safetensors")
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax dir (import-checkpoint or train output)")
+    p.add_argument("--output", required=True,
+                   help="directory for *.safetensors (+ index when "
+                        "sharded)")
+    p.add_argument("--config", choices=("flagship", "bench", "tiny"),
+                   default="flagship")
+    p.add_argument("--vocab-size", type=int, default=0)
+    p.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16")
+    p.add_argument("--shard-gb", type=float, default=4.0,
+                   help="max shard size in GB (HF-style index written "
+                        "when more than one shard)")
+    p.set_defaults(fn=cmd_export_checkpoint)
 
     p = sub.add_parser("eval",
                        help="MultiSPA eval: checkpoint x JSONL -> scores")

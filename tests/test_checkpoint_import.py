@@ -162,3 +162,47 @@ class TestSafetensorsIO:
         for la, lb in zip(jax.tree_util.tree_leaves(params2),
                           jax.tree_util.tree_leaves(params)):
             np.testing.assert_allclose(la, lb, atol=0)
+
+
+class TestExportCLI:
+    def test_export_subcommand_round_trips(self, tiny, tmp_path,
+                                           monkeypatch, capsys):
+        """orbax -> `export-checkpoint` -> safetensors dir ->
+        load_internvl2_checkpoint == the original params (f32 exact),
+        for both save layouts (import bare vars / train wrapped), with
+        forced multi-shard output + HF index."""
+        import json
+        import os
+        import sys
+
+        from multi_spatialmllm_tpu.__main__ import main
+        from multi_spatialmllm_tpu.parallel.train import save_checkpoint
+
+        cfg, params = tiny["cfg"], tiny["params"]
+
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(tmp_path / "bare"), params)   # import-CLI layout
+        ckptr.wait_until_finished()
+        save_checkpoint(str(tmp_path / "wrapped"), params, step=7)
+
+        for src in ("bare", "wrapped"):
+            out = tmp_path / f"hf_{src}"
+            monkeypatch.setattr(sys, "argv", [
+                "prog", "export-checkpoint",
+                "--checkpoint", str(tmp_path / src),
+                "--output", str(out), "--config", "tiny",
+                "--dtype", "float32", "--shard-gb", "0.0005"])
+            main()
+            report = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1])
+            assert report["shards"] > 1       # tiny budget forces shards
+            assert os.path.exists(out / "model.safetensors.index.json")
+            back = CI.load_internvl2_checkpoint(str(out), cfg)
+            for (pa, la), (pb, lb) in zip(
+                    jax.tree_util.tree_flatten_with_path(back)[0],
+                    jax.tree_util.tree_flatten_with_path(params)[0]):
+                assert pa == pb
+                np.testing.assert_array_equal(np.asarray(la),
+                                              np.asarray(lb))
