@@ -392,6 +392,123 @@ def cmd_eval(args) -> None:
     print(json.dumps(report))
 
 
+def cmd_serve(args) -> None:
+    """JSONL serving loop over the paged continuous batcher: one request
+    per stdin line -> result lines on stdout (final per request, or
+    incremental chunks with --stream). Requests drain in windows of
+    --window lines; ONE batcher persists across windows, so the prefix
+    and vision caches keep paying image-context prefills once per image.
+
+    Request line:  {"id": ..., "text": "<image>\\n...", "image": [paths],
+                    "temperature": t, "top_p": p, "seed": s}   (knobs
+                    need --sampling; omitted/0 temperature = greedy)
+    Result line:   {"id": ..., "text": ..., "token_ids": [...]} or, with
+                   --stream, {"id", "delta_ids", "delta", "done"} chunks.
+    """
+    import sys
+
+    import multi_spatialmllm_tpu as msm
+
+    msm.enable_compilation_cache()
+    import numpy as np
+
+    from .models import mllm as M
+    from .models.paged_kv import PagedBatcher, PagedConfig
+    from .models.serving import SamplingParams
+    from .models.preprocess import PreprocessConfig, tile_image
+    from .models.runner import build_prompt_ids
+    from .models.tokenizer import load_tokenizer
+    from .parallel.train import restore_checkpoint
+
+    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
+           "bench": M.bench_1chip_config}[args.config]()
+    if args.vocab_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         vocab_size=args.vocab_size))
+    model = M.MultiFrameMLLM(cfg)
+    tok = load_tokenizer(args.tokenizer)
+    restored = restore_checkpoint(os.path.abspath(args.checkpoint))
+    params = restored["params"] if isinstance(restored, dict) \
+        and "step" in restored else restored
+    if args.quantize_weights:
+        from .models.quantize import quantize_weights
+
+        params = quantize_weights(params)
+    pre = PreprocessConfig(tile_size=cfg.vit.image_size,
+                           max_tiles=args.max_tiles, resize_hw=None)
+    batcher = PagedBatcher(
+        model, params,
+        PagedConfig(slots=args.slots, page_size=args.page_size,
+                    num_pages=args.num_pages,
+                    max_prompt_len=args.max_prompt_len,
+                    max_new_tokens=args.max_new_tokens,
+                    kv_dtype=args.kv_dtype,
+                    prefix_cache=args.prefix_cache,
+                    prefill_chunk=args.prefill_chunk,
+                    vision_cache=args.vision_cache,
+                    speculate=args.speculate,
+                    sampling=args.sampling),
+        pad_id=tok.pad_id, eos_id=tok.eos_id)
+
+    def loader(path):
+        import cv2
+
+        img = cv2.imread(os.path.join(args.images_root, path))
+        assert img is not None, f"unreadable image: {path}"
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def to_request(rec: dict):
+        stacks = [tile_image(loader(p), pre) for p in rec.get("image", [])]
+        tiles = np.concatenate(stacks, axis=0) if stacks else np.zeros(
+            (0, cfg.vit.image_size, cfg.vit.image_size, 3), np.float32)
+        ids = build_prompt_ids(rec, tok, cfg,
+                               [s.shape[0] for s in stacks])
+        req = [np.asarray(ids, dtype=np.int32), tiles]
+        if any(k in rec for k in ("temperature", "top_p", "seed")):
+            assert args.sampling, "pass --sampling to use sampling knobs"
+            req.append(SamplingParams(
+                temperature=float(rec.get("temperature", 0.0)),
+                top_p=float(rec.get("top_p", 1.0)),
+                seed=int(rec.get("seed", 0))))
+        return tuple(req)
+
+    def emit(obj):
+        print(json.dumps(obj), flush=True)
+
+    stdin = sys.stdin
+    done = False
+    while not done:
+        window: list[dict] = []
+        while len(window) < args.window:
+            line = stdin.readline()
+            if not line:
+                done = True
+                break
+            if line.strip():
+                window.append(json.loads(line))
+        if not window:
+            break
+        requests = [to_request(r) for r in window]
+        acc: dict[int, list[int]] = {i: [] for i in range(len(window))}
+        for rid, toks, fin in batcher.generate_stream(requests):
+            acc[rid].extend(toks)
+            if args.stream and (toks or fin):
+                emit({"id": window[rid].get("id", rid),
+                      "delta_ids": [int(t) for t in toks],
+                      "delta": tok.decode(np.asarray(toks, np.int32)),
+                      "done": fin})
+            elif fin:
+                out = np.asarray(acc[rid], dtype=np.int32)
+                emit({"id": window[rid].get("id", rid),
+                      "token_ids": [int(t) for t in out],
+                      "text": tok.decode(out)})
+    print(json.dumps({"served": True, "stats": batcher.stats}),
+          file=sys.stderr)
+
+
 def cmd_train(args) -> None:
     """SFT from the CLI: data-mixture meta JSON x model config -> orbax
     checkpoint. The reference's training entry is InternVL-2's SFT stack
@@ -537,33 +654,37 @@ def cmd_train(args) -> None:
     import itertools
     import time
 
+    from .utils.profiling import device_trace
+
     losses = []
     steady_t0 = steady_tokens = steady_steps = 0
     mark = time.perf_counter()
-    for step, batch in enumerate(itertools.chain([first], batches),
-                                 start=start_step):
-        if step >= args.steps:
-            break
-        if args.lora_rank:
-            lora, opt_state, metrics = step_fn(lora, opt_state, params,
-                                               batch)
-        else:
-            params, opt_state, metrics = step_fn(params, opt_state, batch)
-        loss = float(metrics["loss"])       # fetch = step completed
-        losses.append(loss)
-        now = time.perf_counter()
-        if len(losses) == 1:                # step 0 paid the compile
-            steady_t0, mark = now, now
-        else:
-            steady_tokens += int(np.prod(batch["input_ids"].shape))
-            steady_steps += 1
-        if step % args.log_every == 0 or step == args.steps - 1:
-            log.event("step", step=step, loss=round(loss, 6),
-                      grad_norm=round(float(metrics["grad_norm"]), 6),
-                      step_s=round(now - mark, 4))
-        mark = now
-        if args.save_every and (step + 1) % args.save_every == 0:
-            save(step + 1)
+    with device_trace(args.trace_dir):
+        for step, batch in enumerate(itertools.chain([first], batches),
+                                     start=start_step):
+            if step >= args.steps:
+                break
+            if args.lora_rank:
+                lora, opt_state, metrics = step_fn(lora, opt_state,
+                                                   params, batch)
+            else:
+                params, opt_state, metrics = step_fn(params, opt_state,
+                                                     batch)
+            loss = float(metrics["loss"])   # fetch = step completed
+            losses.append(loss)
+            now = time.perf_counter()
+            if len(losses) == 1:            # step 0 paid the compile
+                steady_t0, mark = now, now
+            else:
+                steady_tokens += int(np.prod(batch["input_ids"].shape))
+                steady_steps += 1
+            if step % args.log_every == 0 or step == args.steps - 1:
+                log.event("step", step=step, loss=round(loss, 6),
+                          grad_norm=round(float(metrics["grad_norm"]), 6),
+                          step_s=round(now - mark, 4))
+            mark = now
+            if args.save_every and (step + 1) % args.save_every == 0:
+                save(step + 1)
     if args.output:
         save(min(args.steps, start_step + len(losses)))
     steady_s = (time.perf_counter() - steady_t0) if steady_steps else 0.0
@@ -708,6 +829,37 @@ def main() -> None:
     p.add_argument("--vision-cache", type=int, default=0)
     p.set_defaults(fn=cmd_eval)
 
+    p = sub.add_parser("serve",
+                       help="JSONL serving loop (stdin -> stdout) over "
+                            "the paged batcher")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--config", choices=("flagship", "bench", "tiny"),
+                   default="flagship")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--vocab-size", type=int, default=0)
+    p.add_argument("--images-root", default=".")
+    p.add_argument("--max-tiles", type=int, default=6,
+                   help="dynamic-tiling cap per image")
+    p.add_argument("--window", type=int, default=64,
+                   help="max requests drained per serving window")
+    p.add_argument("--stream", action="store_true",
+                   help="emit incremental token chunks per request")
+    p.add_argument("--sampling", action="store_true",
+                   help="honor temperature/top_p/seed request fields")
+    p.add_argument("--max-new-tokens", type=int, default=64)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--page-size", type=int, default=64)
+    p.add_argument("--num-pages", type=int, default=256)
+    p.add_argument("--max-prompt-len", type=int, default=2048)
+    p.add_argument("--kv-dtype", choices=("native", "int8"),
+                   default="native")
+    p.add_argument("--prefix-cache", action="store_true")
+    p.add_argument("--prefill-chunk", type=int, default=0)
+    p.add_argument("--vision-cache", type=int, default=0)
+    p.add_argument("--speculate", type=int, default=0)
+    p.add_argument("--quantize-weights", action="store_true")
+    p.set_defaults(fn=cmd_serve)
+
     p = sub.add_parser("train",
                        help="SFT on a data-mixture meta JSON -> orbax")
     p.add_argument("--meta", required=True,
@@ -754,6 +906,8 @@ def main() -> None:
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches assembled ahead in a producer thread "
                         "(0 = synchronous)")
+    p.add_argument("--trace-dir", default=None,
+                   help="wrap the step loop in a jax.profiler trace")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args()

@@ -684,3 +684,70 @@ class TestMCLogprobScoring:
         assert mc_candidates({"question_type": "x_movement"}) is None
         # an EMPTY options list is not MC (would crash max() in scoring)
         assert mc_candidates({"question_type": "x", "options": []}) is None
+
+
+class TestServeCLI:
+    def test_serve_stdin_jsonl(self, tmp_path, monkeypatch, capsys):
+        """`python -m multi_spatialmllm_tpu serve`: stdin JSONL requests
+        -> per-request result lines; --stream chunks concatenate to the
+        non-streamed outputs exactly."""
+        import dataclasses
+        import io
+        import json
+        import sys
+
+        import cv2
+
+        from multi_spatialmllm_tpu.__main__ import main
+        from multi_spatialmllm_tpu.parallel.train import save_checkpoint
+
+        tok = SpatialTokenizer()
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=800))
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        save_checkpoint(str(tmp_path / "ckpt"), params)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        rng = np.random.default_rng(9)
+        for i in range(2):
+            cv2.imwrite(str(img_dir / f"{i}.jpg"),
+                        rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+        reqs = [{"id": f"q{i}", "text": "<image>\nWhat is here?",
+                 "image": [f"{i % 2}.jpg"]} for i in range(3)]
+        stdin_text = "\n".join(json.dumps(r) for r in reqs) + "\n"
+
+        base_argv = [
+            "prog", "serve", "--checkpoint", str(tmp_path / "ckpt"),
+            "--config", "tiny", "--vocab-size", "800",
+            "--images-root", str(img_dir), "--max-tiles", "1",
+            "--max-new-tokens", "4", "--slots", "2",
+            "--page-size", "16", "--num-pages", "64",
+            "--max-prompt-len", "128"]
+
+        monkeypatch.setattr(sys, "stdin", io.StringIO(stdin_text))
+        monkeypatch.setattr(sys, "argv", base_argv)
+        main()
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        finals = {r["id"]: r["token_ids"] for r in lines}
+        assert set(finals) == {"q0", "q1", "q2"}
+        assert finals["q0"] == finals["q2"]   # same image+prompt
+
+        monkeypatch.setattr(sys, "stdin", io.StringIO(stdin_text))
+        monkeypatch.setattr(sys, "argv", base_argv + ["--stream"])
+        main()
+        chunks = [json.loads(l) for l in
+                  capsys.readouterr().out.strip().splitlines()]
+        acc: dict = {}
+        done: set = set()
+        for c in chunks:
+            acc.setdefault(c["id"], []).extend(c["delta_ids"])
+            if c["done"]:
+                done.add(c["id"])
+        assert done == set(finals)
+        for rid, toks in finals.items():
+            assert acc[rid] == toks
