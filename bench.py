@@ -67,12 +67,49 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+class section:
+    """Guard a bench section: on failure, record the error and keep
+    going — a flaky tunnel dispatch must not cost the whole capture.
+    The final JSON line always prints with whatever completed."""
+
+    failures: dict[str, str] = {}
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, et, ev, tb):
+        if et is None:
+            return False
+        if et in (KeyboardInterrupt, SystemExit):
+            return False
+        section.failures[self.name] = f"{et.__name__}: {ev}"
+        log(f"SECTION FAILED ({self.name}): {et.__name__}: {ev}")
+        return True
+
+
+# MSM_BENCH_SCALE=smoke shrinks every workload so the FULL bench flow
+# (all sections, same code paths, one JSON line) finishes in minutes on
+# a CPU — a structural check for CI and tunnel-down days. Captured
+# numbers are meaningless at smoke scale; the driver runs full scale.
+SMOKE = __import__("os").environ.get("MSM_BENCH_SCALE", "") == "smoke"
+
+
+def sc(full, smoke):
+    """Pick a workload size by scale."""
+    return smoke if SMOKE else full
+
+
 def main() -> None:
     import jax
 
     import multi_spatialmllm_tpu
 
     multi_spatialmllm_tpu.enable_compilation_cache()
+    if SMOKE:
+        log("MSM_BENCH_SCALE=smoke: structural run, numbers meaningless")
 
     from multi_spatialmllm_tpu.core.scene import SceneStore
     from multi_spatialmllm_tpu.core.synthetic import make_scene
@@ -100,23 +137,26 @@ def main() -> None:
     import tempfile
 
     stages: dict[str, dict] = {}
+    best_rate = None     # headline; stays None if the section fails
 
-    with tempfile.TemporaryDirectory() as tmp:
+    with section("data_engine"), tempfile.TemporaryDirectory() as tmp:
         # -- bench corpus: 40 small scenes (~182K frame pairs) ------------
         t0 = time.perf_counter()
         scenes = [
             make_scene(scene_id=f"bench{i:04d}_00", seed=100 + i,
-                       n_images=96, n_background=4000, n_objects=4,
-                       depth_hw=(24, 32), n_invalid_poses=0)
-            for i in range(40)
+                       n_images=sc(96, 24), n_background=sc(4000, 1000),
+                       n_objects=4, depth_hw=(24, 32), n_invalid_poses=0)
+            for i in range(sc(40, 6))
         ]
         store = SceneStore.write(scenes, f"{tmp}/scenes")
         log(f"scene synthesis: {time.perf_counter() - t0:.1f}s")
 
         # -- stage: visibility, f64 exact-parity, real-scale scene --------
-        real = make_scene(scene_id="real0000_00", seed=7, n_images=296,
-                          n_background=200_000, n_objects=8,
-                          image_hw=(968, 1296), depth_hw=(480, 640),
+        real = make_scene(scene_id="real0000_00", seed=7,
+                          n_images=sc(296, 24),
+                          n_background=sc(200_000, 5000), n_objects=8,
+                          image_hw=sc((968, 1296), (240, 320)),
+                          depth_hw=sc((480, 640), (60, 80)),
                           n_invalid_poses=0)
         t0 = time.perf_counter()
         compute_scene_visibility(real, np.float64)  # compile + warm
@@ -245,12 +285,12 @@ def main() -> None:
         qtypes = ("total_distance", "displacement_vector", "yaw_angle",
                   "x_movement")
         best_rate = 0.0
-        for run in range(4):  # best-of-4: steady-state, tunnel-jitter guard
+        for run in range(sc(4, 2)):  # best-of-N steady state
             total = 0
             t0 = time.perf_counter()
             for qtype in qtypes:
                 total += CM.generate_to_jsonl(
-                    relations, store, qtype, 200_000,
+                    relations, store, qtype, sc(200_000, 2_000),
                     f"{tmp}/{qtype}_train.jsonl", cfg)
             dt = time.perf_counter() - t0
             rate = total / dt
@@ -290,9 +330,9 @@ def main() -> None:
         # (480x640) — the work the reference's 62/s includes.
         ann_scenes = [
             make_scene(scene_id=f"annot{i:04d}_00", seed=300 + i,
-                       n_images=48, n_background=4000, n_objects=4,
-                       image_hw=(480, 640), depth_hw=(120, 160),
-                       n_invalid_poses=0)
+                       n_images=sc(48, 12), n_background=sc(4000, 1500),
+                       n_objects=4, image_hw=(480, 640),
+                       depth_hw=(120, 160), n_invalid_poses=0)
             for i in range(2)
         ]
         ann_store = SceneStore.write(ann_scenes, f"{tmp}/ann_scenes")
@@ -319,8 +359,8 @@ def main() -> None:
         VC.generate_coor_to_coor_to_jsonl(
             relations, store, vindex, f"{tmp}/vc_warm.jsonl", 500, vc_cfg)
         n, rate = best_of_2(lambda: VC.generate_coor_to_coor_to_jsonl(
-            relations, store, vindex, f"{tmp}/vc.jsonl", 50_000,
-            vc_cfg).n_train)
+            relations, store, vindex, f"{tmp}/vc.jsonl",
+            sc(50_000, 2_000), vc_cfg).n_train)
         log(f"correspondence coor->coor: {n} samples -> {rate:,.0f}/s")
         stages["correspondence_coor"] = {
             "value": round(rate, 1), "unit": "samples/s",
@@ -339,9 +379,9 @@ def main() -> None:
             f"{tmp}/vcd_imgs_w", image_provider=provider, config=vcd_cfg)
         n, rate = best_of_2(
             lambda: VC.generate_dot_to_multichoice_to_jsonl(
-                ann_rel, ann_store, ann_index, f"{tmp}/vcd.jsonl", 400,
-                f"{tmp}/vcd_imgs", image_provider=provider,
-                config=vcd_cfg).n_train, passes=3)
+                ann_rel, ann_store, ann_index, f"{tmp}/vcd.jsonl",
+                sc(400, 60), f"{tmp}/vcd_imgs", image_provider=provider,
+                config=vcd_cfg).n_train, passes=sc(3, 2))
         log(f"correspondence dot->multichoice (annotated): {n} samples "
             f"-> {rate:,.0f}/s")
         stages["correspondence_dot_multichoice"] = {
@@ -358,7 +398,7 @@ def main() -> None:
                                               n_groups=4,
                                               points_per_group=10,
                                               n_static=20)
-                   for i in range(8)}
+                   for i in range(sc(8, 3))}
         om_cfg = OM.ObjectMovementConfig(
             question_type="tapvid3d_total_distance", npoints_per_group=15,
             npairs_per_bin=2)
@@ -383,10 +423,12 @@ def main() -> None:
 
         proj_scenes = [
             make_scene(scene_id=f"proj{i:04d}_00", seed=20 + i,
-                       n_images=296, n_background=200_000, n_objects=8,
-                       image_hw=(968, 1296), depth_hw=(480, 640),
+                       n_images=sc(296, 24),
+                       n_background=sc(200_000, 5000), n_objects=8,
+                       image_hw=sc((968, 1296), (240, 320)),
+                       depth_hw=sc((480, 640), (60, 80)),
                        n_invalid_poses=0)
-            for i in range(6)
+            for i in range(sc(6, 2))
         ]
         t0 = time.perf_counter()
         for s in proj_scenes:
@@ -432,89 +474,105 @@ def main() -> None:
     jax.config.update("jax_enable_x64", False)
 
     model_block = {}
-    B, S, TILES, CHAIN = 4, 2048, 2, 8
-    cfg_m = M.bench_1chip_config()
-    batch = M.make_example_batch(cfg_m, batch=B, n_tiles=TILES, seq_len=S)
-    mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
-    t0 = time.perf_counter()
-    model, params, opt_state, tx = init_train_state(
-        cfg_m, TrainConfig(warmup_steps=10), batch, mesh)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    step = make_chained_train_step(model, tx, mesh, CHAIN)
-    params, opt_state, losses = step(params, opt_state, batch)
-    log(f"model init+compile+warm chain: {time.perf_counter() - t0:.1f}s "
-        f"({n_params / 1e6:.0f}M params, warm loss {float(losses[-1]):.2f})")
-    peak = device_peak_flops(jax.devices()[0])
-    flops_step = mllm_train_flops(cfg_m, B, S, TILES)
-    best_step = 1e9
-    for _ in range(3):
+    B, S, TILES, CHAIN = sc(4, 2), sc(2048, 256), sc(2, 1), sc(8, 2)
+    cfg_m = M.tiny_config() if SMOKE else M.bench_1chip_config()
+    with section("model_train"):
+        batch = M.make_example_batch(cfg_m, batch=B, n_tiles=TILES,
+                                     seq_len=S)
+        mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
         t0 = time.perf_counter()
+        model, params, opt_state, tx = init_train_state(
+            cfg_m, TrainConfig(warmup_steps=10), batch, mesh)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        step = make_chained_train_step(model, tx, mesh, CHAIN)
         params, opt_state, losses = step(params, opt_state, batch)
-        float(losses[-1])  # fetch = sync through the tunnel
-        best_step = min(best_step, (time.perf_counter() - t0) / CHAIN)
-    tokens_s = B * S / best_step
-    mfu = flops_step / best_step / peak if peak else None
-    log(f"train step: {best_step * 1e3:.1f} ms, {tokens_s:,.0f} tok/s, "
-        f"MFU {mfu * 100:.1f}%" if mfu else "train step: peak unknown")
-    model_block["train_tokens_per_s"] = round(tokens_s, 1)
-    model_block["train_step_ms"] = round(best_step * 1e3, 1)
-    model_block["mfu"] = round(mfu, 4) if mfu else None
-    model_block["params_m"] = round(n_params / 1e6)
-    del params, opt_state, step, losses
+        log(f"model init+compile+warm chain: "
+            f"{time.perf_counter() - t0:.1f}s "
+            f"({n_params / 1e6:.0f}M params, warm loss "
+            f"{float(losses[-1]):.2f})")
+        peak = device_peak_flops(jax.devices()[0])
+        flops_step = mllm_train_flops(cfg_m, B, S, TILES)
+        best_step = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            params, opt_state, losses = step(params, opt_state, batch)
+            float(losses[-1])  # fetch = sync through the tunnel
+            best_step = min(best_step,
+                            (time.perf_counter() - t0) / CHAIN)
+        tokens_s = B * S / best_step
+        mfu = flops_step / best_step / peak if peak else None
+        log(f"train step: {best_step * 1e3:.1f} ms, {tokens_s:,.0f} "
+            f"tok/s, MFU {mfu * 100:.1f}%" if mfu
+            else "train step: peak unknown")
+        model_block["train_tokens_per_s"] = round(tokens_s, 1)
+        model_block["train_step_ms"] = round(best_step * 1e3, 1)
+        model_block["mfu"] = round(mfu, 4) if mfu else None
+        model_block["params_m"] = round(n_params / 1e6)
+        del params, opt_state, step, losses
 
-    # serving: paged continuous batcher, 8 slots, fused decode kernel
-    smodel = M.MultiFrameMLLM(cfg_m)
-    b0 = M.make_example_batch(cfg_m, batch=1, n_tiles=1, seq_len=512)
-    sparams = jax.jit(smodel.init)(jax.random.key(0), b0["input_ids"],
-                                   b0["tiles"])
-    requests = make_serve_requests(cfg_m, 16)
-    pcfg = bench_paged_config()
-    PagedBatcher(smodel, sparams, pcfg).generate_all(requests[:8])  # warm
-    best_serve = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        outs = PagedBatcher(smodel, sparams, pcfg).generate_all(requests)
-        dts = time.perf_counter() - t0
-        best_serve = max(best_serve,
-                         sum(len(o) for o in outs) / dts)
-    log(f"serving (paged, 8 slots): {best_serve:,.0f} tok/s")
-    model_block["serve_tokens_per_s"] = round(best_serve, 1)
+    with section("model_serving"):
+        # serving: paged continuous batcher, 8 slots, fused decode kernel
+        smodel = M.MultiFrameMLLM(cfg_m)
+        b0 = M.make_example_batch(cfg_m, batch=1, n_tiles=1, seq_len=512)
+        sparams = jax.jit(smodel.init)(jax.random.key(0),
+                                       b0["input_ids"], b0["tiles"])
+        requests = make_serve_requests(cfg_m, sc(16, 6))
+        pcfg = bench_paged_config()
+        PagedBatcher(smodel, sparams, pcfg).generate_all(requests[:8])
+        best_serve = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = PagedBatcher(smodel, sparams,
+                                pcfg).generate_all(requests)
+            dts = time.perf_counter() - t0
+            best_serve = max(best_serve,
+                             sum(len(o) for o in outs) / dts)
+        log(f"serving (paged, 8 slots): {best_serve:,.0f} tok/s")
+        model_block["serve_tokens_per_s"] = round(best_serve, 1)
 
-    # int8 kv pages: half the pool HBM + decode DMA bytes; outputs are
-    # deterministic but not bit-identical to native kv (PagedConfig doc)
-    pcfg8 = bench_paged_config(kv_dtype="int8")
-    PagedBatcher(smodel, sparams, pcfg8).generate_all(requests[:8])  # warm
-    best_serve8 = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        outs = PagedBatcher(smodel, sparams, pcfg8).generate_all(requests)
-        dts = time.perf_counter() - t0
-        best_serve8 = max(best_serve8, sum(len(o) for o in outs) / dts)
-    log(f"serving (paged int8 kv, 8 slots): {best_serve8:,.0f} tok/s")
-    model_block["serve_tokens_per_s_int8"] = round(best_serve8, 1)
+        # int8 kv pages: half the pool HBM + decode DMA bytes; outputs
+        # deterministic but not bit-identical to native kv
+        pcfg8 = bench_paged_config(kv_dtype="int8")
+        PagedBatcher(smodel, sparams, pcfg8).generate_all(requests[:8])
+        best_serve8 = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = PagedBatcher(smodel, sparams,
+                                pcfg8).generate_all(requests)
+            dts = time.perf_counter() - t0
+            best_serve8 = max(best_serve8,
+                              sum(len(o) for o in outs) / dts)
+        log(f"serving (paged int8 kv, 8 slots): {best_serve8:,.0f} tok/s")
+        model_block["serve_tokens_per_s_int8"] = round(best_serve8, 1)
 
-    # eval-campaign mix (4 questions per image) with automatic prefix
-    # caching: the image-context prefill is paid once per image
-    reqs_px = make_serve_requests(cfg_m, 16, questions_per_image=4)
-    pcfg_px = bench_paged_config(prefix_cache=True)
-    PagedBatcher(smodel, sparams, pcfg_px).generate_all(reqs_px[:8])
-    best_px = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        outs = PagedBatcher(smodel, sparams, pcfg_px).generate_all(reqs_px)
-        dts = time.perf_counter() - t0
-        best_px = max(best_px, sum(len(o) for o in outs) / dts)
-    log(f"serving (prefix cache, 4 q/image): {best_px:,.0f} tok/s")
-    model_block["serve_tokens_per_s_prefix"] = round(best_px, 1)
+        # eval-campaign mix (4 questions per image) with automatic prefix
+        # caching: the image-context prefill is paid once per image
+        reqs_px = make_serve_requests(cfg_m, sc(16, 6),
+                                      questions_per_image=sc(4, 2))
+        pcfg_px = bench_paged_config(prefix_cache=True)
+        PagedBatcher(smodel, sparams, pcfg_px).generate_all(reqs_px[:8])
+        best_px = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = PagedBatcher(smodel, sparams,
+                                pcfg_px).generate_all(reqs_px)
+            dts = time.perf_counter() - t0
+            best_px = max(best_px, sum(len(o) for o in outs) / dts)
+        log(f"serving (prefix cache, 4 q/image): {best_px:,.0f} tok/s")
+        model_block["serve_tokens_per_s_prefix"] = round(best_px, 1)
 
-    print(json.dumps({
+    out = {
         "metric": "camera_movement_qa_samples_per_sec",
-        "value": round(best_rate, 1),
+        "value": round(best_rate, 1) if best_rate else None,
         "unit": "samples/s",
-        "vs_baseline": round(best_rate / REF_CAMERA_MOVEMENT, 2),
+        "vs_baseline": round(best_rate / REF_CAMERA_MOVEMENT, 2)
+        if best_rate else None,
         "stages": stages,
         "model": model_block,
-    }))
+    }
+    if section.failures:
+        out["errors"] = section.failures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
