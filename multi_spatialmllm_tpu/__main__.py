@@ -473,6 +473,8 @@ def cmd_serve(args) -> None:
                 temperature=float(rec.get("temperature", 0.0)),
                 top_p=float(rec.get("top_p", 1.0)),
                 seed=int(rec.get("seed", 0))))
+        if "max_new_tokens" in rec:     # per-request budget (<= the cap)
+            req.append(int(rec["max_new_tokens"]))
         return tuple(req)
 
     def emit(obj):

@@ -640,9 +640,12 @@ class PagedBatcher:
     # -- request lifecycle ---------------------------------------------------
 
     def _unpack(self, request):
-        """(ids, tiles[, adapter_name][, SamplingParams]) in any trailing
-        order — an adapter is a str, sampling knobs a SamplingParams."""
-        ids, tiles, adapter, sp = request[0], request[1], None, None
+        """(ids, tiles[, adapter_name][, SamplingParams][, max_new])
+        in any trailing order — an adapter is a str, sampling knobs a
+        SamplingParams, a per-request token budget an int (1 ..
+        config.max_new_tokens, which stays the cap and the default)."""
+        ids, tiles, adapter, sp, max_new = (request[0], request[1],
+                                            None, None, None)
         for extra in request[2:]:
             if isinstance(extra, SamplingParams):
                 sp = extra
@@ -652,11 +655,19 @@ class PagedBatcher:
                         f"unknown adapter {extra!r}; registered: "
                         f"{sorted(self.adapter_index)}")
                 adapter = extra
+            elif isinstance(extra, int) and not isinstance(extra, bool):
+                if not 1 <= extra <= self.config.max_new_tokens:
+                    raise ValueError(
+                        f"per-request max_new_tokens {extra} outside "
+                        f"1..{self.config.max_new_tokens} "
+                        f"(PagedConfig.max_new_tokens is the cap)")
+                max_new = extra
             else:
                 raise TypeError(
-                    f"request extras must be an adapter name (str) or "
-                    f"SamplingParams, got {type(extra).__name__}")
-        return ids, tiles, adapter, sp or SamplingParams()
+                    f"request extras must be an adapter name (str), "
+                    f"SamplingParams, or a max_new_tokens int, got "
+                    f"{type(extra).__name__}")
+        return ids, tiles, adapter, sp or SamplingParams(), max_new
 
     def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles,
                       adapter=None, sp: SamplingParams | None = None):
@@ -799,7 +810,8 @@ class PagedBatcher:
     def generate_all(self, requests) -> list[np.ndarray]:
         """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3])
         plus optional trailing elements: an adapter name (str, see
-        `adapters`) and/or a `SamplingParams` (PagedConfig(sampling=True)).
+        `adapters`), a `SamplingParams` (PagedConfig(sampling=True)),
+        and/or a per-request max_new_tokens int (<= the config cap).
         Returns generated token arrays (cut at eos, <= max_new_tokens),
         in request order. Requests that cannot get prompt pages are
         deferred; a running slot that cannot extend its window is
@@ -845,9 +857,12 @@ class PagedBatcher:
         advance = cfg.chunk * (cfg.speculate + 1)
         stalled = 0  # consecutive loop turns with no decode/finish progress
 
+        budgets = {rid: self._unpack(req)[4] or cfg.max_new_tokens
+                   for rid, req in payload.items()}
+
         def finished(rid):
             toks = results[rid]
-            return (len(toks) >= cfg.max_new_tokens
+            return (len(toks) >= budgets[rid]
                     or (toks and toks[-1] == self.eos_id))
 
         def increment(rid):
@@ -869,8 +884,10 @@ class PagedBatcher:
             for slot in range(cfg.slots):
                 if slot_req[slot] < 0 and queue:
                     rid = queue[0]
-                    first = self._prefill_into(
-                        slot, *self._unpack(payload[rid]))
+                    ids_r, tiles_r, ad_r, sp_r, _ = self._unpack(
+                        payload[rid])
+                    first = self._prefill_into(slot, ids_r, tiles_r,
+                                               ad_r, sp_r)
                     if first is None:           # pool dry: defer refill
                         break
                     queue.pop(0)

@@ -786,7 +786,10 @@ class TestMultiLoRAServing:
         with pytest.raises(ValueError, match="unknown adapter"):
             b.generate_all([(*requests[0], "ad_typo")])
         with pytest.raises(TypeError, match="extras"):
-            b.generate_all([(*requests[0], 7)])
+            b.generate_all([(*requests[0], 7.5)])
+        # per-request budget beyond the pool-shape cap
+        with pytest.raises(ValueError, match="max_new_tokens"):
+            b.generate_all([(*requests[0], 7)])   # cap is 6 here
         # rank mismatch between cfg and trees
         with pytest.raises(ValueError, match="rank"):
             stack_adapters([adapters["ad_a"]], cfg.llm.num_layers,
@@ -1108,3 +1111,39 @@ class TestPagedBatcher:
                            for c in contiguous)
         # 65*16 = 1040 kv rows pooled vs 16*1088 = 17408 reserved
         assert paged_bytes * 10 < contig_bytes
+
+
+class TestPerRequestBudget:
+    """Per-request max_new_tokens: a budgeted request's output is the
+    exact prefix of its unbudgeted greedy output, mixed freely with
+    full-budget rows, composing with speculation and chunked prefill."""
+
+    def _run(self, reqs, **kw):
+        cfg, model, params, _ = _tiny_model_and_requests(1)
+        pcfg = PagedConfig(slots=2, page_size=16, num_pages=64,
+                           max_prompt_len=128, max_new_tokens=8, chunk=2,
+                           length_bucket=64, **kw)
+        return PagedBatcher(model, params, pcfg, pad_id=0,
+                            eos_id=2).generate_all(reqs)
+
+    def test_budget_is_exact_prefix(self):
+        _, _, _, requests = _tiny_model_and_requests(3)
+        full = self._run(list(requests))
+        mixed = self._run([(*requests[0], 3), requests[1],
+                           (*requests[2], 1)])
+        assert len(mixed[0]) == min(3, len(full[0]))
+        np.testing.assert_array_equal(mixed[0], full[0][:3])
+        np.testing.assert_array_equal(mixed[1], full[1])
+        assert len(mixed[2]) == 1
+        np.testing.assert_array_equal(mixed[2], full[2][:1])
+
+    def test_composes_with_speculate_and_chunked(self):
+        _, _, _, requests = _tiny_model_and_requests(2)
+        tagged = [(*requests[0], 5), (*requests[1], 2)]
+        plain = self._run(tagged)
+        spec = self._run(tagged, speculate=3)
+        chunked = self._run(tagged, prefill_chunk=24)
+        for a, b in zip(plain, spec):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(plain, chunked):
+            np.testing.assert_array_equal(a, b)
