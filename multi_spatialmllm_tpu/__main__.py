@@ -567,6 +567,17 @@ def cmd_train(args) -> None:
         assert img is not None, f"unreadable image: {path}"
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
+    if args.validate_only:
+        from .models.mixture import validate_mixture
+
+        report = validate_mixture(entries, image_loader=loader,
+                                  sample=args.validate_sample,
+                                  seed=args.seed)
+        print(json.dumps(report))
+        if not report["ok"]:
+            raise SystemExit(1)
+        return
+
     data_cfg = DataConfig(
         max_seq_len=args.seq_len, max_tiles=args.max_tiles,
         preprocess=PreprocessConfig(
@@ -910,6 +921,12 @@ def main() -> None:
                         "(0 = synchronous)")
     p.add_argument("--trace-dir", default=None,
                    help="wrap the step loop in a jax.profiler trace")
+    p.add_argument("--validate-only", action="store_true",
+                   help="schema-check every record + open sampled "
+                        "images, print the report, and exit (nonzero "
+                        "on issues)")
+    p.add_argument("--validate-sample", type=int, default=200,
+                   help="images opened per dataset in --validate-only")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args()

@@ -165,6 +165,62 @@ def mixture_batches(
     return make(it, tokenizer, model_cfg, image_loader, batch_size, config)
 
 
+def validate_mixture(entries: list[MixtureEntry],
+                     image_loader: Callable | None = None,
+                     sample: int = 200, seed: int = 0) -> dict:
+    """Pre-flight check before a long run: every record of every
+    dataset is schema-checked (conversations present, roles alternate
+    human/gpt starting with human, image placeholder count == image
+    list length), and `sample` random records per dataset additionally
+    get their image paths opened through `image_loader`. Returns
+    {"ok": bool, "issues": [{dataset, row, problem}, ...], "stats":
+    mixture_stats(...)}; issue collection caps at 50 per dataset."""
+    issues: list[dict] = []
+
+    def add(ds, row, problem):
+        if sum(i["dataset"] == ds for i in issues) < 50:
+            issues.append({"dataset": ds, "row": int(row),
+                           "problem": problem})
+
+    for e in entries:
+        ix = JsonlIndex(e.annotation)
+        if len(ix) == 0:
+            add(e.name, -1, "empty annotation file")
+            continue
+        for row in range(len(ix)):
+            try:
+                rec = ix[row]
+            except Exception as exc:  # malformed JSON line
+                add(e.name, row, f"unparseable: {exc}")
+                continue
+            conv = rec.get("conversations")
+            if not isinstance(conv, list) or not conv:
+                add(e.name, row, "missing/empty conversations")
+                continue
+            roles = [m.get("from") for m in conv]
+            want = ["human", "gpt"] * ((len(roles) + 1) // 2)
+            if roles != want[: len(roles)] or len(roles) % 2:
+                add(e.name, row, f"bad role sequence {roles}")
+            n_ph = sum(m.get("value", "").count("<image>") for m in conv)
+            n_img = len(rec.get("image", []))
+            if n_ph != n_img:
+                add(e.name, row,
+                    f"{n_ph} <image> placeholders vs {n_img} images")
+        if image_loader is not None:
+            r = stream(seed, "mixture", e.name, "validate")
+            rows = r.permutation(len(ix))[:sample]
+            for row in rows:
+                for p in ix[int(row)].get("image", []):
+                    full = os.path.join(e.root, p) if e.root else p
+                    try:
+                        img = image_loader(full)
+                        assert img is not None and img.ndim == 3
+                    except Exception as exc:
+                        add(e.name, row, f"unreadable image {p}: {exc}")
+    return {"ok": not issues, "issues": issues,
+            "stats": mixture_stats(entries)}
+
+
 def mixture_stats(entries: list[MixtureEntry]) -> dict:
     """Per-dataset row counts and effective per-epoch share."""
     counts = {e.name: len(JsonlIndex(e.annotation)) for e in entries}

@@ -262,3 +262,75 @@ class TestTrainCLI:
                 if l.startswith("{")][-1]
         assert json.loads(line)["steps"] == 2
         assert os.path.isdir(out)             # merged-params export
+
+
+class TestValidate:
+    def test_validate_mixture_flags_problems(self, meta_dir, tmp_path):
+        from multi_spatialmllm_tpu.models.mixture import validate_mixture
+
+        tmp, mp = meta_dir
+        entries = load_meta(str(mp))
+        # clean schema, but image files don't exist on disk
+        ok_no_images = validate_mixture(entries)      # no image check
+        assert ok_no_images["ok"]
+        bad_loader = validate_mixture(
+            entries, image_loader=lambda p: (_ for _ in ()).throw(
+                FileNotFoundError(p)), sample=2)
+        assert not bad_loader["ok"]
+        assert any("unreadable image" in i["problem"]
+                   for i in bad_loader["issues"])
+
+        # schema problems: bad roles, placeholder/image mismatch
+        bad = tmp_path / "bad.jsonl"
+        recs = [
+            {"id": "a", "image": ["x.jpg"], "conversations": [
+                {"from": "gpt", "value": "answer first"}]},
+            {"id": "b", "image": ["x.jpg", "y.jpg"], "conversations": [
+                {"from": "human", "value": "<image>\nq"},
+                {"from": "gpt", "value": "a"}]},
+            {"id": "c", "conversations": []},
+        ]
+        bad.write_text("\n".join(json.dumps(r) for r in recs))
+        rep = validate_mixture(
+            [load_meta(str(mp))[0].__class__(
+                name="bad", annotation=str(bad))])
+        probs = [i["problem"] for i in rep["issues"]]
+        assert any("role sequence" in p for p in probs)
+        assert any("placeholders" in p for p in probs)
+        assert any("conversations" in p for p in probs)
+
+    def test_train_validate_only_cli(self, tmp_path, monkeypatch,
+                                     capsys):
+        import sys
+
+        import cv2
+
+        import multi_spatialmllm_tpu.__main__ as cli
+
+        (tmp_path / "imgs").mkdir()
+        rng = np.random.default_rng(1)
+        cv2.imwrite(str(tmp_path / "imgs" / "im0.jpg"),
+                    rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+        rec = {"id": "s", "image": ["im0.jpg"], "conversations": [
+            {"from": "human", "value": "<image>\nq?"},
+            {"from": "gpt", "value": "a"}]}
+        (tmp_path / "t.jsonl").write_text(json.dumps(rec) + "\n")
+        (tmp_path / "mix.json").write_text(json.dumps(
+            {"d": {"root": "imgs", "annotation": "t.jsonl"}}))
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "train", "--meta", str(tmp_path / "mix.json"),
+            "--config", "tiny", "--vocab-size", "800",
+            "--validate-only"])
+        cli.main()
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["ok"] and rep["stats"]["epoch_size"] == 1
+
+        # a missing image file makes it exit nonzero
+        rec2 = dict(rec, image=["missing.jpg"])
+        (tmp_path / "t.jsonl").write_text(json.dumps(rec2) + "\n")
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "train", "--meta", str(tmp_path / "mix.json"),
+            "--config", "tiny", "--vocab-size", "800",
+            "--validate-only"])
+        with pytest.raises(SystemExit):
+            cli.main()
