@@ -293,13 +293,24 @@ class ContinuousBatcher:
         self.hist_len = cfg.max_prompt_len + cfg.max_new_tokens + 1
         self.hist = np.full((cfg.slots, self.hist_len), -1, np.int32)
 
-    @staticmethod
-    def _unpack(request):
-        if len(request) == 3:
-            ids, tiles, sp = request
-        else:
-            (ids, tiles), sp = request, SamplingParams()
-        return ids, tiles, sp
+    def _unpack(self, request):
+        """(ids, tiles[, SamplingParams][, max_new_tokens int]) in any
+        trailing order (same surface as PagedBatcher minus adapters)."""
+        ids, tiles, sp, max_new = request[0], request[1], None, None
+        for extra in request[2:]:
+            if isinstance(extra, SamplingParams):
+                sp = extra
+            elif isinstance(extra, int) and not isinstance(extra, bool):
+                if not 1 <= extra <= self.config.max_new_tokens:
+                    raise ValueError(
+                        f"per-request max_new_tokens {extra} outside "
+                        f"1..{self.config.max_new_tokens}")
+                max_new = extra
+            else:
+                raise TypeError(
+                    f"request extras must be SamplingParams or a "
+                    f"max_new_tokens int, got {type(extra).__name__}")
+        return ids, tiles, sp or SamplingParams(), max_new
 
     def _prefill_into(self, slot: int, prompt_ids: np.ndarray, tiles,
                       sp: SamplingParams):
@@ -334,8 +345,9 @@ class ContinuousBatcher:
 
     def generate_all(self, requests) -> list[np.ndarray]:
         """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3])
-        or (prompt_ids, tiles, SamplingParams). Returns generated token
-        arrays (cut at eos, <= max_new_tokens), in request order."""
+        plus optional trailing SamplingParams and/or a per-request
+        max_new_tokens int (<= the config cap, which is the default).
+        Returns generated token arrays (cut at eos), in request order."""
         cfg = self.config
         queue = list(enumerate(requests))
         results: dict[int, list[int]] = {}
@@ -347,16 +359,19 @@ class ContinuousBatcher:
             decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk,
                                       cfg.sampling, cfg.top_k)
 
+        budgets: dict[int, int] = {}
+
         def finished(rid):
             toks = results[rid]
-            return (len(toks) >= cfg.max_new_tokens
+            return (len(toks) >= budgets[rid]
                     or (toks and toks[-1] == self.eos_id))
 
         while queue or any(r >= 0 for r in slot_req):
             for slot in range(cfg.slots):
                 if slot_req[slot] < 0 and queue:
                     rid, request = queue.pop(0)
-                    ids, tiles, sp = self._unpack(request)
+                    ids, tiles, sp, max_new = self._unpack(request)
+                    budgets[rid] = max_new or cfg.max_new_tokens
                     first = self._prefill_into(slot, ids, tiles, sp)
                     slot_req[slot] = rid
                     results[rid] = [first]

@@ -751,3 +751,47 @@ class TestServeCLI:
         assert done == set(finals)
         for rid, toks in finals.items():
             assert acc[rid] == toks
+
+
+class TestContinuousBudget:
+    def test_per_request_budget_prefix_and_validation(self):
+        """ContinuousBatcher: an int request extra caps that request's
+        tokens at the exact prefix of its unbudgeted output (same
+        surface as PagedBatcher)."""
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        cfg = M.tiny_config()
+        model = M.MultiFrameMLLM(cfg)
+        b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), b0["input_ids"],
+                            b0["tiles"])
+        t_img = cfg.tokens_per_tile
+        rng = np.random.default_rng(3)
+        reqs = []
+        for i, n in enumerate((40, 52)):
+            ids = rng.integers(10, cfg.llm.vocab_size,
+                               size=n).astype(np.int32)
+            ids[1:1 + t_img] = cfg.img_context_id
+            tiles = np.asarray(jax.random.normal(
+                jax.random.key(30 + i),
+                (1, cfg.vit.image_size, cfg.vit.image_size, 3),
+                dtype=jnp.float32))
+            reqs.append((ids, tiles))
+        scfg = ServeConfig(slots=2, max_prompt_len=128, max_new_tokens=6,
+                           chunk=2, length_bucket=64)
+
+        def run(rq):
+            return ContinuousBatcher(model, params, scfg, pad_id=0,
+                                     eos_id=2).generate_all(rq)
+
+        full = run(list(reqs))
+        mixed = run([(*reqs[0], 3), reqs[1]])
+        np.testing.assert_array_equal(mixed[0], full[0][:3])
+        np.testing.assert_array_equal(mixed[1], full[1])
+        with pytest.raises(ValueError, match="max_new_tokens"):
+            run([(*reqs[0], 99)])
+        with pytest.raises(TypeError, match="extras"):
+            run([(*reqs[0], 1.5)])
