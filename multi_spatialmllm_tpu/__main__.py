@@ -584,7 +584,9 @@ def cmd_train(args) -> None:
             tile_size=cfg.vit.image_size, max_tiles=args.tiles_per_image,
             resize_hw=None))
     batches = mixture_batches(entries, tok, cfg, loader, args.batch_size,
-                              data_cfg, seed=args.seed, packed=args.packed)
+                              data_cfg, seed=args.seed, packed=args.packed,
+                              shard_index=args.data_shard,
+                              num_shards=args.data_num_shards)
     if args.prefetch:
         from .models.data import prefetch_iterator
 
@@ -927,6 +929,11 @@ def main() -> None:
                         "on issues)")
     p.add_argument("--validate-sample", type=int, default=200,
                    help="images opened per dataset in --validate-only")
+    p.add_argument("--data-shard", type=int, default=0,
+                   help="this host's stride into the epoch order "
+                        "(multi-host input: every host computes the "
+                        "same shuffle, takes order[shard::num])")
+    p.add_argument("--data-num-shards", type=int, default=1)
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args()

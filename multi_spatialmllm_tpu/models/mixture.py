@@ -125,18 +125,27 @@ def epoch_order(counts: list[int], entries: list[MixtureEntry],
 
 def mixture_samples(entries: list[MixtureEntry], seed: int = 0,
                     epochs: int | None = None,
-                    start_epoch: int = 0) -> Iterator[dict]:
+                    start_epoch: int = 0,
+                    shard_index: int = 0,
+                    num_shards: int = 1) -> Iterator[dict]:
     """Stream records across the mixture, epoch by epoch. Each record is
     a copy with its `image` paths joined onto the entry's `root` (so one
     plain file loader serves every dataset) and a `_dataset` tag for
-    bookkeeping. `epochs=None` streams forever."""
+    bookkeeping. `epochs=None` streams forever.
+
+    `num_shards > 1` is the multi-host input pipeline: every host
+    computes the SAME deterministic epoch order and takes its
+    `order[shard_index::num_shards]` stride — disjoint, covering, no
+    coordination or data exchange between hosts."""
+    assert 0 <= shard_index < num_shards, (shard_index, num_shards)
     indices = [JsonlIndex(e.annotation) for e in entries]
     counts = [len(ix) for ix in indices]
     if sum(e.rows_per_epoch(n) for e, n in zip(entries, counts)) == 0:
         raise ValueError("mixture yields zero rows per epoch")
     epoch = start_epoch
     while epochs is None or epoch < start_epoch + epochs:
-        for d, row in epoch_order(counts, entries, seed, epoch):
+        order = epoch_order(counts, entries, seed, epoch)
+        for d, row in order[shard_index::num_shards]:
             rec = dict(indices[d][row])
             e = entries[d]
             if "image" in rec and e.root:
@@ -157,10 +166,14 @@ def mixture_batches(
     seed: int = 0,
     epochs: int | None = None,
     packed: bool = False,
+    shard_index: int = 0,
+    num_shards: int = 1,
 ) -> Iterator[dict]:
     """Batches over the shuffled mixture stream — padded rows by default,
-    sequence-packed rows (`segment_ids`/`positions`) with `packed=True`."""
-    it = mixture_samples(entries, seed=seed, epochs=epochs)
+    sequence-packed rows (`segment_ids`/`positions`) with `packed=True`;
+    `shard_index/num_shards` stride the stream for multi-host input."""
+    it = mixture_samples(entries, seed=seed, epochs=epochs,
+                         shard_index=shard_index, num_shards=num_shards)
     make = packed_batch_iterator if packed else batch_iterator
     return make(it, tokenizer, model_cfg, image_loader, batch_size, config)
 

@@ -334,3 +334,23 @@ class TestValidate:
             "--validate-only"])
         with pytest.raises(SystemExit):
             cli.main()
+
+
+class TestSharding:
+    def test_shards_disjoint_and_covering(self, meta_dir):
+        """Multi-host striding: shards partition each epoch exactly —
+        disjoint, covering, and every host derives them from the same
+        deterministic order with no coordination."""
+        _, mp = meta_dir
+        entries = load_meta(str(mp))
+        whole = [r["id"] for r in mixture_samples(entries, seed=9,
+                                                  epochs=1)]
+        parts = [[r["id"] for r in mixture_samples(
+            entries, seed=9, epochs=1, shard_index=i, num_shards=3)]
+            for i in range(3)]
+        # strided interleave reassembles the exact epoch order
+        rebuilt = [None] * len(whole)
+        for i, part in enumerate(parts):
+            rebuilt[i::3] = part
+        assert rebuilt == whole
+        assert sum(len(p) for p in parts) == len(whole)
