@@ -475,36 +475,56 @@ def cmd_serve(args) -> None:
                 seed=int(rec.get("seed", 0))))
         if "max_new_tokens" in rec:     # per-request budget (<= the cap)
             req.append(int(rec["max_new_tokens"]))
-        return tuple(req)
+        out = tuple(req)
+        batcher._unpack(out)            # front-load enqueue validation
+        return out
 
     def emit(obj):
         print(json.dumps(obj), flush=True)
 
     stdin = sys.stdin
     done = False
+    n_line = 0
     while not done:
-        window: list[dict] = []
+        window: list[dict] = []     # accepted (id, request-tuple) pairs
         while len(window) < args.window:
             line = stdin.readline()
             if not line:
                 done = True
                 break
-            if line.strip():
-                window.append(json.loads(line))
+            if not line.strip():
+                continue
+            n_line += 1
+            # a bad line answers with an error and never kills the
+            # server or the window's other in-flight requests
+            rid_name = f"line{n_line}"
+            try:
+                rec = json.loads(line)
+                if isinstance(rec, dict) and "id" in rec:
+                    rid_name = rec["id"]
+                window.append((rid_name, to_request(rec)))
+            except Exception as exc:
+                emit({"id": rid_name,
+                      "error": f"{type(exc).__name__}: {exc}"})
         if not window:
-            break
-        requests = [to_request(r) for r in window]
+            continue
         acc: dict[int, list[int]] = {i: [] for i in range(len(window))}
-        for rid, toks, fin in batcher.generate_stream(requests):
+        texted: dict[int, str] = {i: "" for i in range(len(window))}
+        for rid, toks, fin in batcher.generate_stream(
+                [r for _, r in window]):
             acc[rid].extend(toks)
             if args.stream and (toks or fin):
-                emit({"id": window[rid].get("id", rid),
+                # decode the CUMULATIVE ids and emit the text suffix:
+                # per-chunk decode would split multi-byte characters /
+                # BPE merges at chunk boundaries
+                full = tok.decode(np.asarray(acc[rid], np.int32))
+                delta, texted[rid] = full[len(texted[rid]):], full
+                emit({"id": window[rid][0],
                       "delta_ids": [int(t) for t in toks],
-                      "delta": tok.decode(np.asarray(toks, np.int32)),
-                      "done": fin})
+                      "delta": delta, "done": fin})
             elif fin:
                 out = np.asarray(acc[rid], dtype=np.int32)
-                emit({"id": window[rid].get("id", rid),
+                emit({"id": window[rid][0],
                       "token_ids": [int(t) for t in out],
                       "text": tok.decode(out)})
     print(json.dumps({"served": True, "stats": batcher.stats}),
@@ -555,6 +575,8 @@ def cmd_train(args) -> None:
         (tok.img_context_id, cfg.img_context_id)
     assert not (args.resume and args.lora_rank), \
         "--resume restores full-finetune opt_state; LoRA runs restart"
+    assert not (args.save_every and not args.output), \
+        "--save-every needs --output"
 
     entries = load_meta(args.meta)
     log = StageLogger("train")
@@ -628,11 +650,13 @@ def cmd_train(args) -> None:
                 opt_state, restored["opt_state"])
             start_step = int(restored["step"])
         else:
-            # params-only init: accepts both a train save (wrapped) and
-            # an import-checkpoint output (bare params tree)
+            # params-only init: a train save wraps the variables as
+            # {"params": vars, "step": ...}; an import-checkpoint
+            # output IS the bare vars ({"params": tree}) — discriminate
+            # on "step", not "params" (the vars dict has that key too)
             raw = restore_checkpoint(path)
             new = raw["params"] if isinstance(raw, dict) \
-                and "params" in raw else raw
+                and "step" in raw else raw
         # commit the restored arrays onto the mesh layout init chose
         params = jax.tree_util.tree_map(
             lambda cur, x: jax.device_put(x, cur.sharding), params, new)
@@ -671,12 +695,25 @@ def cmd_train(args) -> None:
 
     from .utils.profiling import device_trace
 
+    train_stream = itertools.chain([first], batches)
+    if start_step:
+        # resume fast-forward: the mixture replays deterministically, so
+        # skipping the already-trained batches puts the run back at the
+        # exact data position (costs re-encoding those samples once;
+        # training on them again would silently duplicate data while
+        # the LR schedule moved on)
+        t0 = time.perf_counter()
+        for _ in itertools.islice(train_stream, start_step):
+            pass
+        log.event("data_fast_forward", batches=start_step,
+                  seconds=round(time.perf_counter() - t0, 2))
+
     losses = []
     steady_t0 = steady_tokens = steady_steps = 0
+    save_s = 0.0                     # checkpoint time, excluded below
     mark = time.perf_counter()
     with device_trace(args.trace_dir):
-        for step, batch in enumerate(itertools.chain([first], batches),
-                                     start=start_step):
+        for step, batch in enumerate(train_stream, start=start_step):
             if step >= args.steps:
                 break
             if args.lora_rank:
@@ -699,10 +736,14 @@ def cmd_train(args) -> None:
                           step_s=round(now - mark, 4))
             mark = now
             if args.save_every and (step + 1) % args.save_every == 0:
+                t0 = time.perf_counter()
                 save(step + 1)
+                save_s += time.perf_counter() - t0
+                mark = time.perf_counter()
+    steady_end = time.perf_counter()
     if args.output:
         save(min(args.steps, start_step + len(losses)))
-    steady_s = (time.perf_counter() - steady_t0) if steady_steps else 0.0
+    steady_s = (steady_end - steady_t0 - save_s) if steady_steps else 0.0
     print(json.dumps({
         "steps": len(losses),
         "first_loss": losses[0] if losses else None,

@@ -68,7 +68,10 @@ def encode_unpadded(
     config = config or DataConfig()
     tile_stacks = []
     tiles_per_image = []
-    for rel_path in sample["image"]:
+    # text-only records (general instruction data mixed in per the
+    # reference's recipe, README.md:200) carry no "image" key: zero
+    # tiles, no IMG_CONTEXT positions, plain next-token loss
+    for rel_path in sample.get("image", []):
         img = image_loader(rel_path)
         tiles = tile_image(img, config.preprocess)
         tile_stacks.append(tiles)
@@ -99,7 +102,10 @@ def encode_unpadded(
     label_arr = np.asarray(labels, dtype=np.int32)
     # IMG_CONTEXT positions carry no text loss
     label_arr[input_ids == tokenizer.img_context_id] = IGNORE_INDEX
-    return input_ids, label_arr, np.concatenate(tile_stacks, axis=0)
+    ts = config.preprocess.tile_size
+    tiles_out = (np.concatenate(tile_stacks, axis=0) if tile_stacks
+                 else np.zeros((0, ts, ts, 3), dtype=np.float32))
+    return input_ids, label_arr, tiles_out
 
 
 def encode_sample(

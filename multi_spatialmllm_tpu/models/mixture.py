@@ -52,9 +52,13 @@ class MixtureEntry:
 
 class JsonlIndex:
     """Byte-offset index over a JSONL file: one scan at construction,
-    then O(1) random access without holding rows in memory."""
+    then O(1) random access without holding rows in memory. Random
+    access is thread-safe (stats/validation/prefetch producers may
+    share one cached index)."""
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         offsets = []
         with open(path, "rb") as f:
@@ -65,15 +69,32 @@ class JsonlIndex:
                 at += len(line)
         self.offsets = np.asarray(offsets, dtype=np.int64)
         self._f = None
+        self._lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.offsets)
 
     def __getitem__(self, i: int) -> dict:
-        if self._f is None:
-            self._f = open(self.path, "rb")
-        self._f.seek(int(self.offsets[i]))
-        return json.loads(self._f.readline())
+        with self._lock:
+            if self._f is None:
+                self._f = open(self.path, "rb")
+            self._f.seek(int(self.offsets[i]))
+            return json.loads(self._f.readline())
+
+
+_INDEX_CACHE: dict[str, tuple[tuple, JsonlIndex]] = {}
+
+
+def jsonl_index(path: str) -> JsonlIndex:
+    """Cached JsonlIndex keyed by (path, mtime, size): stats,
+    validation, and the sample stream share one scan per file instead
+    of re-indexing a multi-GB annotation three times per run."""
+    st = os.stat(path)
+    sig = (st.st_mtime_ns, st.st_size)
+    hit = _INDEX_CACHE.get(path)
+    if hit is None or hit[0] != sig:
+        _INDEX_CACHE[path] = (sig, JsonlIndex(path))
+    return _INDEX_CACHE[path][1]
 
 
 def load_meta(path: str) -> list[MixtureEntry]:
@@ -138,7 +159,7 @@ def mixture_samples(entries: list[MixtureEntry], seed: int = 0,
     `order[shard_index::num_shards]` stride — disjoint, covering, no
     coordination or data exchange between hosts."""
     assert 0 <= shard_index < num_shards, (shard_index, num_shards)
-    indices = [JsonlIndex(e.annotation) for e in entries]
+    indices = [jsonl_index(e.annotation) for e in entries]
     counts = [len(ix) for ix in indices]
     if sum(e.rows_per_epoch(n) for e, n in zip(entries, counts)) == 0:
         raise ValueError("mixture yields zero rows per epoch")
@@ -196,29 +217,33 @@ def validate_mixture(entries: list[MixtureEntry],
                            "problem": problem})
 
     for e in entries:
-        ix = JsonlIndex(e.annotation)
+        ix = jsonl_index(e.annotation)
         if len(ix) == 0:
             add(e.name, -1, "empty annotation file")
             continue
         for row in range(len(ix)):
             try:
                 rec = ix[row]
-            except Exception as exc:  # malformed JSON line
+                conv = rec.get("conversations")
+                if not isinstance(conv, list) or not conv:
+                    add(e.name, row, "missing/empty conversations")
+                    continue
+                if not all(isinstance(m, dict)
+                           and isinstance(m.get("value"), str)
+                           for m in conv):
+                    add(e.name, row, "non-dict message or non-str value")
+                    continue
+                roles = [m.get("from") for m in conv]
+                want = ["human", "gpt"] * ((len(roles) + 1) // 2)
+                if roles != want[: len(roles)] or len(roles) % 2:
+                    add(e.name, row, f"bad role sequence {roles}")
+                n_ph = sum(m["value"].count("<image>") for m in conv)
+                n_img = len(rec.get("image", []))
+                if n_ph != n_img:
+                    add(e.name, row,
+                        f"{n_ph} <image> placeholders vs {n_img} images")
+            except Exception as exc:  # malformed line must not kill
                 add(e.name, row, f"unparseable: {exc}")
-                continue
-            conv = rec.get("conversations")
-            if not isinstance(conv, list) or not conv:
-                add(e.name, row, "missing/empty conversations")
-                continue
-            roles = [m.get("from") for m in conv]
-            want = ["human", "gpt"] * ((len(roles) + 1) // 2)
-            if roles != want[: len(roles)] or len(roles) % 2:
-                add(e.name, row, f"bad role sequence {roles}")
-            n_ph = sum(m.get("value", "").count("<image>") for m in conv)
-            n_img = len(rec.get("image", []))
-            if n_ph != n_img:
-                add(e.name, row,
-                    f"{n_ph} <image> placeholders vs {n_img} images")
         if image_loader is not None:
             r = stream(seed, "mixture", e.name, "validate")
             rows = r.permutation(len(ix))[:sample]
@@ -236,7 +261,8 @@ def validate_mixture(entries: list[MixtureEntry],
 
 def mixture_stats(entries: list[MixtureEntry]) -> dict:
     """Per-dataset row counts and effective per-epoch share."""
-    counts = {e.name: len(JsonlIndex(e.annotation)) for e in entries}
+    counts = {e.name: len(jsonl_index(e.annotation))
+              for e in entries}
     per_epoch = {e.name: e.rows_per_epoch(counts[e.name])
                  for e in entries}
     total = sum(per_epoch.values())

@@ -838,10 +838,11 @@ class PagedBatcher:
         stream never rewinds, it keeps extending from the streamed
         count)."""
         cfg = self.config
-        payload = dict(enumerate(requests))
-        for req in payload.values():
-            self._unpack(req)           # reject bad extras at enqueue
-        queue = sorted(payload)
+        # one unpack per request: validates extras at enqueue and feeds
+        # both the budget table and the refill prefills below
+        unpacked = {rid: self._unpack(req)
+                    for rid, req in enumerate(requests)}
+        queue = sorted(unpacked)
         results: dict[int, list[int]] = {}
         emitted: dict[int, int] = {}      # clean tokens already yielded
         slot_req = [-1] * cfg.slots
@@ -857,8 +858,8 @@ class PagedBatcher:
         advance = cfg.chunk * (cfg.speculate + 1)
         stalled = 0  # consecutive loop turns with no decode/finish progress
 
-        budgets = {rid: self._unpack(req)[4] or cfg.max_new_tokens
-                   for rid, req in payload.items()}
+        budgets = {rid: u[4] or cfg.max_new_tokens
+                   for rid, u in unpacked.items()}
 
         def finished(rid):
             toks = results[rid]
@@ -884,8 +885,7 @@ class PagedBatcher:
             for slot in range(cfg.slots):
                 if slot_req[slot] < 0 and queue:
                     rid = queue[0]
-                    ids_r, tiles_r, ad_r, sp_r, _ = self._unpack(
-                        payload[rid])
+                    ids_r, tiles_r, ad_r, sp_r, _ = unpacked[rid]
                     first = self._prefill_into(slot, ids_r, tiles_r,
                                                ad_r, sp_r)
                     if first is None:           # pool dry: defer refill

@@ -354,3 +354,124 @@ class TestSharding:
             rebuilt[i::3] = part
         assert rebuilt == whole
         assert sum(len(p) for p in parts) == len(whole)
+
+
+class TestReviewRegressions:
+    """r3 self-review fixes: init-from-import layout, text-only
+    records, malformed-record validation."""
+
+    def test_init_checkpoint_accepts_import_layout(self, tmp_path,
+                                                   monkeypatch, capsys):
+        """--init-checkpoint with an import-checkpoint output (bare
+        {"params": tree} — no "step" wrapper) must warm-start, not
+        crash on a pytree mismatch."""
+        import sys
+
+        import cv2
+        import jax
+        import orbax.checkpoint as ocp
+
+        import multi_spatialmllm_tpu.__main__ as cli
+        from multi_spatialmllm_tpu.models import mllm as M
+
+        (tmp_path / "imgs").mkdir()
+        rng = np.random.default_rng(2)
+        cv2.imwrite(str(tmp_path / "imgs" / "im0.jpg"),
+                    rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+        rec = {"id": "s", "image": ["im0.jpg"], "conversations": [
+            {"from": "human", "value": "<image>\nq?"},
+            {"from": "gpt", "value": "a"}]}
+        (tmp_path / "t.jsonl").write_text(json.dumps(rec) + "\n")
+        (tmp_path / "mix.json").write_text(json.dumps(
+            {"d": {"root": "imgs", "annotation": "t.jsonl"}}))
+
+        import dataclasses
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=800))
+        model = M.MultiFrameMLLM(cfg)
+        b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), b0["input_ids"],
+                            b0["tiles"])
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(tmp_path / "bare"), params)  # import-CLI layout
+        ckptr.wait_until_finished()
+
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "train", "--meta", str(tmp_path / "mix.json"),
+            "--config", "tiny", "--vocab-size", "800", "--steps", "1",
+            "--batch-size", "1", "--seq-len", "128", "--max-tiles", "1",
+            "--tiles-per-image", "1", "--warmup", "1",
+            "--data-parallel", "1", "--log-every", "1",
+            "--init-checkpoint", str(tmp_path / "bare")])
+        cli.main()
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["steps"] == 1
+
+    def test_text_only_records_train(self, tmp_path):
+        """General instruction data (no "image" key) encodes, packs,
+        and batches alongside vision records."""
+        import dataclasses
+
+        from multi_spatialmllm_tpu.models import mllm as M
+        from multi_spatialmllm_tpu.models.data import DataConfig
+        from multi_spatialmllm_tpu.models.preprocess import (
+            PreprocessConfig,
+        )
+        from multi_spatialmllm_tpu.models.tokenizer import SpatialTokenizer
+
+        tok = SpatialTokenizer()
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         vocab_size=tok.vocab_size),
+            img_context_id=tok.img_context_id)
+        (tmp_path / "t.jsonl").write_text("\n".join(json.dumps(r) for r in [
+            {"id": "v", "image": ["a.jpg"], "conversations": [
+                {"from": "human", "value": "<image>\nwhere?"},
+                {"from": "gpt", "value": "left"}]},
+            {"id": "t", "conversations": [
+                {"from": "human", "value": "what is two plus two?"},
+                {"from": "gpt", "value": "four"}]},
+        ]))
+        (tmp_path / "mix.json").write_text(json.dumps(
+            {"d": {"annotation": "t.jsonl"}}))
+        entries = load_meta(str(tmp_path / "mix.json"))
+        # validation accepts both shapes
+        from multi_spatialmllm_tpu.models.mixture import validate_mixture
+        assert validate_mixture(entries)["ok"]
+        rng = np.random.default_rng(0)
+        loader = lambda p: rng.integers(  # noqa: E731
+            0, 255, (64, 96, 3), dtype=np.uint8)
+        dc = DataConfig(max_seq_len=128, max_tiles=1,
+                        preprocess=PreprocessConfig(
+                            tile_size=cfg.vit.image_size, max_tiles=1,
+                            resize_hw=None))
+        bs = list(mixture_batches(entries, tok, cfg, loader, 2, dc,
+                                  seed=0, epochs=1))
+        assert bs and bs[0]["input_ids"].shape[0] == 2
+        # packed: both short records share one row (text-only segment
+        # has zero tiles), so batch_size=1 keeps the single packed row
+        pk = list(mixture_batches(entries, tok, cfg, loader, 1, dc,
+                                  seed=0, epochs=1, packed=True))
+        assert pk and int(pk[0]["segment_ids"].max()) == 2
+
+    def test_validate_handles_malformed_messages(self, tmp_path):
+        from multi_spatialmllm_tpu.models.mixture import (
+            MixtureEntry,
+            validate_mixture,
+        )
+
+        bad = tmp_path / "bad.jsonl"
+        bad.write_text("\n".join([
+            json.dumps({"conversations": [{"from": "human",
+                                           "value": None}]}),
+            json.dumps({"conversations": ["not a dict"]}),
+            json.dumps({"conversations": [
+                {"from": "human", "value": "ok?"},
+                {"from": "gpt", "value": "ok"}]}),
+        ]))
+        rep = validate_mixture(
+            [MixtureEntry(name="b", annotation=str(bad))])
+        assert not rep["ok"]
+        assert len(rep["issues"]) == 2      # third record is clean

@@ -795,3 +795,59 @@ class TestContinuousBudget:
             run([(*reqs[0], 99)])
         with pytest.raises(TypeError, match="extras"):
             run([(*reqs[0], 1.5)])
+
+
+class TestServeErrors:
+    def test_bad_lines_answered_not_fatal(self, tmp_path, monkeypatch,
+                                          capsys):
+        """Malformed JSON / out-of-range budgets get per-request error
+        replies; the window's good requests still serve (review r3)."""
+        import dataclasses
+        import io
+        import json
+        import sys
+
+        import cv2
+
+        from multi_spatialmllm_tpu.__main__ import main
+        from multi_spatialmllm_tpu.parallel.train import save_checkpoint
+
+        tok = SpatialTokenizer()
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, vocab_size=800))
+        model = M.MultiFrameMLLM(cfg)
+        b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=64)
+        params = model.init(jax.random.key(0), b0["input_ids"],
+                            b0["tiles"])
+        save_checkpoint(str(tmp_path / "ckpt"), params)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        cv2.imwrite(str(img_dir / "0.jpg"),
+                    np.random.default_rng(0).integers(
+                        0, 255, (96, 128, 3), dtype=np.uint8))
+        good = {"id": "ok", "text": "<image>\nWhat?", "image": ["0.jpg"]}
+        lines = [
+            "this is not json",
+            json.dumps({**good, "id": "big", "max_new_tokens": 999}),
+            json.dumps({"id": "noimg", "text": "<image>\nQ?",
+                        "image": ["missing.jpg"]}),
+            json.dumps(good),
+        ]
+        monkeypatch.setattr(sys, "stdin",
+                            io.StringIO("\n".join(lines) + "\n"))
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "serve", "--checkpoint", str(tmp_path / "ckpt"),
+            "--config", "tiny", "--vocab-size", "800",
+            "--images-root", str(img_dir), "--max-tiles", "1",
+            "--max-new-tokens", "4", "--slots", "2",
+            "--page-size", "16", "--num-pages", "64",
+            "--max-prompt-len", "128"])
+        main()
+        out = [json.loads(l) for l in
+               capsys.readouterr().out.strip().splitlines()]
+        by_id = {r["id"]: r for r in out}
+        assert "error" in by_id["line1"]          # unparseable line
+        assert "max_new_tokens" in by_id["big"]["error"]
+        assert "unreadable image" in by_id["noimg"]["error"]
+        assert by_id["ok"]["token_ids"]           # still served
