@@ -556,7 +556,6 @@ def cmd_train(args) -> None:
         init_train_state,
         make_train_step,
         restore_checkpoint,
-        save_checkpoint,
     )
     from .utils.logging import StageLogger
 
@@ -682,13 +681,17 @@ def cmd_train(args) -> None:
                                   accum_steps=args.accum)
 
     def save(step):
+        from .parallel.train import save_checkpoint_rolling
+
         out = os.path.abspath(args.output)
         if args.lora_rank:
-            save_checkpoint(out, merge_lora(params, lora, lcfg),
-                            step=step)
+            where = save_checkpoint_rolling(
+                out, merge_lora(params, lora, lcfg), step=step,
+                keep=args.keep)
         else:
-            save_checkpoint(out, params, opt_state, step=step)
-        log.event("checkpoint", path=out, step=step)
+            where = save_checkpoint_rolling(out, params, opt_state,
+                                            step=step, keep=args.keep)
+        log.event("checkpoint", path=where, step=step)
 
     import itertools
     import time
@@ -932,8 +935,12 @@ def main() -> None:
     p.add_argument("--resume", action="store_true",
                    help="also restore opt_state + step from "
                         "--init-checkpoint (full-finetune saves only)")
-    p.add_argument("--output", default=None, help="orbax checkpoint dir")
+    p.add_argument("--output", default=None,
+                   help="checkpoint root: rolling step_N dirs + LATEST "
+                        "pointer (crash-safe; restore resolves it)")
     p.add_argument("--save-every", type=int, default=0)
+    p.add_argument("--keep", type=int, default=2,
+                   help="rolling checkpoints retained under --output")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=4096)

@@ -11,6 +11,7 @@ state, zero-init identity, mergeable export).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Callable
 
 import jax
@@ -228,8 +229,40 @@ def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
     ckptr.wait_until_finished()
 
 
+def save_checkpoint_rolling(root: str, params, opt_state=None,
+                            step: int = 0, keep: int = 2) -> str:
+    """Crash-safe rolling saves: each checkpoint lands in its own
+    `{root}/step_{N}` directory, `{root}/LATEST` flips to it only after
+    the save completes, and older step dirs beyond `keep` are pruned —
+    an interrupted save can never destroy the previous good checkpoint
+    (unlike an in-place overwrite). Returns the step dir."""
+    import shutil
+
+    os.makedirs(root, exist_ok=True)
+    out = os.path.join(os.path.abspath(root), f"step_{step:08d}")
+    save_checkpoint(out, params, opt_state, step=step)
+    tmp = os.path.join(root, "LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"step_{step:08d}\n")
+    os.replace(tmp, os.path.join(root, "LATEST"))
+    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+    for stale in steps[:-keep] if keep else []:
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    return out
+
+
+def resolve_checkpoint(path: str) -> str:
+    """Accept either a plain orbax directory or a rolling-save root
+    (resolves `{path}/LATEST` to its step dir)."""
+    latest = os.path.join(path, "LATEST")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            return os.path.join(path, f.read().strip())
+    return path
+
+
 def restore_checkpoint(path: str, like=None):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, like)
+    return ckptr.restore(resolve_checkpoint(path), like)

@@ -475,3 +475,31 @@ class TestReviewRegressions:
             [MixtureEntry(name="b", annotation=str(bad))])
         assert not rep["ok"]
         assert len(rep["issues"]) == 2      # third record is clean
+
+
+class TestRollingCheckpoints:
+    def test_rolling_save_prune_and_resolve(self, tmp_path):
+        import jax
+
+        from multi_spatialmllm_tpu.parallel.train import (
+            resolve_checkpoint,
+            restore_checkpoint,
+            save_checkpoint_rolling,
+        )
+
+        params = {"w": jax.numpy.arange(4.0)}
+        root = str(tmp_path / "ckpts")
+        for step in (1, 2, 3):
+            save_checkpoint_rolling(root, {"w": params["w"] * step},
+                                    step=step, keep=2)
+        dirs = sorted(d for d in os.listdir(root)
+                      if d.startswith("step_"))
+        assert dirs == ["step_00000002", "step_00000003"]  # pruned to 2
+        assert resolve_checkpoint(root).endswith("step_00000003")
+        got = restore_checkpoint(root)
+        np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                      np.arange(4.0) * 3)
+        assert int(got["step"]) == 3
+        # a plain orbax dir (no LATEST) resolves to itself
+        direct = os.path.join(root, "step_00000002")
+        assert resolve_checkpoint(direct) == direct
