@@ -451,7 +451,8 @@ def cmd_serve(args) -> None:
                     vision_cache=args.vision_cache,
                     speculate=args.speculate,
                     sampling=args.sampling),
-        pad_id=tok.pad_id, eos_id=tok.eos_id)
+        pad_id=tok.pad_id, eos_id=tok.eos_id,
+        stop_ids=tuple(args.stop_id or ()))
 
     def loader(path):
         import cv2
@@ -917,6 +918,9 @@ def main() -> None:
     p.add_argument("--vision-cache", type=int, default=0)
     p.add_argument("--speculate", type=int, default=0)
     p.add_argument("--quantize-weights", action="store_true")
+    p.add_argument("--stop-id", type=int, action="append",
+                   help="extra stop token id (repeatable; eos always "
+                        "stops)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("train",

@@ -492,17 +492,20 @@ class PagedBatcher:
     def __init__(self, model: MultiFrameMLLM, params,
                  config: PagedConfig | None = None,
                  pad_id: int = 0, eos_id: int = 2,
-                 adapters: dict | None = None, lora_config=None):
+                 adapters: dict | None = None, lora_config=None,
+                 stop_ids: tuple = ()):
         """`adapters`: optional {name: adapter_tree} of LoRA adapters
         (parallel/lora.init_lora structure) served UNMERGED per request
         (parallel/lora_serving): a request tuple may carry an adapter
         name as its third element; one batch mixes adapters and base
-        rows freely."""
+        rows freely. `stop_ids`: extra token ids that terminate like
+        eos (first stop wins, excluded from the output)."""
         self.model = model
         self.params = params
         self.config = config or PagedConfig()
         self.pad_id = pad_id
         self.eos_id = eos_id
+        self.stop_ids = frozenset({int(eos_id), *map(int, stop_ids)})
         cfg = self.config
         assert not (cfg.speculate and cfg.sampling), \
             "speculative decoding is greedy-exact; disable sampling"
@@ -864,12 +867,13 @@ class PagedBatcher:
         def finished(rid):
             toks = results[rid]
             return (len(toks) >= budgets[rid]
-                    or (toks and toks[-1] == self.eos_id))
+                    or (toks and toks[-1] in self.stop_ids))
 
         def increment(rid):
             toks = results[rid]
-            if self.eos_id in toks:
-                toks = toks[: toks.index(self.eos_id)]
+            cut = [i for i, t in enumerate(toks) if t in self.stop_ids]
+            if cut:
+                toks = toks[: cut[0]]
             new = toks[emitted.get(rid, 0):]
             emitted[rid] = max(emitted.get(rid, 0), len(toks))
             return new

@@ -268,12 +268,18 @@ class ContinuousBatcher:
 
     def __init__(self, model: MultiFrameMLLM, params,
                  config: ServeConfig | None = None,
-                 pad_id: int = 0, eos_id: int = 2):
+                 pad_id: int = 0, eos_id: int = 2,
+                 stop_ids: tuple = ()):
+        """`stop_ids`: extra token ids that terminate a request like
+        eos does (HF chat models often stop on <|im_end|> AND </s>);
+        generation halts at whichever appears first, stop token
+        excluded from the output."""
         self.model = model
         self.params = params
         self.config = config or ServeConfig()
         self.pad_id = pad_id
         self.eos_id = eos_id
+        self.stop_ids = frozenset({int(eos_id), *map(int, stop_ids)})
         cfg = self.config
         assert not (cfg.speculate and cfg.sampling), \
             "speculative decoding is greedy-exact; disable sampling"
@@ -364,7 +370,7 @@ class ContinuousBatcher:
         def finished(rid):
             toks = results[rid]
             return (len(toks) >= budgets[rid]
-                    or (toks and toks[-1] == self.eos_id))
+                    or (toks and toks[-1] in self.stop_ids))
 
         while queue or any(r >= 0 for r in slot_req):
             for slot in range(cfg.slots):
@@ -423,7 +429,8 @@ class ContinuousBatcher:
         out = []
         for rid in sorted(results):
             toks = results[rid]
-            if self.eos_id in toks:
-                toks = toks[: toks.index(self.eos_id)]
+            cut = [i for i, t in enumerate(toks) if t in self.stop_ids]
+            if cut:
+                toks = toks[: cut[0]]
             out.append(np.asarray(toks, dtype=np.int32))
         return out

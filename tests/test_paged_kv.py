@@ -1147,3 +1147,40 @@ class TestPerRequestBudget:
             np.testing.assert_array_equal(a, b)
         for a, b in zip(plain, chunked):
             np.testing.assert_array_equal(a, b)
+
+
+class TestStopIds:
+    """Extra stop tokens terminate like eos across both batchers: the
+    output is the unstopped run cut at the first stop token."""
+
+    def test_stop_set_cuts_both_batchers(self):
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        cfg, model, params, requests = _tiny_model_and_requests(3)
+        pcfg = PagedConfig(slots=2, page_size=16, num_pages=64,
+                           max_prompt_len=128, max_new_tokens=8, chunk=2,
+                           length_bucket=64)
+        scfg = ServeConfig(slots=2, max_prompt_len=128, max_new_tokens=8,
+                           chunk=2, length_bucket=64)
+        base = PagedBatcher(model, params, pcfg, pad_id=0,
+                            eos_id=2).generate_all(list(requests))
+        # pick a token that actually occurs mid-stream in some output
+        stop = next(int(t) for out in base for t in out[:-1])
+
+        def cut(seq):
+            seq = list(map(int, seq))
+            return seq[: seq.index(stop)] if stop in seq else seq
+
+        paged = PagedBatcher(model, params, pcfg, pad_id=0, eos_id=2,
+                             stop_ids=(stop,)).generate_all(
+                                 list(requests))
+        contig = ContinuousBatcher(model, params, scfg, pad_id=0,
+                                   eos_id=2, stop_ids=(stop,)
+                                   ).generate_all(list(requests))
+        for b, p, c in zip(base, paged, contig):
+            assert list(map(int, p)) == cut(b)
+            assert list(map(int, c)) == cut(b)
+        assert any(len(p) < len(b) for p, b in zip(paged, base))
