@@ -681,6 +681,43 @@ def cmd_train(args) -> None:
         step_fn = make_train_step(model, tx, mesh,
                                   accum_steps=args.accum)
 
+    eval_samples = []
+    if args.eval_jsonl:
+        with open(args.eval_jsonl) as f:
+            eval_samples = [json.loads(line) for line in f
+                            if line.strip()]
+        if args.eval_limit:
+            eval_samples = eval_samples[: args.eval_limit]
+
+    def eval_loader(path):
+        import cv2
+
+        img = cv2.imread(os.path.join(args.eval_images_root, path))
+        assert img is not None, f"unreadable image: {path}"
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    eval_done = {}                  # step -> accuracy (avoid repeats)
+
+    def run_eval_now(step):
+        from .models.runner import EvalRunConfig, run_eval
+
+        if step in eval_done:
+            return eval_done[step]
+        p = params
+        if args.lora_rank:
+            from .parallel.lora import merge_lora as _ml
+
+            p = _ml(params, lora, lcfg)
+        rep = run_eval(
+            model, p, tok, eval_samples, eval_loader,
+            EvalRunConfig(max_new_tokens=args.eval_max_new_tokens,
+                          mc_logprob=args.mc_logprob, data=data_cfg),
+            batch_size=min(len(eval_samples), args.batch_size))
+        log.event("eval", step=step, accuracy=round(rep["accuracy"], 4),
+                  count=rep["count"])
+        eval_done[step] = rep["accuracy"]
+        return rep["accuracy"]
+
     def save(step):
         from .parallel.train import save_checkpoint_rolling
 
@@ -744,14 +781,23 @@ def cmd_train(args) -> None:
                 save(step + 1)
                 save_s += time.perf_counter() - t0
                 mark = time.perf_counter()
+            if eval_samples and args.eval_every \
+                    and (step + 1) % args.eval_every == 0:
+                t0 = time.perf_counter()
+                run_eval_now(step + 1)
+                save_s += time.perf_counter() - t0   # exclude from rate
+                mark = time.perf_counter()
     steady_end = time.perf_counter()
     if args.output:
         save(min(args.steps, start_step + len(losses)))
+    final_acc = run_eval_now(start_step + len(losses)) \
+        if eval_samples else None
     steady_s = (steady_end - steady_t0 - save_s) if steady_steps else 0.0
     print(json.dumps({
         "steps": len(losses),
         "first_loss": losses[0] if losses else None,
         "last_loss": losses[-1] if losses else None,
+        "eval_accuracy": final_acc,
         "devices": len(jax.devices()), "mesh": dict(mesh.shape),
         # steady-state (post-compile) throughput; padded token count
         "steps_per_s": round(steady_steps / steady_s, 4)
@@ -986,6 +1032,16 @@ def main() -> None:
                         "(multi-host input: every host computes the "
                         "same shuffle, takes order[shard::num])")
     p.add_argument("--data-num-shards", type=int, default=1)
+    p.add_argument("--eval-jsonl", default=None,
+                   help="held-out eval records: scored after training "
+                        "and every --eval-every steps (accuracy in the "
+                        "log and summary)")
+    p.add_argument("--eval-every", type=int, default=0)
+    p.add_argument("--eval-images-root", default=".")
+    p.add_argument("--eval-limit", type=int, default=0)
+    p.add_argument("--eval-max-new-tokens", type=int, default=24)
+    p.add_argument("--mc-logprob", action="store_true",
+                   help="score MC eval records by candidate logprob")
     p.set_defaults(fn=cmd_train)
 
     args = parser.parse_args()

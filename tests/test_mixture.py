@@ -503,3 +503,53 @@ class TestRollingCheckpoints:
         # a plain orbax dir (no LATEST) resolves to itself
         direct = os.path.join(root, "step_00000002")
         assert resolve_checkpoint(direct) == direct
+
+
+class TestTrainEval:
+    def test_train_with_periodic_eval(self, tmp_path, monkeypatch,
+                                      capsys):
+        """--eval-jsonl/--eval-every score held-out records during and
+        after training; summary carries eval_accuracy."""
+        import sys
+
+        import cv2
+
+        import multi_spatialmllm_tpu.__main__ as cli
+
+        (tmp_path / "imgs").mkdir()
+        rng = np.random.default_rng(7)
+        recs, evals = [], []
+        for i in range(4):
+            name = f"im{i}.jpg"
+            cv2.imwrite(str(tmp_path / "imgs" / name),
+                        rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            recs.append({"id": f"s{i}", "image": [name],
+                         "conversations": [
+                             {"from": "human", "value": "<image>\nq?"},
+                             {"from": "gpt", "value": f"{i} mm"}]})
+            evals.append({"id": f"e{i}", "image": [name],
+                          "text": "<image>\nq?",
+                          "question_type": "depth_estimation_coor",
+                          "gt_value": 100 + i,
+                          "height_list": [64], "width_list": [96]})
+        (tmp_path / "t.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs))
+        (tmp_path / "e.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in evals))
+        (tmp_path / "mix.json").write_text(json.dumps(
+            {"d": {"root": "imgs", "annotation": "t.jsonl"}}))
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "train", "--meta", str(tmp_path / "mix.json"),
+            "--config", "tiny", "--vocab-size", "800", "--steps", "2",
+            "--batch-size", "2", "--seq-len", "128", "--max-tiles", "1",
+            "--tiles-per-image", "1", "--warmup", "1",
+            "--data-parallel", "1", "--log-every", "1",
+            "--eval-jsonl", str(tmp_path / "e.jsonl"),
+            "--eval-images-root", str(tmp_path / "imgs"),
+            "--eval-every", "1", "--eval-limit", "2",
+            "--eval-max-new-tokens", "4"])
+        cli.main()
+        captured = capsys.readouterr()
+        rep = json.loads(captured.out.strip().splitlines()[-1])
+        assert rep["eval_accuracy"] is not None
+        assert captured.err.count("[train] eval") == 2   # no repeat
