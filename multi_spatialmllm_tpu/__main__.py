@@ -749,9 +749,14 @@ def cmd_train(args) -> None:
         log.event("data_fast_forward", batches=start_step,
                   seconds=round(time.perf_counter() - t0, 2))
 
+    # losses stay DEVICE scalars between log points: fetching every step
+    # would sync the pipeline once per step (a 30-50 ms round trip over
+    # the dev tunnel; a dispatch bubble even on a local host). Only log
+    # points and the final summary materialize them.
     losses = []
     steady_t0 = steady_tokens = steady_steps = 0
-    save_s = 0.0                     # checkpoint time, excluded below
+    interval_steps = 0
+    save_s = 0.0                     # checkpoint/eval time, excluded
     mark = time.perf_counter()
     with device_trace(args.trace_dir):
         for step, batch in enumerate(train_stream, start=start_step):
@@ -763,19 +768,23 @@ def cmd_train(args) -> None:
             else:
                 params, opt_state, metrics = step_fn(params, opt_state,
                                                      batch)
-            loss = float(metrics["loss"])   # fetch = step completed
-            losses.append(loss)
-            now = time.perf_counter()
+            losses.append(metrics["loss"])  # device scalar, no sync
+            interval_steps += 1
             if len(losses) == 1:            # step 0 paid the compile
-                steady_t0, mark = now, now
+                float(losses[0])            # sync once post-compile
+                steady_t0 = mark = time.perf_counter()
+                interval_steps = 0
             else:
                 steady_tokens += int(np.prod(batch["input_ids"].shape))
                 steady_steps += 1
             if step % args.log_every == 0 or step == args.steps - 1:
+                loss = float(losses[-1])    # sync: interval completed
+                now = time.perf_counter()
                 log.event("step", step=step, loss=round(loss, 6),
                           grad_norm=round(float(metrics["grad_norm"]), 6),
-                          step_s=round(now - mark, 4))
-            mark = now
+                          step_s=round((now - mark)
+                                       / max(interval_steps, 1), 4))
+                mark, interval_steps = now, 0
             if args.save_every and (step + 1) % args.save_every == 0:
                 t0 = time.perf_counter()
                 save(step + 1)
@@ -787,7 +796,10 @@ def cmd_train(args) -> None:
                 run_eval_now(step + 1)
                 save_s += time.perf_counter() - t0   # exclude from rate
                 mark = time.perf_counter()
+    if losses:
+        float(losses[-1])                   # final sync before timing
     steady_end = time.perf_counter()
+    losses = [float(x) for x in losses]
     if args.output:
         save(min(args.steps, start_step + len(losses)))
     final_acc = run_eval_now(start_step + len(losses)) \
