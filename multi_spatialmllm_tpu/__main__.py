@@ -483,12 +483,27 @@ def cmd_serve(args) -> None:
     def emit(obj):
         print(json.dumps(obj), flush=True)
 
+    def more_buffered(stdin) -> bool:
+        """True when another line can be read without blocking (pipes /
+        files; falls back to blocking reads where select is unusable)."""
+        import select
+
+        try:
+            return bool(select.select([stdin], [], [], 0)[0])
+        except (OSError, ValueError):
+            return True
+
     stdin = sys.stdin
     done = False
     n_line = 0
     while not done:
         window: list[dict] = []     # accepted (id, request-tuple) pairs
         while len(window) < args.window:
+            # block for the first request of a window, then only drain
+            # what is already buffered — a slow producer must not stall
+            # generation for requests that have arrived
+            if window and not more_buffered(stdin):
+                break
             line = stdin.readline()
             if not line:
                 done = True
