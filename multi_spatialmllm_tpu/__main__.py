@@ -365,7 +365,8 @@ def cmd_eval(args) -> None:
                         prefix_cache=args.prefix_cache,
                         prefill_chunk=args.prefill_chunk,
                         vision_cache=args.vision_cache,
-                        speculate=args.speculate),
+                        speculate=args.speculate,
+                        logprobs=args.logprobs),
             pad_id=tok.pad_id, eos_id=tok.eos_id)
     per_engine = {}
     predictions = {}
@@ -450,7 +451,8 @@ def cmd_serve(args) -> None:
                     prefill_chunk=args.prefill_chunk,
                     vision_cache=args.vision_cache,
                     speculate=args.speculate,
-                    sampling=args.sampling),
+                    sampling=args.sampling,
+                    logprobs=args.logprobs),
         pad_id=tok.pad_id, eos_id=tok.eos_id,
         stop_ids=tuple(args.stop_id or ()))
 
@@ -529,20 +531,28 @@ def cmd_serve(args) -> None:
         for rid, toks, fin in batcher.generate_stream(
                 [r for _, r in window]):
             acc[rid].extend(toks)
+            lp = (batcher.request_logprobs.get(rid)
+                  if args.logprobs and fin else None)
             if args.stream and (toks or fin):
                 # decode the CUMULATIVE ids and emit the text suffix:
                 # per-chunk decode would split multi-byte characters /
                 # BPE merges at chunk boundaries
                 full = tok.decode(np.asarray(acc[rid], np.int32))
                 delta, texted[rid] = full[len(texted[rid]):], full
-                emit({"id": window[rid][0],
-                      "delta_ids": [int(t) for t in toks],
-                      "delta": delta, "done": fin})
+                rec_out = {"id": window[rid][0],
+                           "delta_ids": [int(t) for t in toks],
+                           "delta": delta, "done": fin}
+                if lp is not None:
+                    rec_out["logprobs"] = [round(x, 5) for x in lp]
+                emit(rec_out)
             elif fin:
                 out = np.asarray(acc[rid], dtype=np.int32)
-                emit({"id": window[rid][0],
-                      "token_ids": [int(t) for t in out],
-                      "text": tok.decode(out)})
+                rec_out = {"id": window[rid][0],
+                           "token_ids": [int(t) for t in out],
+                           "text": tok.decode(out)}
+                if lp is not None:
+                    rec_out["logprobs"] = [round(x, 5) for x in lp]
+                emit(rec_out)
     print(json.dumps({"served": True, "stats": batcher.stats}),
           file=sys.stderr)
 
@@ -960,6 +970,9 @@ def main() -> None:
     p.add_argument("--prefix-cache", action="store_true")
     p.add_argument("--prefill-chunk", type=int, default=0)
     p.add_argument("--vision-cache", type=int, default=0)
+    p.add_argument("--logprobs", action="store_true",
+                   help="report per-sample mean token logprob "
+                        "(report['confidences']) — paged only")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("serve",
@@ -994,6 +1007,8 @@ def main() -> None:
     p.add_argument("--stop-id", type=int, action="append",
                    help="extra stop token id (repeatable; eos always "
                         "stops)")
+    p.add_argument("--logprobs", action="store_true",
+                   help="attach per-token logprobs to each result")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("train",

@@ -99,6 +99,14 @@ class PagedConfig:
     # exact argmax. Mutually exclusive with speculate (greedy-exact).
     sampling: bool = False
     top_k: int | None = None       # static top-k when sampling
+    # record each emitted token's f32 log-softmax probability under the
+    # raw logits (predictive confidence; for greedy rows this is the
+    # max log-prob, for sampled rows the model's probability of the
+    # drawn token before temperature/top-p shaping). Read them from
+    # `batcher.request_logprobs[rid]` after the request finishes —
+    # aligned 1:1 with the returned (stop-cut) tokens. Mutually
+    # exclusive with speculate.
+    logprobs: bool = False
 
     @property
     def max_len(self) -> int:
@@ -260,7 +268,8 @@ def _splice_embeds_fn(model: MultiFrameMLLM, t: int, pad_to: int):
 
 @functools.lru_cache(maxsize=16)
 def _prefill_chunk_fn(model: MultiFrameMLLM, c: int,
-                      sampling: bool = False, top_k: int | None = None):
+                      sampling: bool = False, top_k: int | None = None,
+                      logprobs: bool = False):
     """One fixed-size prefill chunk over the paged pools: rows
     `[start, start+c)` of the padded embeds forward through the decoder
     (multi-token paged gather path — per-row position masks, kv rows
@@ -293,7 +302,12 @@ def _prefill_chunk_fn(model: MultiFrameMLLM, c: int,
                          jnp.broadcast_to(top_p, (c,)))
         else:
             toks = jnp.argmax(logits[0], axis=-1)
-        return toks.astype(jnp.int32), pools
+        toks = toks.astype(jnp.int32)
+        if logprobs:
+            from .serving import _token_logprob
+
+            return toks, _token_logprob(logits[0], toks[:, None]), pools
+        return toks, pools
 
     return fn
 
@@ -301,7 +315,8 @@ def _prefill_chunk_fn(model: MultiFrameMLLM, c: int,
 @functools.lru_cache(maxsize=64)
 def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
                       n_shared_pages: int, t_total: int,
-                      sampling: bool = False, top_k: int | None = None):
+                      sampling: bool = False, top_k: int | None = None,
+                      logprobs: bool = False):
     """Prefill resumed after a prefix-cache hit: gather the shared
     pages into a contiguous row cache, run ONLY the suffix tokens
     through the chunked-decode branch (llm.py's per-row `[B]` cache
@@ -358,6 +373,11 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
                           top_p[None])[:, None]
         else:
             first = jnp.argmax(last, axis=-1)[:, None]
+        first_lp = None
+        if logprobs:
+            from .serving import _token_logprob
+
+            first_lp = _token_logprob(last, first)
 
         def to_pages(rows):             # [1, KVH, t_total, hd] suffix part
             r = jnp.pad(rows[0, :, shared:], ((0, 0), (0, pad), (0, 0)))
@@ -379,6 +399,8 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
             new["v_pages"] = pool["v_pages"].at[suf_page_ids].set(
                 vr.astype(pool["v_pages"].dtype))
             out.append(new)
+        if logprobs:
+            return first, first_lp, out
         return first, out
 
     return jax.jit(fn, donate_argnums=(1,))
@@ -387,7 +409,8 @@ def _prefix_resume_fn(model: MultiFrameMLLM, page_size: int,
 @functools.lru_cache(maxsize=16)
 def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
                            sampling: bool = False,
-                           top_k: int | None = None):
+                           top_k: int | None = None,
+                           logprobs: bool = False):
     """`chunk` decode steps for every slot in one dispatch over the paged
     pools. positions is `[B]`; the page table is fixed for the whole
     chunk (the host pre-extends coverage before dispatch). With sampling,
@@ -413,7 +436,11 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
                           top_p)[:, None]
         else:
             token = jnp.argmax(logits[:, -1], axis=-1)[:, None]
-        return token, pools
+        if logprobs:
+            from .serving import _token_logprob
+
+            return token, _token_logprob(logits[:, -1], token), pools
+        return token, None, pools
 
     @functools.partial(jax.jit, donate_argnums=(3,))
     def run(params, last_token, positions, pools, page_table, lora=None,
@@ -422,15 +449,20 @@ def _paged_decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
 
         def body(carry, _):
             token, positions, pools = carry
-            token, pools = step(params, token, positions, pools,
-                                page_table, lora, temperature, top_p,
-                                seed)
+            token, lp, pools = step(params, token, positions, pools,
+                                    page_table, lora, temperature,
+                                    top_p, seed)
+            out = token[:, 0].astype(jnp.int32)
             return (token.astype(jnp.int32), positions + 1, pools), \
-                token[:, 0].astype(jnp.int32)
+                ((out, lp) if logprobs else out)
 
-        (token, positions, pools), toks = jax.lax.scan(
+        (token, positions, pools), outs = jax.lax.scan(
             body, (last_token, positions, pools), None, length=chunk)
-        return jnp.transpose(toks), token, positions, pools
+        if logprobs:
+            toks, lps = outs
+            return (jnp.transpose(toks), jnp.transpose(lps), token,
+                    positions, pools)
+        return jnp.transpose(outs), token, positions, pools
 
     return run
 
@@ -509,6 +541,11 @@ class PagedBatcher:
         cfg = self.config
         assert not (cfg.speculate and cfg.sampling), \
             "speculative decoding is greedy-exact; disable sampling"
+        assert not (cfg.speculate and cfg.logprobs), \
+            "logprobs are not recorded on the speculative path"
+        # rid -> [f32 logprob per returned token] for the most recent
+        # generate_all/generate_stream call (cfg.logprobs)
+        self.request_logprobs: dict[int, list[float]] = {}
         self.lora_tables = None
         self.adapter_index: dict = {}
         if adapters:
@@ -761,30 +798,49 @@ class PagedBatcher:
                     self.params, jnp.asarray(ids), jnp.asarray(tiles[None]))
             pt_row = jnp.asarray(self.page_table[slot][None])
             chunk_fn = _prefill_chunk_fn(self.model, c, cfg.sampling,
-                                         cfg.top_k)
+                                         cfg.top_k, cfg.logprobs)
             for i in range(m):
-                toks, self.pools = chunk_fn(
-                    self.params, emb,
-                    jnp.asarray(start + i * c, jnp.int32),
-                    self.pools, pt_row, lora=lora1, **samp)
+                if cfg.logprobs:
+                    toks, lps, self.pools = chunk_fn(
+                        self.params, emb,
+                        jnp.asarray(start + i * c, jnp.int32),
+                        self.pools, pt_row, lora=lora1, **samp)
+                else:
+                    toks, self.pools = chunk_fn(
+                        self.params, emb,
+                        jnp.asarray(start + i * c, jnp.int32),
+                        self.pools, pt_row, lora=lora1, **samp)
             first_row = (int(true_len) - 1) - (start + (m - 1) * c)
             first = np.asarray(toks)[first_row][None, None]
+            if cfg.logprobs:
+                first_lp = float(np.asarray(lps)[first_row])
         elif j:
-            first, self.pools = _prefix_resume_fn(
-                self.model, ps, j, t, cfg.sampling, cfg.top_k)(
+            out = _prefix_resume_fn(
+                self.model, ps, j, t, cfg.sampling, cfg.top_k,
+                cfg.logprobs)(
                 self.params, self.pools,
                 jnp.asarray(shared, dtype=jnp.int32),
                 jnp.asarray(fresh[: n_cover - j], dtype=jnp.int32),
                 jnp.asarray(ids), jnp.asarray(true_len), lora=lora1,
                 **samp)
+            if cfg.logprobs:
+                first, lp_arr, self.pools = out
+                first_lp = float(np.asarray(lp_arr)[0])
+            else:
+                first, self.pools = out
         else:
-            first, row_caches = _prefill_one_fn(
-                self.model, t, cfg.sampling, cfg.top_k)(
+            out = _prefill_one_fn(
+                self.model, t, cfg.sampling, cfg.top_k, cfg.logprobs)(
                 self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
                 jnp.asarray(true_len),
                 jnp.asarray(sp.temperature, jnp.float32),
                 jnp.asarray(sp.top_p, jnp.float32),
                 jnp.asarray(sp.seed, jnp.int32), lora=lora1)
+            if cfg.logprobs:
+                first, lp_arr, row_caches = out
+                first_lp = float(np.asarray(lp_arr)[0])
+            else:
+                first, row_caches = out
             self.pools = _paged_insert_fn(self.model, ps, n_cover, t)(
                 self.pools, row_caches,
                 jnp.asarray(pages, dtype=jnp.int32))
@@ -808,7 +864,8 @@ class PagedBatcher:
             self.hist[slot, :] = -1
             self.hist[slot, : len(prompt_ids)] = prompt_ids
             self.hist[slot, int(true_len)] = int(first[0, 0])
-        return int(first[0, 0])
+        return (int(first[0, 0]),
+                first_lp if cfg.logprobs else None)
 
     def generate_all(self, requests) -> list[np.ndarray]:
         """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3])
@@ -847,6 +904,8 @@ class PagedBatcher:
                     for rid, req in enumerate(requests)}
         queue = sorted(unpacked)
         results: dict[int, list[int]] = {}
+        lprobs: dict[int, list[float]] = {}
+        self.request_logprobs = {}
         emitted: dict[int, int] = {}      # clean tokens already yielded
         slot_req = [-1] * cfg.slots
         if cfg.speculate:
@@ -855,7 +914,7 @@ class PagedBatcher:
         else:
             decode = _paged_decode_chunk_fn(self.model, cfg.slots,
                                             cfg.chunk, cfg.sampling,
-                                            cfg.top_k)
+                                            cfg.top_k, cfg.logprobs)
         # logical positions covered per dispatch (a speculative
         # iteration writes up to speculate rows past its last emit)
         advance = cfg.chunk * (cfg.speculate + 1)
@@ -869,11 +928,12 @@ class PagedBatcher:
             return (len(toks) >= budgets[rid]
                     or (toks and toks[-1] in self.stop_ids))
 
-        def increment(rid):
-            toks = results[rid]
+        def _cut_len(toks):
             cut = [i for i, t in enumerate(toks) if t in self.stop_ids]
-            if cut:
-                toks = toks[: cut[0]]
+            return cut[0] if cut else len(toks)
+
+        def increment(rid):
+            toks = results[rid][: _cut_len(results[rid])]
             new = toks[emitted.get(rid, 0):]
             emitted[rid] = max(emitted.get(rid, 0), len(toks))
             return new
@@ -890,14 +950,19 @@ class PagedBatcher:
                 if slot_req[slot] < 0 and queue:
                     rid = queue[0]
                     ids_r, tiles_r, ad_r, sp_r, _ = unpacked[rid]
-                    first = self._prefill_into(slot, ids_r, tiles_r,
-                                               ad_r, sp_r)
-                    if first is None:           # pool dry: defer refill
+                    got = self._prefill_into(slot, ids_r, tiles_r,
+                                             ad_r, sp_r)
+                    if got is None:             # pool dry: defer refill
                         break
+                    first, first_lp = got
                     queue.pop(0)
                     slot_req[slot] = rid
                     results[rid] = [first]
+                    lprobs[rid] = [first_lp]
                     done = finished(rid)
+                    if done and cfg.logprobs:
+                        self.request_logprobs[rid] = \
+                            lprobs[rid][: _cut_len(results[rid])]
                     yield rid, increment(rid), done
                     if done:
                         stalled = 0
@@ -913,6 +978,7 @@ class PagedBatcher:
                 if not self._extend_to(slot, horizon):
                     queue.insert(0, rid)        # preempt: retry from prefill
                     del results[rid]
+                    lprobs.pop(rid, None)
                     slot_req[slot] = -1
                     self._free_slot(slot)
             if not any(r >= 0 for r in slot_req):
@@ -933,10 +999,17 @@ class PagedBatcher:
                     dsamp = {"temperature": jnp.asarray(self.temperature),
                              "top_p": jnp.asarray(self.top_p),
                              "seed": jnp.asarray(self.seed)}
-                toks, last, positions, self.pools = decode(
-                    self.params, jnp.asarray(self.last_token),
-                    jnp.asarray(self.positions), self.pools,
-                    jnp.asarray(self.page_table), lora=lora, **dsamp)
+                if cfg.logprobs:
+                    toks, dlps, last, positions, self.pools = decode(
+                        self.params, jnp.asarray(self.last_token),
+                        jnp.asarray(self.positions), self.pools,
+                        jnp.asarray(self.page_table), lora=lora, **dsamp)
+                    dlps = np.asarray(dlps)
+                else:
+                    toks, last, positions, self.pools = decode(
+                        self.params, jnp.asarray(self.last_token),
+                        jnp.asarray(self.positions), self.pools,
+                        jnp.asarray(self.page_table), lora=lora, **dsamp)
                 stalled = 0
                 toks = np.asarray(toks)
                 self.last_token = np.array(last)
@@ -965,11 +1038,16 @@ class PagedBatcher:
                         if finished(rid):
                             break
                 else:
-                    for tok in toks[slot]:
+                    for i, tok in enumerate(toks[slot]):
                         if finished(rid):
                             break
                         results[rid].append(int(tok))
+                        if cfg.logprobs:
+                            lprobs[rid].append(float(dlps[slot, i]))
                 done = finished(rid)
+                if done and cfg.logprobs:
+                    self.request_logprobs[rid] = \
+                        lprobs[rid][: _cut_len(results[rid])]
                 yield rid, increment(rid), done
                 if done:
                     slot_req[slot] = -1

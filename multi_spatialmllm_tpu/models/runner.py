@@ -270,6 +270,10 @@ def predict_with_batcher(
     `PagedConfig(prefix_cache=True)` pays the image-context prefill
     once per image; `speculate`/`kv_dtype` compose the same way. The
     batcher's own config governs max_new_tokens and decode behavior.
+
+    Returns (texts, confidences): `confidences` is the per-sample mean
+    token logprob when the batcher runs with `logprobs=True` (None for
+    empty outputs), else None.
     """
     assert batcher.eos_id == tokenizer.eos_id, \
         (batcher.eos_id, tokenizer.eos_id)
@@ -283,7 +287,12 @@ def predict_with_batcher(
                                tiles_per_image)
         requests.append((np.asarray(ids, dtype=np.int32), tiles))
     outs = batcher.generate_all(requests)     # eos-cut, request order
-    return [tokenizer.decode(np.asarray(o)) for o in outs]
+    confs = None
+    if getattr(batcher.config, "logprobs", False):
+        lps = batcher.request_logprobs
+        confs = [float(np.mean(lps[rid])) if lps.get(rid) else None
+                 for rid in range(len(requests))]
+    return [tokenizer.decode(np.asarray(o)) for o in outs], confs
 
 
 def run_eval(
@@ -301,16 +310,23 @@ def run_eval(
     plus the raw predictions under "predictions". `batch_size > 1` uses
     the batched serving path (per-row prompt lengths) in chunks;
     `batcher` routes the whole campaign through a continuous/paged
-    batcher instead (see predict_with_batcher)."""
+    batcher instead (see predict_with_batcher). A batcher running with
+    `logprobs=True` additionally yields report["confidences"]: per
+    sample, the mean token logprob of its decoded answer (None for
+    MC-logprob-scored records and empty outputs) plus the aggregate
+    "mean_token_logprob"."""
     config = config or EvalRunConfig()
     samples = list(samples)
+    batcher_confs: list | None = None
 
     def decode_all(subset: list[dict]) -> list[str]:
+        nonlocal batcher_confs
         if not subset:
             return []
         if batcher is not None:
-            return predict_with_batcher(
+            texts, batcher_confs = predict_with_batcher(
                 batcher, tokenizer, subset, image_loader, config)
+            return texts
         if batch_size <= 1:
             return [predict_sample(model, params, tokenizer, s,
                                    image_loader, config)
@@ -338,4 +354,12 @@ def run_eval(
             predictions.append(next(rest_pred))
     report = evaluate(samples, predictions, score_config)
     report["predictions"] = predictions
+    if batcher_confs is not None:
+        conf_iter = iter(batcher_confs)
+        confidences = [None if i in mc_set else next(conf_iter)
+                       for i in range(len(samples))]
+        known = [c for c in confidences if c is not None]
+        report["confidences"] = confidences
+        report["mean_token_logprob"] = (
+            float(np.mean(known)) if known else None)
     return report

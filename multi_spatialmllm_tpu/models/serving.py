@@ -64,6 +64,12 @@ class ServeConfig:
     #   with this many draft tokens per forward (greedy only — tokens
     #   stay BIT-identical to the plain batcher; each chunk iteration
     #   then emits 1..speculate+1 tokens per slot instead of exactly 1)
+    # record each emitted token's f32 log-softmax probability under the
+    # raw logits (see PagedConfig.logprobs — same semantics). Read
+    # `batcher.request_logprobs[rid]` after generate_all, aligned 1:1
+    # with the returned (stop-cut) tokens. Mutually exclusive with
+    # speculate.
+    logprobs: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,10 +91,21 @@ def _row_keys(seed, positions):
             seed, positions)
 
 
+def _token_logprob(logits, token):
+    """f32 log-softmax of `logits` `[B, V]` at `token` `[B, 1]` — the
+    predictive confidence of the emitted token (for greedy this is the
+    max log-probability; for sampled tokens it is the model's
+    probability of the drawn token BEFORE temperature/top-p shaping)."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, token, axis=-1)[..., 0]
+
+
 @functools.lru_cache(maxsize=16)
 def _prefill_one_fn(model: MultiFrameMLLM, prompt_len: int,
-                    sampling: bool = False, top_k: int | None = None):
-    """B=1 prefill at a bucketed prompt length -> (first token, caches)."""
+                    sampling: bool = False, top_k: int | None = None,
+                    logprobs: bool = False):
+    """B=1 prefill at a bucketed prompt length -> (first token, caches)
+    (+ the first token's logprob when `logprobs`)."""
 
     def fn(params, ids, tiles, true_len, temperature, top_p, seed,
            lora=None):
@@ -104,6 +121,8 @@ def _prefill_one_fn(model: MultiFrameMLLM, prompt_len: int,
                           top_p[None])[:, None]
         else:
             first = jnp.argmax(last, axis=-1)[:, None]
+        if logprobs:
+            return first, _token_logprob(last, first), caches
         return first, caches
 
     return jax.jit(fn)
@@ -131,12 +150,14 @@ def _insert_slot_fn(model: MultiFrameMLLM, n_slots: int, max_len: int,
 
 @functools.lru_cache(maxsize=16)
 def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
-                     sampling: bool = False, top_k: int | None = None):
+                     sampling: bool = False, top_k: int | None = None,
+                     logprobs: bool = False):
     """`chunk` decode steps for every slot in one dispatch.
 
     positions is `[B]` (per-slot cache index); returns the `[B, chunk]`
-    tokens and updated caches/positions. Inactive slots decode whatever
-    their cache holds — the host discards those tokens.
+    tokens and updated caches/positions (plus `[B, chunk]` f32 logprobs
+    when `logprobs`). Inactive slots decode whatever their cache holds —
+    the host discards those tokens.
     """
 
     @functools.partial(jax.jit, donate_argnums=(3,))
@@ -158,12 +179,18 @@ def _decode_chunk_fn(model: MultiFrameMLLM, n_slots: int, chunk: int,
                               top_p)[:, None]
             else:
                 token = jnp.argmax(logits, axis=-1)[:, None]
-            return (token.astype(jnp.int32), positions + 1, caches), \
-                token[:, 0].astype(jnp.int32)
+            out = token[:, 0].astype(jnp.int32)
+            if logprobs:
+                out = (out, _token_logprob(logits, token))
+            return (token.astype(jnp.int32), positions + 1, caches), out
 
-        (token, positions, caches), toks = jax.lax.scan(
+        (token, positions, caches), outs = jax.lax.scan(
             body, (last_token, positions, caches), None, length=chunk)
-        return jnp.transpose(toks), token, positions, caches
+        if logprobs:
+            toks, lps = outs
+            return (jnp.transpose(toks), jnp.transpose(lps), token,
+                    positions, caches)
+        return jnp.transpose(outs), token, positions, caches
 
     return run
 
@@ -283,6 +310,11 @@ class ContinuousBatcher:
         cfg = self.config
         assert not (cfg.speculate and cfg.sampling), \
             "speculative decoding is greedy-exact; disable sampling"
+        assert not (cfg.speculate and cfg.logprobs), \
+            "logprobs are not recorded on the speculative path"
+        # rid -> [f32 logprob per returned token] for the most recent
+        # generate_all call (cfg.logprobs)
+        self.request_logprobs: dict[int, list[float]] = {}
         # speculation margin: an unfinished slot one token from its
         # max_new limit still dispatches a full t = speculate+1 verify
         # chain, whose kv rows must not clamp into earlier valid rows
@@ -328,13 +360,17 @@ class ContinuousBatcher:
         t = ids.shape[1]
         assert t <= cfg.max_prompt_len, (t, cfg.max_prompt_len)
         true_len = np.int32(len(prompt_ids))
-        first, row_caches = _prefill_one_fn(
-            self.model, t, cfg.sampling, cfg.top_k)(
+        out = _prefill_one_fn(
+            self.model, t, cfg.sampling, cfg.top_k, cfg.logprobs)(
                 self.params, jnp.asarray(ids), jnp.asarray(tiles[None]),
                 jnp.asarray(true_len),
                 jnp.asarray(sp.temperature, jnp.float32),
                 jnp.asarray(sp.top_p, jnp.float32),
                 jnp.asarray(sp.seed, jnp.int32))
+        if cfg.logprobs:
+            first, first_lp, row_caches = out
+        else:
+            (first, row_caches), first_lp = out, None
         self.caches = _insert_slot_fn(
             self.model, cfg.slots, self.max_len, t)(
                 self.caches, row_caches, jnp.asarray(slot, jnp.int32))
@@ -347,7 +383,8 @@ class ContinuousBatcher:
             self.hist[slot, :] = -1
             self.hist[slot, : len(prompt_ids)] = prompt_ids
             self.hist[slot, int(true_len)] = int(first[0, 0])
-        return int(first[0, 0])
+        return int(first[0, 0]), (
+            float(np.asarray(first_lp)[0]) if cfg.logprobs else None)
 
     def generate_all(self, requests) -> list[np.ndarray]:
         """requests: iterable of (prompt_ids int32 [T], tiles [n,H,W,3])
@@ -357,13 +394,16 @@ class ContinuousBatcher:
         cfg = self.config
         queue = list(enumerate(requests))
         results: dict[int, list[int]] = {}
+        lprobs: dict[int, list[float]] = {}
+        self.request_logprobs = {}
         slot_req = [-1] * cfg.slots      # request id per slot (-1 = free)
         if cfg.speculate:
             decode = _spec_chunk_fn(self.model, cfg.slots, cfg.chunk,
                                     cfg.speculate, self.hist_len)
         else:
             decode = _decode_chunk_fn(self.model, cfg.slots, cfg.chunk,
-                                      cfg.sampling, cfg.top_k)
+                                      cfg.sampling, cfg.top_k,
+                                      cfg.logprobs)
 
         budgets: dict[int, int] = {}
 
@@ -378,9 +418,11 @@ class ContinuousBatcher:
                     rid, request = queue.pop(0)
                     ids, tiles, sp, max_new = self._unpack(request)
                     budgets[rid] = max_new or cfg.max_new_tokens
-                    first = self._prefill_into(slot, ids, tiles, sp)
+                    first, first_lp = self._prefill_into(slot, ids,
+                                                         tiles, sp)
                     slot_req[slot] = rid
                     results[rid] = [first]
+                    lprobs[rid] = [first_lp]
                     if finished(rid):
                         slot_req[slot] = -1
             if not any(r >= 0 for r in slot_req):
@@ -406,11 +448,19 @@ class ContinuousBatcher:
                     if finished(rid):
                         slot_req[slot] = -1
                 continue
-            toks, last, positions, self.caches = decode(
-                self.params, jnp.asarray(self.last_token),
-                jnp.asarray(self.positions), self.caches,
-                jnp.asarray(self.temperature), jnp.asarray(self.top_p),
-                jnp.asarray(self.seed))
+            if cfg.logprobs:
+                toks, dlps, last, positions, self.caches = decode(
+                    self.params, jnp.asarray(self.last_token),
+                    jnp.asarray(self.positions), self.caches,
+                    jnp.asarray(self.temperature),
+                    jnp.asarray(self.top_p), jnp.asarray(self.seed))
+                dlps = np.asarray(dlps)
+            else:
+                toks, last, positions, self.caches = decode(
+                    self.params, jnp.asarray(self.last_token),
+                    jnp.asarray(self.positions), self.caches,
+                    jnp.asarray(self.temperature),
+                    jnp.asarray(self.top_p), jnp.asarray(self.seed))
             toks = np.asarray(toks)
             # writable copies: host mutates per-slot state on refill
             self.last_token = np.array(last)
@@ -419,10 +469,12 @@ class ContinuousBatcher:
                 rid = slot_req[slot]
                 if rid < 0:
                     continue
-                for tok in toks[slot]:
+                for i, tok in enumerate(toks[slot]):
                     if finished(rid):
                         break
                     results[rid].append(int(tok))
+                    if cfg.logprobs:
+                        lprobs[rid].append(float(dlps[slot, i]))
                 if finished(rid):
                     slot_req[slot] = -1   # refilled next loop iteration
 
@@ -430,7 +482,8 @@ class ContinuousBatcher:
         for rid in sorted(results):
             toks = results[rid]
             cut = [i for i, t in enumerate(toks) if t in self.stop_ids]
-            if cut:
-                toks = toks[: cut[0]]
-            out.append(np.asarray(toks, dtype=np.int32))
+            n = cut[0] if cut else len(toks)
+            if cfg.logprobs:
+                self.request_logprobs[rid] = lprobs[rid][:n]
+            out.append(np.asarray(toks[:n], dtype=np.int32))
         return out

@@ -3,6 +3,8 @@ continuous batcher, pool-pressure deferral/preemption, and the
 too-small-pool guard. (The reference has no serving stack — this
 subsystem is beyond-reference; see models/paged_kv.py.)"""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1184,3 +1186,96 @@ class TestStopIds:
             assert list(map(int, p)) == cut(b)
             assert list(map(int, c)) == cut(b)
         assert any(len(p) < len(b) for p, b in zip(paged, base))
+
+
+class TestLogprobs:
+    """PagedConfig(logprobs=True): per-emitted-token f32 log-softmax
+    confidences in batcher.request_logprobs, aligned with the returned
+    tokens, without changing the tokens themselves."""
+
+    def _pcfg(self, **kw):
+        return PagedConfig(slots=2, page_size=16, num_pages=64,
+                           max_prompt_len=128, max_new_tokens=6, chunk=2,
+                           length_bucket=64, **kw)
+
+    def test_tokens_unchanged_and_oracle_values(self):
+        from multi_spatialmllm_tpu.models.llm import init_cache
+
+        cfg, model, params, requests = _tiny_model_and_requests(3)
+        base = PagedBatcher(model, params, self._pcfg(), pad_id=0,
+                            eos_id=2).generate_all(list(requests))
+        b = PagedBatcher(model, params, self._pcfg(logprobs=True),
+                         pad_id=0, eos_id=2)
+        got = b.generate_all(list(requests))
+        for g, w in zip(got, base):
+            np.testing.assert_array_equal(g, w)     # tokens unchanged
+        for rid, (ids, tiles) in enumerate(requests):
+            lps = b.request_logprobs[rid]
+            toks = got[rid]
+            assert len(lps) == len(toks)
+            # teacher-forced oracle: full forward over prompt+output
+            row = np.concatenate([ids, np.asarray(toks, np.int32)])
+            row = pad_to_bucket(row[None], 64, 0)
+            logits, _ = model.apply(
+                params, jnp.asarray(row), jnp.asarray(tiles[None]),
+                init_cache(cfg.llm, 1, row.shape[1]),
+                jnp.asarray(row.shape[1]), method=model.prefill)
+            lp_all = np.asarray(jax.nn.log_softmax(
+                np.asarray(logits, np.float32), axis=-1))
+            # cache-incremental decode reassociates vs the one-shot
+            # teacher-forced forward -> small logit drift, not bitwise
+            for i, t in enumerate(toks):
+                want = lp_all[0, len(ids) - 1 + i, int(t)]
+                np.testing.assert_allclose(lps[i], want, atol=5e-2)
+
+    def test_composes_with_chunked_prefix_and_sampling(self):
+        from multi_spatialmllm_tpu.models.serving import SamplingParams
+
+        cfg, model, params, requests = _tiny_model_and_requests(3)
+        b = PagedBatcher(model, params,
+                         self._pcfg(logprobs=True, prefill_chunk=16,
+                                    prefix_cache=True, sampling=True),
+                         pad_id=0, eos_id=2)
+        tagged = [requests[0],
+                  (*requests[0], SamplingParams(temperature=3.0, seed=4)),
+                  requests[1]]
+        outs = b.generate_all(tagged)
+        for rid, out in enumerate(outs):
+            lps = b.request_logprobs[rid]
+            assert len(lps) == len(out)
+            assert all(np.isfinite(lp) and lp <= 0.0 for lp in lps)
+        # repeat request 0's prompt -> prefix-cache resume also records
+        outs2 = b.generate_all([requests[0]])
+        assert b.stats["prefill_resumed"] >= 1
+        assert len(b.request_logprobs[0]) == len(outs2[0])
+
+    def test_continuous_batcher_parity(self):
+        """ServeConfig(logprobs=True): same semantics on the contiguous
+        batcher — tokens unchanged, and (tokens being bit-identical
+        across batchers) logprobs match the paged batcher's to float
+        tolerance (contiguous vs paged kv layouts reassociate)."""
+        from multi_spatialmllm_tpu.models.serving import (
+            ContinuousBatcher,
+            ServeConfig,
+        )
+
+        _, model, params, requests = _tiny_model_and_requests(3)
+        scfg = ServeConfig(slots=2, max_prompt_len=128, max_new_tokens=6,
+                           chunk=2, length_bucket=64)
+        base = ContinuousBatcher(
+            model, params, scfg, pad_id=0,
+            eos_id=2).generate_all(list(requests))
+        c = ContinuousBatcher(
+            model, params, dataclasses.replace(scfg, logprobs=True),
+            pad_id=0, eos_id=2)
+        got = c.generate_all(list(requests))
+        p = PagedBatcher(model, params, self._pcfg(logprobs=True),
+                         pad_id=0, eos_id=2)
+        pgot = p.generate_all(list(requests))
+        for rid, (g, w, pg) in enumerate(zip(got, base, pgot)):
+            np.testing.assert_array_equal(g, w)     # tokens unchanged
+            np.testing.assert_array_equal(g, pg)    # cross-batcher
+            lps = c.request_logprobs[rid]
+            assert len(lps) == len(g)
+            np.testing.assert_allclose(lps, p.request_logprobs[rid],
+                                       atol=5e-2)

@@ -1,5 +1,7 @@
 """Eval runner tests: padded prefill correctness + end-to-end scoring."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -421,6 +423,41 @@ class TestEvalThroughBatcher:
         # (slot scheduling may resume the rest off the shared pages)
         assert batcher.stats["prefill_resumed"] >= len(samples) - 2
         assert batcher.stats["pages_reused"] > 0
+
+    def test_logprobs_confidences_in_report(self):
+        """A batcher with logprobs=True surfaces report['confidences']
+        (per-sample mean token logprob, finite <= 0, predictions
+        unchanged) and the aggregate mean_token_logprob."""
+        from multi_spatialmllm_tpu.models.paged_kv import (
+            PagedBatcher,
+            PagedConfig,
+        )
+        from multi_spatialmllm_tpu.models.runner import run_eval
+
+        tok, model, params, samples, loader, run_cfg = self._setup()
+        pcfg = PagedConfig(slots=2, page_size=16, num_pages=64,
+                           max_prompt_len=160, max_new_tokens=5, chunk=2,
+                           length_bucket=32)
+        base = run_eval(model, params, tok, samples, loader, run_cfg,
+                        batcher=PagedBatcher(model, params, pcfg,
+                                             pad_id=tok.pad_id,
+                                             eos_id=tok.eos_id))
+        assert "confidences" not in base
+        rep = run_eval(
+            model, params, tok, samples, loader, run_cfg,
+            batcher=PagedBatcher(
+                model, params,
+                dataclasses.replace(pcfg, logprobs=True),
+                pad_id=tok.pad_id, eos_id=tok.eos_id))
+        assert rep["predictions"] == base["predictions"]
+        confs = rep["confidences"]
+        assert len(confs) == len(samples)
+        assert all(c is None or (np.isfinite(c) and c <= 0.0)
+                   for c in confs)
+        known = [c for c in confs if c is not None]
+        assert known, "all outputs empty?"
+        np.testing.assert_allclose(rep["mean_token_logprob"],
+                                   np.mean(known))
 
 
 class TestEvalCLI:
