@@ -640,13 +640,21 @@ def cmd_train(args) -> None:
         batches = prefetch_iterator(batches, depth=args.prefetch)
     first = next(batches)
 
+    if args.moe_experts:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm,
+                                         moe_experts=args.moe_experts))
     devices = None
     if args.data_parallel:          # explicit shape: use that many chips
         devices = jax.devices()[: args.data_parallel
-                                * args.model_parallel * args.seq_parallel]
+                                * args.model_parallel * args.seq_parallel
+                                * args.expert_parallel]
     mesh = make_mesh(n_data=args.data_parallel or None,
                      n_model=args.model_parallel,
-                     n_seq=args.seq_parallel, devices=devices)
+                     n_seq=args.seq_parallel,
+                     n_expert=args.expert_parallel, devices=devices)
     train_cfg = TrainConfig(learning_rate=args.lr,
                             warmup_steps=args.warmup,
                             total_steps=args.steps, fsdp=args.fsdp)
@@ -1054,6 +1062,12 @@ def main() -> None:
                    help="mesh data axis (0 = fill remaining devices)")
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--seq-parallel", type=int, default=1)
+    p.add_argument("--expert-parallel", type=int, default=1,
+                   help="mesh 'expert' axis size for MoE configs "
+                        "(models/moe.py)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="replace every decoder MLP with a top-2 routed "
+                        "MoE of this many experts")
     p.add_argument("--fsdp", action="store_true",
                    help="also shard large params over the data axis")
     p.add_argument("--seed", type=int, default=0)

@@ -43,6 +43,11 @@ class LLMConfig:
     #   saveable" keeps matmul outputs and recomputes only the cheap
     #   elementwise ops — more memory than full remat, fewer recomputed
     #   FLOPs); None = save nothing (full recompute)
+    moe_experts: int = 0  # >0 replaces every layer's dense MLP with a
+    #   top-k routed Mixture-of-Experts SwiGLU (models/moe.py); expert
+    #   weights shard over the mesh "expert" axis (expert parallelism)
+    moe_top_k: int = 2
+    moe_capacity: float = 2.0  # expert buffer = ceil(top_k*T*cap/E)
 
     @property
     def head_dim(self) -> int:
@@ -348,8 +353,13 @@ class DecoderLayer(nn.Module):
             positions, attn_valid=attn_valid, cache=cache,
             segment_ids=segment_ids, lora=lora)
         x = x + attn_out
-        x = x + MLP(self.cfg, name="mlp")(
-            RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x), lora=lora)
+        if self.cfg.moe_experts > 0:
+            from .moe import MoEMLP
+            mlp = MoEMLP(self.cfg, name="moe")
+        else:
+            mlp = MLP(self.cfg, name="mlp")
+        x = x + mlp(RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x),
+                    lora=lora)
         return x, new_cache
 
 

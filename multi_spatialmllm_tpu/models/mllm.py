@@ -187,6 +187,14 @@ def tiny_config(**overrides) -> MLLMConfig:
     return MLLMConfig(vit=vit, llm=llm, **overrides)
 
 
+def tiny_moe_config(num_experts: int = 4, **overrides) -> MLLMConfig:
+    """tiny_config with every decoder MLP replaced by a top-2 routed
+    MoE (models/moe.py) — the expert-parallel test/dryrun shape."""
+    base = tiny_config(**overrides)
+    llm = dataclasses.replace(base.llm, moe_experts=num_experts)
+    return dataclasses.replace(base, llm=llm)
+
+
 def bench_1chip_config() -> MLLMConfig:
     """Flagship-SHAPED config sized for a full AdamW train step on ONE
     v5e (16 GB HBM): f32 params + Adam moments + grads cost ~16 B/param,

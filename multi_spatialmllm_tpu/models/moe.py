@@ -1,0 +1,142 @@
+"""Mixture-of-Experts FFN with expert parallelism (beyond-reference).
+
+The reference delegates all model training to InternVL-2's dense stack
+(/root/reference/README.md:194-200); this module adds the sparse-FFN
+scaling axis the TPU rebuild's mesh was designed around: a GShard-style
+top-k routed SwiGLU whose expert weights shard over the mesh "expert"
+axis (parallel/mesh.EXPERT_AXIS), with the token dispatch/combine
+written as dense einsums so XLA's SPMD partitioner emits the
+all-to-alls over ICI — no hand-written collectives.
+
+Design (GShard / Switch-Transformer dispatch, TPU-idiomatic):
+  - router logits in f32, softmax over E experts, iterative top-k
+    (k is a tiny static Python loop — no sort, no dynamic shapes);
+  - chosen-gate renormalization (Mixtral convention): the k gate
+    values are rescaled to sum to 1, so E identical experts reproduce
+    the dense MLP exactly (the parity oracle in tests/test_moe.py);
+  - capacity C = ceil(top_k * T * capacity_factor / E) per batch row;
+    position-in-expert via cumsum along T, tokens past C are dropped
+    (their combine weight is 0 — output falls back to the residual);
+  - dispatch [B,T,E,C] / combine [B,T,E,C] contract tokens into
+    per-expert buffers [E,B,C,D]; the expert SwiGLU is ONE batched
+    einsum per projection ([E,B,C,D] x [E,D,F]) — E stays a leading
+    MXU batch dim, sharded over "expert";
+  - the load-balance auxiliary loss (mean gate fraction x mean route
+    fraction x E) is sow'n under ("intermediates", "moe_aux_loss");
+    parallel/train.make_train_step collects it when the config enables
+    MoE. Without a mutable apply the sow is inert, so every serving
+    path (prefill, decode, paged programs) runs MoE unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def moe_capacity(cfg, seq_len: int) -> int:
+    """Per-batch-row expert capacity (static given the padded T).
+
+    Host math (not jnp): T is a static shape, and the capacity must be
+    a Python int — it sizes the dispatch tensors inside jit."""
+    import math
+
+    c = math.ceil(cfg.moe_top_k * seq_len * cfg.moe_capacity
+                  / cfg.moe_experts)
+    return max(int(c), 1)
+
+
+def top_k_routing(logits: jax.Array, top_k: int, capacity: int):
+    """Router math shared by tests and the module.
+
+    Args:
+      logits: [B, T, E] router logits (f32).
+      top_k: experts per token.
+      capacity: max tokens per expert per batch row.
+    Returns:
+      dispatch [B,T,E,C] (0/1 f32), combine [B,T,E,C] (gate-weighted
+      dispatch), aux (load-balance loss scalar, f32).
+    """
+    b, t, e = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    masked = probs
+    sel_onehot = []        # k x [B,T,E]
+    sel_gate = []          # k x [B,T]
+    for _ in range(top_k):
+        idx = jnp.argmax(masked, axis=-1)                    # [B,T]
+        oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)       # [B,T,E]
+        sel_onehot.append(oh)
+        sel_gate.append(jnp.sum(masked * oh, axis=-1))       # [B,T]
+        masked = masked * (1.0 - oh)
+
+    # renormalize the chosen gates to sum to 1 per token
+    denom = sum(sel_gate) + 1e-9
+    sel_gate = [g / denom for g in sel_gate]
+
+    # positions in each expert's buffer: k-th choices queue after the
+    # (k-1)-th (GShard order), cumsum along T within each batch row
+    counts = jnp.zeros((b, 1, e), dtype=jnp.float32)
+    dispatch = jnp.zeros((b, t, e, capacity), dtype=jnp.float32)
+    combine = jnp.zeros_like(dispatch)
+    for oh, gate in zip(sel_onehot, sel_gate):
+        pos = jnp.cumsum(oh, axis=1) - oh + counts           # [B,T,E]
+        counts = counts + jnp.sum(oh, axis=1, keepdims=True)
+        keep = (pos < capacity) * oh                         # [B,T,E]
+        pos_oh = jax.nn.one_hot(pos.astype(jnp.int32), capacity,
+                                dtype=jnp.float32)           # [B,T,E,C]
+        d = keep[..., None] * pos_oh
+        dispatch = dispatch + d
+        combine = combine + gate[..., None, None] * d
+
+    # load-balance aux loss (Switch Transformer eq. 4): fraction of
+    # tokens routed to each expert (first choice) x mean router prob
+    route_frac = jnp.mean(sel_onehot[0], axis=(0, 1))        # [E]
+    prob_frac = jnp.mean(probs, axis=(0, 1))                 # [E]
+    aux = jnp.sum(route_frac * prob_frac) * e
+    return dispatch, combine, aux
+
+
+class MoEMLP(nn.Module):
+    """Drop-in replacement for models/llm.MLP when cfg.moe_experts > 0.
+
+    Parameter shapes (all self.param, matched by parallel/sharding.py):
+      router   [D, E]        — replicated (tiny)
+      wi_gate  [E, D, F]     — P("expert", None, "model")
+      wi_up    [E, D, F]     — P("expert", None, "model")
+      wo       [E, F, D]     — P("expert", "model", None)
+    so expert parallelism composes with Megatron tensor parallelism on
+    the FFN dim exactly like the dense path's gate/up/down rules.
+    """
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, lora=None):  # lora targets dense MLPs only
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        b, t, d = x.shape
+        e, f = cfg.moe_experts, cfg.ffn_size
+        cap = moe_capacity(cfg, t)
+
+        init = nn.initializers.lecun_normal()
+        router = self.param("router", init, (d, e), jnp.float32)
+        wi_gate = self.param("wi_gate", init, (e, d, f), jnp.float32)
+        wi_up = self.param("wi_up", init, (e, d, f), jnp.float32)
+        wo = self.param("wo", init, (e, f, d), jnp.float32)
+
+        logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32), router)
+        dispatch, combine, aux = top_k_routing(logits, cfg.moe_top_k, cap)
+        self.sow("intermediates", "moe_aux_loss", aux)
+
+        xin = jnp.einsum("btec,btd->ebcd", dispatch.astype(dtype),
+                         x.astype(dtype))
+        gate = jnp.einsum("ebcd,edf->ebcf", xin, wi_gate.astype(dtype))
+        up = jnp.einsum("ebcd,edf->ebcf", xin, wi_up.astype(dtype))
+        out = jnp.einsum("ebcf,efd->ebcd", nn.silu(gate) * up,
+                         wo.astype(dtype))
+        y = jnp.einsum("btec,ebcd->btd", combine.astype(dtype), out)
+        return y.astype(dtype)

@@ -16,26 +16,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+EXPERT_AXIS = "expert"
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None, n_seq: int = 1) -> Mesh:
+              devices=None, n_seq: int = 1, n_expert: int = 1) -> Mesh:
     """Mesh over available devices; defaults to all-data.
 
-    `n_seq > 1` adds a third "seq" axis for sequence/context parallelism
+    `n_seq > 1` adds a "seq" axis for sequence/context parallelism
     (ring attention in the training path — parallel/train.py routes the
     decoder's attention through ops/ring_attention when the step's mesh
-    carries this axis)."""
+    carries this axis). `n_expert > 1` adds an "expert" axis for
+    expert-parallel MoE layers (models/moe.py): expert weight tables
+    shard over it and XLA emits the dispatch/combine all-to-alls."""
     devices = list(devices if devices is not None else jax.devices())
+    extra = n_model * n_seq * n_expert
     if n_data is None:
-        n_data = len(devices) // (n_model * n_seq)
-    assert n_data * n_model * n_seq == len(devices), (
-        f"{n_data}x{n_model}x{n_seq} != {len(devices)} devices")
-    if n_seq == 1:
-        arr = np.asarray(devices).reshape(n_data, n_model)
-        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
-    arr = np.asarray(devices).reshape(n_data, n_model, n_seq)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+        n_data = len(devices) // extra
+    assert n_data * extra == len(devices), (
+        f"{n_data}x{n_model}x{n_seq}x{n_expert} != {len(devices)} devices")
+    axes = [(DATA_AXIS, n_data), (MODEL_AXIS, n_model)]
+    if n_seq > 1:
+        axes.append((SEQ_AXIS, n_seq))
+    if n_expert > 1:
+        axes.append((EXPERT_AXIS, n_expert))
+    arr = np.asarray(devices).reshape([n for _, n in axes])
+    return Mesh(arr, tuple(name for name, _ in axes))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 # (substring patterns of the flattened param path, spec-builder by ndim)
 _RULES: list[tuple[tuple[str, ...], dict[int, P]]] = [
@@ -34,6 +34,12 @@ _RULES: list[tuple[tuple[str, ...], dict[int, P]]] = [
     # ViT MLP
     (("fc1", "kernel"), {2: P(None, MODEL_AXIS)}),
     (("fc2", "kernel"), {2: P(MODEL_AXIS, None)}),
+    # MoE FFN (models/moe.py): expert tables shard on "expert" and the
+    # FFN dim on "model" — EP composes with Megatron TP like the dense
+    # gate/up/down rules. The router stays replicated (tiny).
+    (("moe", "wi_gate"), {3: P(EXPERT_AXIS, None, MODEL_AXIS)}),
+    (("moe", "wi_up"), {3: P(EXPERT_AXIS, None, MODEL_AXIS)}),
+    (("moe", "wo"), {3: P(EXPERT_AXIS, MODEL_AXIS, None)}),
 ]
 
 
@@ -79,6 +85,9 @@ def params_shardings(params, mesh: Mesh, fsdp: bool = False,
         keys = tuple(
             getattr(k, "key", getattr(k, "name", str(k))) for k in path)
         spec = spec_for_path(keys, leaf.ndim)
+        # drop axes the mesh doesn't carry (e.g. MoE "expert" specs on a
+        # plain (data, model) mesh — the expert tables just replicate)
+        spec = P(*(a if a in mesh.axis_names else None for a in spec))
         if fsdp:
             spec = _add_fsdp(spec, leaf.shape, mesh, fsdp_min_size)
         return NamedSharding(mesh, spec)

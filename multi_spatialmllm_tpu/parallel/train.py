@@ -78,9 +78,18 @@ def init_train_state(model_cfg: MLLMConfig, train_cfg: TrainConfig,
     return model, params, opt_state, tx
 
 
+def _moe_aux_mean(mutables) -> jax.Array:
+    """Mean of every sow'n ("intermediates", "moe_aux_loss") scalar —
+    one per MoE layer (models/moe.py), so the coefficient is
+    depth-independent."""
+    leaves = [x for x in jax.tree_util.tree_leaves(mutables)]
+    return sum(leaves) / max(len(leaves), 1)
+
+
 def make_train_step(model: MultiFrameMLLM,
                     tx: optax.GradientTransformation,
-                    mesh: Mesh, accum_steps: int = 1) -> Callable:
+                    mesh: Mesh, accum_steps: int = 1,
+                    moe_aux_weight: float = 0.01) -> Callable:
     """jit-compiled (params, opt_state, batch) -> (params, opt_state,
     metrics); batch arrays must lead with the global batch dim.
 
@@ -95,8 +104,22 @@ def make_train_step(model: MultiFrameMLLM,
     """
 
     unshard = _seq_unshard(mesh)
+    # MoE decoders (models/moe.py) sow a per-layer load-balance loss;
+    # collect it via a mutable apply only when the config enables MoE so
+    # the dense path's programs are unchanged.
+    use_moe = getattr(model.cfg.llm, "moe_experts", 0) > 0
 
     def loss_of(params, batch):
+        if use_moe:
+            logits, mut = model.apply(
+                params, batch["input_ids"], batch["tiles"],
+                positions=batch.get("positions"),
+                segment_ids=batch.get("segment_ids"),
+                mutable=["intermediates"])
+            logits = unshard(logits)
+            return (cross_entropy_loss(logits[:, :-1],
+                                       batch["labels"][:, 1:])
+                    + moe_aux_weight * _moe_aux_mean(mut))
         logits = unshard(model.apply(
             params, batch["input_ids"], batch["tiles"],
             positions=batch.get("positions"),
@@ -106,12 +129,21 @@ def make_train_step(model: MultiFrameMLLM,
     def loss_sum_of(params, batch):
         from ..models.llm import cross_entropy_sum
 
-        logits = unshard(model.apply(
+        out = model.apply(
             params, batch["input_ids"], batch["tiles"],
             positions=batch.get("positions"),
-            segment_ids=batch.get("segment_ids")))
+            segment_ids=batch.get("segment_ids"),
+            **({"mutable": ["intermediates"]} if use_moe else {}))
+        logits, mut = out if use_moe else (out, None)
+        logits = unshard(logits)
         nll, count = cross_entropy_sum(logits[:, :-1],
                                        batch["labels"][:, 1:])
+        if use_moe:
+            # token-weighted aux: summed as w*aux*count_mb, so after the
+            # single global /denom the aux term is w * the token-weighted
+            # mean over microbatches (exact when counts are equal)
+            nll = nll + (moe_aux_weight * _moe_aux_mean(mut)
+                         * count.astype(nll.dtype))
         return nll, count
 
     def step(params, opt_state, batch):

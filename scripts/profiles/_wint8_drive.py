@@ -36,7 +36,8 @@ print("backend:", backend)
 
 cfg = M.bench_1chip_config() if backend == "tpu" else M.tiny_config()
 model = M.MultiFrameMLLM(cfg)
-b0 = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=128)
+b0 = M.make_example_batch(cfg, batch=1, n_tiles=1,
+                          seq_len=cfg.tokens_per_tile + 32)
 params = jax.jit(model.init)(jax.random.key(0), b0["input_ids"],
                              b0["tiles"])
 pq = quantize_weights(params)

@@ -1,0 +1,192 @@
+"""Mixture-of-Experts FFN + expert parallelism (models/moe.py).
+
+The reference has no MoE (it delegates training entirely,
+README.md:194-200); this is the beyond-reference sparse-FFN axis. The
+ground truths here are mathematical: identical experts must reproduce
+the dense MLP, routing invariants must hold, and the expert-parallel
+train step must equal the single-device step.
+"""
+
+import dataclasses as dc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_spatialmllm_tpu.models import mllm as M
+from multi_spatialmllm_tpu.models.llm import MLP
+from multi_spatialmllm_tpu.models.moe import MoEMLP, top_k_routing
+from multi_spatialmllm_tpu.parallel.mesh import make_mesh
+from multi_spatialmllm_tpu.parallel.sharding import params_shardings
+from multi_spatialmllm_tpu.parallel.train import (
+    TrainConfig,
+    init_train_state,
+    make_train_step,
+)
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 devices (run scripts/test.sh)")
+
+
+def _f32_moe_cfg(num_experts=4):
+    base = M.tiny_moe_config(num_experts=num_experts)
+    return M.MLLMConfig(vit=dc.replace(base.vit, dtype="float32"),
+                        llm=dc.replace(base.llm, dtype="float32"))
+
+
+class TestRouting:
+    def test_dispatch_invariants(self):
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(2, 16, 4)), jnp.float32)
+        dispatch, combine, aux = top_k_routing(logits, top_k=2, capacity=16)
+        d = np.asarray(dispatch)
+        c = np.asarray(combine)
+        # each token occupies at most top_k buffer slots, each exactly once
+        assert d.sum(axis=(2, 3)).max() <= 2 + 1e-6
+        # buffer slots hold at most one token
+        assert d.sum(axis=1).max() <= 1 + 1e-6
+        # with ample capacity every token is fully routed: combine sums to 1
+        np.testing.assert_allclose(c.sum(axis=(2, 3)), 1.0, atol=1e-5)
+        assert np.isfinite(float(aux))
+
+    def test_capacity_drops_overflow_tokens(self):
+        # all tokens prefer expert 0 -> only `capacity` of them fit
+        logits = jnp.zeros((1, 8, 4), jnp.float32).at[:, :, 0].set(10.0)
+        dispatch, combine, _ = top_k_routing(logits, top_k=1, capacity=3)
+        d = np.asarray(dispatch)
+        assert d[0, :, 0].sum() == 3  # first 3 tokens kept (cumsum order)
+        np.testing.assert_allclose(d[0, :3, 0].sum(axis=-1), 1.0)
+        np.testing.assert_allclose(d[0, 3:].sum(), 0.0)
+        np.testing.assert_allclose(np.asarray(combine)[0, 3:].sum(), 0.0)
+
+    def test_aux_loss_uniform_routing_is_one(self):
+        # perfectly balanced first-choice routing + uniform probs -> aux=1
+        b, t, e = 1, 8, 4
+        logits = jnp.asarray(
+            10.0 * np.eye(e)[np.arange(t) % e][None], jnp.float32)
+        _, _, aux = top_k_routing(logits, top_k=1, capacity=8)
+        # probs are one-hot-ish; route_frac uniform (1/e each); aux =
+        # sum(route_frac * prob_frac) * e ~= 1
+        np.testing.assert_allclose(float(aux), 1.0, atol=1e-3)
+
+
+class TestMoEMLP:
+    def test_identical_experts_match_dense_mlp(self):
+        """E copies of one SwiGLU + renormalized top-2 gates == the dense
+        MLP (the routing/dispatch machinery cancels exactly)."""
+        cfg = _f32_moe_cfg(num_experts=4).llm
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, cfg.hidden_size)),
+                        jnp.float32)
+
+        dense = MLP(dc.replace(cfg, moe_experts=0))
+        dp = dense.init(jax.random.key(0), x)
+        y_dense = dense.apply(dp, x)
+
+        e, d_, f = cfg.moe_experts, cfg.hidden_size, cfg.ffn_size
+        k = dp["params"]
+        mp = {"params": {
+            "router": jnp.zeros((d_, e), jnp.float32),
+            "wi_gate": jnp.broadcast_to(k["gate"]["kernel"], (e, d_, f)),
+            "wi_up": jnp.broadcast_to(k["up"]["kernel"], (e, d_, f)),
+            "wo": jnp.broadcast_to(k["down"]["kernel"], (e, f, d_)),
+        }}
+        y_moe = MoEMLP(cfg).apply(mp, x)
+        np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_forward_finite_and_sows_aux(self):
+        cfg = _f32_moe_cfg().llm
+        x = jnp.asarray(np.random.default_rng(2).normal(
+            size=(2, 16, cfg.hidden_size)), jnp.float32)
+        m = MoEMLP(cfg)
+        p = m.init(jax.random.key(0), x)
+        y, mut = m.apply(p, x, mutable=["intermediates"])
+        assert np.isfinite(np.asarray(y)).all()
+        leaves = jax.tree_util.tree_leaves(mut)
+        assert len(leaves) == 1 and np.isfinite(float(leaves[0]))
+
+
+@needs_mesh
+class TestExpertParallelTraining:
+    def test_ep_step_matches_single_device(self):
+        cfg = _f32_moe_cfg(num_experts=4)
+        batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=32)
+        tc = TrainConfig(learning_rate=1e-3, warmup_steps=1)
+
+        mesh_ep = make_mesh(n_data=2, n_model=1, n_expert=4)
+        model, p_ep, o_ep, tx = init_train_state(cfg, tc, batch, mesh_ep)
+        step_ep = make_train_step(model, tx, mesh_ep)
+        p_ep, o_ep, m_ep = step_ep(p_ep, o_ep, batch)
+
+        mesh_1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+        model, p_1, o_1, tx1 = init_train_state(cfg, tc, batch, mesh_1)
+        step_1 = make_train_step(model, tx1, mesh_1)
+        p_1, o_1, m_1 = step_1(p_1, o_1, batch)
+
+        np.testing.assert_allclose(float(m_ep["loss"]), float(m_1["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m_ep["grad_norm"]),
+                                   float(m_1["grad_norm"]), rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ep),
+                        jax.tree_util.tree_leaves(p_1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6, rtol=1e-5)
+
+    def test_expert_specs_shard_expert_axis(self):
+        cfg = M.tiny_moe_config()
+        batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=32)
+        model = M.MultiFrameMLLM(cfg)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        mesh = make_mesh(n_data=1, n_model=2, n_expert=4)
+        specs = params_shardings(params, mesh)
+        flat = {
+            "/".join(str(getattr(k, "key", k)) for k in path): s.spec
+            for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]}
+        moe = {k: str(v) for k, v in flat.items() if "/moe/" in k}
+        assert moe, "no MoE params found"
+        assert all("expert" in v for k, v in moe.items()
+                   if k.endswith(("wi_gate", "wi_up", "wo")))
+        # the same specs degrade gracefully on a mesh without the axis
+        specs2 = params_shardings(params, make_mesh(n_data=4, n_model=2))
+        assert all("expert" not in str(s.spec)
+                   for s in jax.tree_util.tree_leaves(specs2))
+
+    def test_ep_composes_with_tp_and_learns(self):
+        cfg = M.tiny_moe_config()
+        batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=32)
+        mesh = make_mesh(n_data=2, n_model=2, n_expert=2)
+        model, params, opt_state, tx = init_train_state(
+            cfg, TrainConfig(learning_rate=1e-3, warmup_steps=1), batch,
+            mesh)
+        step = make_train_step(model, tx, mesh)
+        losses = []
+        for _ in range(4):
+            params, opt_state, metrics = step(params, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+
+class TestMoEDecode:
+    def test_greedy_decode_matches_teacher_forcing(self):
+        """The MoE decoder serves through the unchanged cache path:
+        prefill+decode logits equal the full forward."""
+        cfg = _f32_moe_cfg()
+        model = M.MultiFrameMLLM(cfg)
+        batch = M.make_example_batch(cfg, batch=1, n_tiles=1, seq_len=24)
+        params = model.init(jax.random.key(0), batch["input_ids"],
+                            batch["tiles"])
+        full = model.apply(params, batch["input_ids"], batch["tiles"])
+
+        from multi_spatialmllm_tpu.models.llm import init_cache
+        t = batch["input_ids"].shape[1]
+        caches = init_cache(cfg.llm, 1, t + 4)
+        logits_pf, caches = model.apply(
+            params, batch["input_ids"], batch["tiles"], caches,
+            method=model.prefill)
+        np.testing.assert_allclose(np.asarray(logits_pf[:, -1]),
+                                   np.asarray(full[:, -1]),
+                                   atol=2e-4, rtol=2e-4)
