@@ -20,6 +20,31 @@ import os
 import sys
 
 
+def _mllm_config(args):
+    """Model config from --config/--vocab-size/--moe-experts.
+
+    ONE builder shared by export-checkpoint/eval/serve/train: a
+    checkpoint trained with --moe-experts has a routed-FFN param tree,
+    so every CLI that restores one must be able to build the matching
+    config (ADVICE r3 — previously only `train` accepted the flag and
+    MoE checkpoints could not be served or evaluated)."""
+    import dataclasses
+
+    from .models import mllm as M
+
+    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
+           "bench": M.bench_1chip_config}[args.config]()
+    overrides = {}
+    if getattr(args, "vocab_size", 0):
+        overrides["vocab_size"] = args.vocab_size
+    if getattr(args, "moe_experts", 0):
+        overrides["moe_experts"] = args.moe_experts
+    if overrides:
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, **overrides))
+    return cfg
+
+
 def cmd_demo(args) -> None:
     from .core.scene import SceneStore
     from .core.synthetic import make_scene, make_tapvid_npz
@@ -219,14 +244,7 @@ def cmd_export_checkpoint(args) -> None:
     from .models import mllm as M
     from .parallel.train import restore_checkpoint
 
-    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
-           "bench": M.bench_1chip_config}[args.config]()
-    if args.vocab_size:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm,
-                                         vocab_size=args.vocab_size))
+    cfg = _mllm_config(args)
     raw = restore_checkpoint(os.path.abspath(args.checkpoint))
     # train saves wrap the variables as {"params": vars, "step": ...};
     # import-checkpoint saves the bare vars ({"params": tree})
@@ -288,14 +306,7 @@ def cmd_eval(args) -> None:
     from .models.tokenizer import load_tokenizer
     from .parallel.train import restore_checkpoint
 
-    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
-           "bench": M.bench_1chip_config}[args.config]()
-    if args.vocab_size:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm,
-                                         vocab_size=args.vocab_size))
+    cfg = _mllm_config(args)
     model = M.MultiFrameMLLM(cfg)
     tok = load_tokenizer(args.tokenizer)
     assert tok.vocab_size <= cfg.llm.vocab_size, \
@@ -421,14 +432,7 @@ def cmd_serve(args) -> None:
     from .models.tokenizer import load_tokenizer
     from .parallel.train import restore_checkpoint
 
-    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
-           "bench": M.bench_1chip_config}[args.config]()
-    if args.vocab_size:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm,
-                                         vocab_size=args.vocab_size))
+    cfg = _mllm_config(args)
     model = M.MultiFrameMLLM(cfg)
     tok = load_tokenizer(args.tokenizer)
     restored = restore_checkpoint(os.path.abspath(args.checkpoint))
@@ -585,15 +589,8 @@ def cmd_train(args) -> None:
     )
     from .utils.logging import StageLogger
 
-    cfg = {"flagship": M.flagship_config, "tiny": M.tiny_config,
-           "bench": M.bench_1chip_config}[args.config]()
+    cfg = _mllm_config(args)
     tok = load_tokenizer(args.tokenizer)
-    if args.vocab_size:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm,
-                                         vocab_size=args.vocab_size))
     assert tok.vocab_size <= cfg.llm.vocab_size, \
         (tok.vocab_size, cfg.llm.vocab_size)
     assert tok.img_context_id == cfg.img_context_id, \
@@ -640,12 +637,7 @@ def cmd_train(args) -> None:
         batches = prefetch_iterator(batches, depth=args.prefetch)
     first = next(batches)
 
-    if args.moe_experts:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, llm=dataclasses.replace(cfg.llm,
-                                         moe_experts=args.moe_experts))
+    # (moe_experts is applied by _mllm_config at cfg construction)
     devices = None
     if args.data_parallel:          # explicit shape: use that many chips
         devices = jax.devices()[: args.data_parallel
@@ -705,6 +697,15 @@ def cmd_train(args) -> None:
         )
 
         lcfg = LoRAConfig(rank=args.lora_rank)
+        if args.moe_experts:
+            # make the scope explicit: the default LoRA targets are the
+            # attention kernels; routed expert tables are never adapted
+            # (ADVICE r3 — this is a deliberate restriction, not an
+            # accidentally-narrow adapter)
+            print("note: --lora-rank with --moe-experts adapts the "
+                  "ATTENTION kernels only; the routed MoE FFN stays "
+                  "frozen (expert tables are not LoRA targets)",
+                  file=sys.stderr)
         lora = init_lora(params, lcfg, jax.random.key(args.seed + 1))
         opt_state = tx.init(lora)
         step_fn = make_lora_train_step(model, tx, mesh, lcfg)
@@ -931,6 +932,9 @@ def main() -> None:
     p.add_argument("--config", choices=("flagship", "bench", "tiny"),
                    default="flagship")
     p.add_argument("--vocab-size", type=int, default=0)
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="routed-MoE expert count; must match the checkpoint's "
+                        "training value (see train --moe-experts)")
     p.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16")
     p.add_argument("--shard-gb", type=float, default=4.0,
@@ -949,6 +953,9 @@ def main() -> None:
     p.add_argument("--vocab-size", type=int, default=0,
                    help="override the config's vocab (0 = keep; must "
                         "cover the tokenizer)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="routed-MoE expert count; must match the checkpoint's "
+                        "training value (see train --moe-experts)")
     p.add_argument("--eval-jsonl", default=None,
                    help="one engine evaluation_data JSONL")
     p.add_argument("--eval-root", default=None,
@@ -991,6 +998,9 @@ def main() -> None:
                    default="flagship")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--vocab-size", type=int, default=0)
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="routed-MoE expert count; must match the checkpoint's "
+                        "training value (see train --moe-experts)")
     p.add_argument("--images-root", default=".")
     p.add_argument("--max-tiles", type=int, default=6,
                    help="dynamic-tiling cap per image")

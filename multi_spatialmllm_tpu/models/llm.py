@@ -355,11 +355,18 @@ class DecoderLayer(nn.Module):
         x = x + attn_out
         if self.cfg.moe_experts > 0:
             from .moe import MoEMLP
-            mlp = MoEMLP(self.cfg, name="moe")
+            # pads (segment_ids == 0) must not consume expert capacity
+            # or bias the aux loss; a live kv cache marks inference
+            # (no-drop capacity for short chunks — see models/moe.py)
+            valid = None if segment_ids is None else segment_ids != 0
+            mlp_out = MoEMLP(self.cfg, name="moe")(
+                RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x),
+                lora=lora, valid=valid, inference=cache is not None)
         else:
-            mlp = MLP(self.cfg, name="mlp")
-        x = x + mlp(RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x),
-                    lora=lora)
+            mlp_out = MLP(self.cfg, name="mlp")(
+                RMSNorm(self.cfg.norm_eps, name="mlp_norm")(x),
+                lora=lora)
+        x = x + mlp_out
         return x, new_cache
 
 

@@ -17,6 +17,19 @@ Design (GShard / Switch-Transformer dispatch, TPU-idiomatic):
   - capacity C = ceil(top_k * T * capacity_factor / E) per batch row;
     position-in-expert via cumsum along T, tokens past C are dropped
     (their combine weight is 0 — output falls back to the residual);
+  - INFERENCE (a kv cache is active) uses a NO-DROP capacity
+    C = top_k * T for chunks up to NO_DROP_MAX_T, so incremental
+    decode, chunked decode, and chunked prefill all produce identical
+    routing regardless of chunk boundaries (capacity binding depends
+    on position-in-chunk, so a capped capacity makes outputs
+    chunk-size-dependent). Longer unchunked prefills fall back to the
+    capped capacity — the dispatch tensor is O(T*C) = O(k*T^2) and a
+    no-drop flagship 8K prefill would not fit; serve MoE models with
+    `prefill_chunk <= 512` for strictly chunk-invariant outputs.
+  - padding tokens (segment_ids == 0 in packed batches) are masked out
+    of routing: they consume no expert capacity and are excluded from
+    the load-balance aux fractions (a heavily padded batch must not
+    bias router statistics toward whatever pads route to);
   - dispatch [B,T,E,C] / combine [B,T,E,C] contract tokens into
     per-expert buffers [E,B,C,D]; the expert SwiGLU is ONE batched
     einsum per projection ([E,B,C,D] x [E,D,F]) — E stays a leading
@@ -36,32 +49,47 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+# Inference chunks up to this length route with a no-drop capacity
+# (C = top_k * T). Decode chunks and chunked prefills sit far below it;
+# above it the O(k*T^2) dispatch tensor stops being free.
+NO_DROP_MAX_T = 512
 
-def moe_capacity(cfg, seq_len: int) -> int:
+
+def moe_capacity(cfg, seq_len: int, inference: bool = False) -> int:
     """Per-batch-row expert capacity (static given the padded T).
 
     Host math (not jnp): T is a static shape, and the capacity must be
-    a Python int — it sizes the dispatch tensors inside jit."""
+    a Python int — it sizes the dispatch tensors inside jit. At
+    inference, short chunks get the no-drop capacity (see module doc)."""
     import math
 
+    if inference and seq_len <= NO_DROP_MAX_T:
+        return max(int(cfg.moe_top_k * seq_len), 1)
     c = math.ceil(cfg.moe_top_k * seq_len * cfg.moe_capacity
                   / cfg.moe_experts)
     return max(int(c), 1)
 
 
-def top_k_routing(logits: jax.Array, top_k: int, capacity: int):
+def top_k_routing(logits: jax.Array, top_k: int, capacity: int,
+                  valid: jax.Array | None = None):
     """Router math shared by tests and the module.
 
     Args:
       logits: [B, T, E] router logits (f32).
       top_k: experts per token.
       capacity: max tokens per expert per batch row.
+      valid: optional [B, T] mask; False rows (padding) are excluded
+        from routing entirely — zero dispatch/combine, no capacity
+        consumed, no contribution to the aux fractions.
     Returns:
       dispatch [B,T,E,C] (0/1 f32), combine [B,T,E,C] (gate-weighted
       dispatch), aux (load-balance loss scalar, f32).
     """
     b, t, e = logits.shape
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    vmask = None
+    if valid is not None:
+        vmask = valid.astype(jnp.float32)[..., None]          # [B,T,1]
 
     masked = probs
     sel_onehot = []        # k x [B,T,E]
@@ -69,6 +97,8 @@ def top_k_routing(logits: jax.Array, top_k: int, capacity: int):
     for _ in range(top_k):
         idx = jnp.argmax(masked, axis=-1)                    # [B,T]
         oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)       # [B,T,E]
+        if vmask is not None:
+            oh = oh * vmask  # pads select nothing, consume nothing
         sel_onehot.append(oh)
         sel_gate.append(jnp.sum(masked * oh, axis=-1))       # [B,T]
         masked = masked * (1.0 - oh)
@@ -93,9 +123,15 @@ def top_k_routing(logits: jax.Array, top_k: int, capacity: int):
         combine = combine + gate[..., None, None] * d
 
     # load-balance aux loss (Switch Transformer eq. 4): fraction of
-    # tokens routed to each expert (first choice) x mean router prob
-    route_frac = jnp.mean(sel_onehot[0], axis=(0, 1))        # [E]
-    prob_frac = jnp.mean(probs, axis=(0, 1))                 # [E]
+    # tokens routed to each expert (first choice) x mean router prob —
+    # both over REAL tokens only when a validity mask is given
+    if vmask is None:
+        route_frac = jnp.mean(sel_onehot[0], axis=(0, 1))    # [E]
+        prob_frac = jnp.mean(probs, axis=(0, 1))             # [E]
+    else:
+        n_valid = jnp.maximum(jnp.sum(vmask), 1.0)
+        route_frac = jnp.sum(sel_onehot[0], axis=(0, 1)) / n_valid
+        prob_frac = jnp.sum(probs * vmask, axis=(0, 1)) / n_valid
     aux = jnp.sum(route_frac * prob_frac) * e
     return dispatch, combine, aux
 
@@ -115,12 +151,22 @@ class MoEMLP(nn.Module):
     cfg: Any
 
     @nn.compact
-    def __call__(self, x, lora=None):  # lora targets dense MLPs only
+    def __call__(self, x, lora=None, valid=None, inference=False):
         cfg = self.cfg
+        if lora is not None and any(
+                n in lora.get("tables", {}) for n in ("gate", "up",
+                                                      "down")):
+            # serving-time stacked adapters target the DENSE SwiGLU
+            # kernels; silently ignoring them here would serve an
+            # un-adapted FFN while reporting the adapter as applied
+            raise ValueError(
+                "LoRA adapters target dense MLP kernels (gate/up/down); "
+                "this model's FFN is a routed MoE — attention-only "
+                "adapters are supported, MLP adapters are not")
         dtype = jnp.dtype(cfg.dtype)
         b, t, d = x.shape
         e, f = cfg.moe_experts, cfg.ffn_size
-        cap = moe_capacity(cfg, t)
+        cap = moe_capacity(cfg, t, inference=inference)
 
         init = nn.initializers.lecun_normal()
         router = self.param("router", init, (d, e), jnp.float32)
@@ -129,7 +175,8 @@ class MoEMLP(nn.Module):
         wo = self.param("wo", init, (e, f, d), jnp.float32)
 
         logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32), router)
-        dispatch, combine, aux = top_k_routing(logits, cfg.moe_top_k, cap)
+        dispatch, combine, aux = top_k_routing(logits, cfg.moe_top_k, cap,
+                                               valid=valid)
         self.sow("intermediates", "moe_aux_loss", aux)
 
         xin = jnp.einsum("btec,btd->ebcd", dispatch.astype(dtype),

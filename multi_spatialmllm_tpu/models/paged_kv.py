@@ -1061,8 +1061,18 @@ def bench_paged_config(chunk: int = 32, max_new_tokens: int = 128,
     bench.py, scripts/warm_bench_cache.py and
     scripts/profiles/_serve_drive.py so the warmed programs always match
     the bench's exact shapes (a drifted copy re-introduces the
-    compile-service stall CLAUDE.md warns about)."""
-    return PagedConfig(slots=8, page_size=64, num_pages=105,
+    compile-service stall CLAUDE.md warns about).
+
+    int8 pools use page_size=128: the fused decode kernel requires
+    lane-aligned pages for the f32 scale-slab DMAs
+    (ops/paged_attention.paged_kernel_ok) — at page_size=64 the int8
+    path would silently fall back to the XLA gather. Pool capacity in
+    kv ROWS stays the same (105x64 vs 53x128 within one page)."""
+    if kv_dtype == "int8":
+        page_size, num_pages = 128, 53
+    else:
+        page_size, num_pages = 64, 105
+    return PagedConfig(slots=8, page_size=page_size, num_pages=num_pages,
                        max_prompt_len=512, max_new_tokens=max_new_tokens,
                        chunk=chunk, length_bucket=128, kv_dtype=kv_dtype,
                        prefix_cache=prefix_cache)

@@ -66,6 +66,18 @@ def quantize_kv_rows(rows: jax.Array):
     return q.astype(jnp.int8), scale
 
 
+def _scale_tile(scbuf, buf, ppb: int):
+    """Assemble a block's `[KVH, bk]` scale tile from the per-page
+    `[ppb, KVH, ps]` slab buffer: page j's scales land at lanes
+    `j*ps..(j+1)*ps`. Lane-dim concatenation — the equivalent
+    `transpose(1,0,2).reshape(KVH, bk)` is a minor-dim merge Mosaic
+    rejects (`tpu.reshape vector<KVHxppbxps> -> vector<KVHx1xbk>:
+    unsupported shape cast`, the round-3 bench-capture killer)."""
+    if ppb == 1:
+        return scbuf[buf, 0]
+    return jnp.concatenate([scbuf[buf, j] for j in range(ppb)], axis=-1)
+
+
 def _dot_qk_g(q, k):
     """[G, m, d] x [G, n, d] -> [G, m, n] f32 (batched over kv groups)."""
     return jax.lax.dot_general(
@@ -250,9 +262,7 @@ def _paged_decode_kernel(
             v = v.astype(q.dtype)
         s = _dot_qk_g(q, k) * sm_scale                # [KVH, rep, bk]
         if quant:
-            ksc = kscbuf[buf].transpose(1, 0, 2).reshape(
-                kscbuf.shape[2], bk)                  # [KVH, bk]
-            s = s * ksc[:, None, :]
+            s = s * _scale_tile(kscbuf, buf, ppb)[:, None, :]
         pos = i * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos <= idx, s, NEG_INF)
         m_prev, l_prev = m_scr[:], l_scr[:]
@@ -262,9 +272,7 @@ def _paged_decode_kernel(
         m_scr[:] = m_cur
         l_scr[:] = l_prev * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
         if quant:
-            vsc = vscbuf[buf].transpose(1, 0, 2).reshape(
-                vscbuf.shape[2], bk)                  # [KVH, bk]
-            pexp = pexp * vsc[:, None, :]
+            pexp = pexp * _scale_tile(vscbuf, buf, ppb)[:, None, :]
         acc_scr[:] = acc_scr[:] * alpha + _dot_pv_g(pexp, v)
 
         @pl.when(i == num_blocks - 1)
@@ -421,12 +429,14 @@ def paged_kernel_ok(q, k_pages) -> bool:
     needs TPU (or interpret mode), a lane-aligned head dim (the page
     DMAs slice [KVH, ps, hd] out of the pool — Mosaic requires the
     minor dim aligned to the 128 lane tiling), sublane-aligned page
-    rows (8 rows for >=16-bit pools, 32 for int8 — the writeback slices
-    the block buffer at page starts, which must land on the dtype's
-    sublane tiling), and GQA head divisibility. The XLA gather path
-    handles everything else."""
+    rows (8 rows for >=16-bit pools; int8 pools need ps a multiple of
+    128: the f32 scale pools are `[P, KVH, ps]` with ps on LANES, and
+    Mosaic requires the per-page scale-slab DMA lane-aligned — at
+    ps=64 the slab copy is rejected with "Slice shape along dimension 2
+    must be aligned to tiling (128)"), and GQA head divisibility. The
+    XLA gather path handles everything else."""
     h, hd = q.shape[1], q.shape[3]
     kvh, ps = k_pages.shape[1], k_pages.shape[2]
-    min_rows = 32 if k_pages.dtype == jnp.int8 else 8
+    min_rows = 128 if k_pages.dtype == jnp.int8 else 8
     return (jax.default_backend() == "tpu"
             and h % kvh == 0 and hd % 128 == 0 and ps % min_rows == 0)

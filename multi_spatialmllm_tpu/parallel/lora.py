@@ -68,6 +68,12 @@ def _target_of(path, cfg: LoRAConfig) -> str | None:
     keys = _path_keys(path)
     if not keys or keys[-1] != "kernel":
         return None
+    if "moe" in keys:
+        # routed-MoE expert tables (models/moe.py) are self.param leaves
+        # (no trailing "kernel"), so they can't match today — this guard
+        # keeps a future Dense-based expert from silently matching the
+        # attention "wo" target with expert-count fan-in semantics
+        return None
     for t in cfg.targets:
         if t in keys:
             return t

@@ -60,6 +60,56 @@ class TestRouting:
         np.testing.assert_allclose(d[0, 3:].sum(), 0.0)
         np.testing.assert_allclose(np.asarray(combine)[0, 3:].sum(), 0.0)
 
+    def test_valid_mask_excludes_pads(self):
+        """Padding tokens (valid=False) consume no expert capacity, get
+        zero dispatch/combine, and are excluded from the aux fractions
+        (ADVICE r3: pad-heavy batches must not bias the router stats)."""
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(1, 8, 4)), jnp.float32)
+        valid = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]], bool)
+        d, c, aux = top_k_routing(logits, top_k=2, capacity=8, valid=valid)
+        np.testing.assert_allclose(np.asarray(d)[0, 4:].sum(), 0.0)
+        np.testing.assert_allclose(np.asarray(c)[0, 4:].sum(), 0.0)
+        # aux equals routing the real tokens alone
+        d2, c2, aux2 = top_k_routing(logits[:, :4], top_k=2, capacity=8)
+        np.testing.assert_allclose(float(aux), float(aux2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(d)[0, :4],
+                                   np.asarray(d2)[0])
+
+    def test_pads_do_not_steal_capacity(self):
+        """A pad-heavy PREFIX must not drop later real tokens: all
+        tokens prefer expert 0 and capacity fits exactly the real ones."""
+        logits = jnp.zeros((1, 8, 4), jnp.float32).at[:, :, 0].set(10.0)
+        valid = jnp.asarray([[0, 0, 0, 0, 0, 1, 1, 1]], bool)
+        d, _, _ = top_k_routing(logits, top_k=1, capacity=3, valid=valid)
+        # without the mask the 5 pads would fill expert 0's 3 slots
+        np.testing.assert_allclose(
+            np.asarray(d)[0, 5:, 0].sum(axis=-1), 1.0)
+
+    def test_inference_capacity_is_no_drop_for_chunks(self):
+        from multi_spatialmllm_tpu.models.moe import (
+            NO_DROP_MAX_T, moe_capacity)
+
+        cfg = _f32_moe_cfg().llm
+        assert moe_capacity(cfg, 1, inference=True) == cfg.moe_top_k
+        assert moe_capacity(cfg, 32, inference=True) == 32 * cfg.moe_top_k
+        # past the chunk bound it falls back to the capped formula
+        big = NO_DROP_MAX_T * 2
+        assert moe_capacity(cfg, big, inference=True) == \
+            moe_capacity(cfg, big, inference=False)
+
+    def test_moe_mlp_rejects_mlp_lora_tables(self):
+        """Serving adapters targeting the dense SwiGLU kernels must fail
+        loudly on a routed FFN, not silently serve an un-adapted MLP."""
+        cfg = _f32_moe_cfg().llm
+        mlp = MoEMLP(cfg)
+        x = jnp.zeros((1, 4, cfg.hidden_size), jnp.float32)
+        params = mlp.init(jax.random.key(0), x)
+        bad_lora = {"scale": 1.0, "idx": jnp.zeros((1,), jnp.int32),
+                    "tables": {"gate": None}}
+        with pytest.raises(ValueError, match="routed MoE"):
+            mlp.apply(params, x, lora=bad_lora)
+
     def test_aux_loss_uniform_routing_is_one(self):
         # perfectly balanced first-choice routing + uniform probs -> aux=1
         b, t, e = 1, 8, 4
