@@ -901,7 +901,9 @@ def main() -> None:
 
     p = sub.add_parser("tapvid", help="object-movement engines over npz")
     p.add_argument("--data", required=True)
-    p.add_argument("--meta", required=True)
+    p.add_argument("--meta", default=None,
+                   help="TAPVid-3D meta_data dir (default: the vendored "
+                        "split lists in data/tapvid3d_meta)")
     p.add_argument("--sub-dataset", default="adt")
     p.add_argument("--split", default="train")
     p.add_argument("--dot", action="store_true")

@@ -17,13 +17,34 @@ REQUIRED_KEYS = ("images_jpeg_bytes", "fx_fy_cx_cy", "tracks_XYZ",
                  "visibility")
 SUB_DATASETS = ("adt", "pstudio")
 
+# The split-id lists themselves are VENDORED as data (they originate
+# from the public TAPVid-3D benchmark release; see
+# data/tapvid3d_meta/README.md for provenance) so the repo is
+# self-contained — a user-supplied meta_data dir still works.
+VENDORED_META_DIR = os.path.normpath(os.path.join(
+    os.path.dirname(__file__), "..", "..", "data", "tapvid3d_meta"))
 
-def load_split_list(meta_data_dir: str, sub_dataset: str,
+# (sub_dataset, split) -> expected scene count (SURVEY.md §2 #25)
+EXPECTED_SPLIT_COUNTS = {("adt", "train"): 1647, ("adt", "val"): 309,
+                         ("pstudio", "train"): 131, ("pstudio", "val"): 25}
+
+
+def load_split_list(meta_data_dir: str | None, sub_dataset: str,
                     split: str) -> list[str]:
-    """Scene-id list from `{meta}/{sub}/{split}.txt` (one id per line)."""
+    """Scene-id list from `{meta}/{sub}/{split}.txt` (one id per line).
+
+    `meta_data_dir=None` uses the vendored lists; vendored loads are
+    count-validated against the reference's published split sizes."""
+    vendored = meta_data_dir is None
+    if vendored:
+        meta_data_dir = VENDORED_META_DIR
     path = os.path.join(meta_data_dir, sub_dataset, f"{split}.txt")
     with open(path) as f:
-        return [line.strip() for line in f if line.strip()]
+        ids = [line.strip() for line in f if line.strip()]
+    if vendored:
+        want = EXPECTED_SPLIT_COUNTS[(sub_dataset, split)]
+        assert len(ids) == want, (sub_dataset, split, len(ids), want)
+    return ids
 
 
 def load_record(npz_path: str) -> dict:
@@ -57,8 +78,8 @@ def validate_record(record: dict, name: str = "<record>") -> None:
             raise ValueError(f"{name}: extrinsics_w2c shape mismatch")
 
 
-def load_split_records(base_dir: str, meta_data_dir: str, sub_dataset: str,
-                       split: str) -> dict[str, dict]:
+def load_split_records(base_dir: str, meta_data_dir: str | None,
+                       sub_dataset: str, split: str) -> dict[str, dict]:
     """{scene_id: record} for one sub-dataset split."""
     out = {}
     for scene_id in load_split_list(meta_data_dir, sub_dataset, split):

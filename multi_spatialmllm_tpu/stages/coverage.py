@@ -98,6 +98,82 @@ def object_coverage_intervals(scene: Scene, vis: np.ndarray):
     return np.asarray(mins), np.asarray(maxs), np.asarray(cnt)
 
 
+@functools.lru_cache(maxsize=32)
+def _interval_multichip_fn(mesh, n_pad: int, num_segments: int):
+    """Compiled shard_map interval program per (mesh, widths) — the
+    device half of the coverage stage scene-parallel over the mesh's
+    leading axis (the reference fans this out as one background process
+    per 10 scenes, find_object_coverage.sh:24-48)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import shard_map_compat
+
+    axis = mesh.axis_names[0]
+    single = _interval_fn.__wrapped__  # uncached builder; jit inside
+
+    def local(packed, instance_ids, coords):
+        i = packed.shape[1]
+        return jax.vmap(single(i, n_pad, num_segments))(
+            packed, instance_ids, coords)
+
+    return jax.jit(shard_map_compat(
+        local, mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis)))
+
+
+def coverage_intervals_multichip(
+    scenes: "list[Scene]",
+    mesh,
+    visibility: "dict[str, np.ndarray]",
+    per_device_batch: int = 4,
+) -> dict:
+    """Scene-parallel device precompute for the coverage search.
+
+    Returns `{scene_id: (mins, maxs, counts)}` — identical to
+    :func:`object_coverage_intervals` per scene (the host BFS consumes
+    them unchanged, so `build_object_coverage(mesh=...)` output equals
+    the single-device run bit-for-bit). Scenes group by padded shape and
+    shard over the mesh's leading axis."""
+    from .visibility import ensure_x64
+
+    ensure_x64(np.float64)
+    axis = mesh.axis_names[0]
+    batch = mesh.shape[axis] * per_device_batch
+
+    groups: dict[tuple, list[Scene]] = {}
+    for scene in scenes:
+        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
+        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
+        groups.setdefault((i_pad, n_pad), []).append(scene)
+    num_segments = max(s.num_objects for s in scenes) + 1
+
+    out: dict = {}
+    for (i_pad, n_pad), members in groups.items():
+        fn = _interval_multichip_fn(mesh, n_pad, num_segments)
+        for lo in range(0, len(members), batch):
+            chunk = members[lo: lo + batch]
+            packed = np.zeros((batch, i_pad, (n_pad + 7) // 8), np.uint8)
+            seg = np.zeros((batch, n_pad), np.int32)
+            pts = np.zeros((batch, n_pad, 3), np.float64)
+            for j, scene in enumerate(chunk):
+                vis = visibility[scene.scene_id]
+                vis_pad = np.zeros((i_pad, n_pad), dtype=bool)
+                vis_pad[: vis.shape[0], : vis.shape[1]] = vis
+                packed[j] = np.packbits(vis_pad, axis=1)
+                n = scene.num_points
+                seg[j, :n] = scene.instance_ids.astype(np.int32)
+                pts[j, :n] = scene.points_aligned[:, :3]
+            mins, maxs, cnt = (np.asarray(v) for v in fn(
+                jnp.asarray(packed), jnp.asarray(seg), jnp.asarray(pts)))
+            for j, scene in enumerate(chunk):
+                i, o = scene.num_images, scene.num_objects + 1
+                out[scene.scene_id] = (mins[j, :i, :, :o],
+                                       maxs[j, :i, :, :o],
+                                       cnt[j, :i, :o])
+    return out
+
+
 def _covers(lo: float, hi: float, target: float, tolerance: float) -> bool:
     """covers_dimension parity (single_object_coverage_finder.py:68-74)."""
     if not (lo <= hi):  # empty union
@@ -220,21 +296,40 @@ def build_object_coverage(
     visibility: "dict[str, np.ndarray] | None" = None,
     seed: int = 0,
     tolerance: float = TOLERANCE,
+    mesh=None,
 ):
     """Run the coverage stage; returns (height, length, width) dicts with
     the reference's nested schema
     `{scene_id: {object_id: {k: [image-tuples]}}}` and optionally writes the
     three pkls (process_split_objects, single_object_coverage_finder.py
-    :287-338)."""
+    :287-338). With `mesh`, the device interval precompute runs
+    scene-parallel over the mesh's leading axis
+    (:func:`coverage_intervals_multichip`); results are identical."""
+    scenes = list(scenes)
+    multichip = None
+    if mesh is not None:
+        vis_all = {}
+        for scene in scenes:
+            if scene.scene_id not in object_visibility:
+                continue
+            v = None if visibility is None else visibility.get(
+                scene.scene_id)
+            vis_all[scene.scene_id] = (
+                compute_scene_visibility(scene) if v is None else v)
+        multichip = coverage_intervals_multichip(
+            [s for s in scenes if s.scene_id in vis_all], mesh, vis_all)
     results = {"height": {}, "length": {}, "width": {}}
     for scene in scenes:
         sid = scene.scene_id
         if sid not in object_visibility:
             continue
-        vis = None if visibility is None else visibility.get(sid)
-        if vis is None:
-            vis = compute_scene_visibility(scene)
-        mins, maxs, _ = object_coverage_intervals(scene, vis)
+        if multichip is not None:
+            mins, maxs, _ = multichip[sid]
+        else:
+            vis = None if visibility is None else visibility.get(sid)
+            if vis is None:
+                vis = compute_scene_visibility(scene)
+            mins, maxs, _ = object_coverage_intervals(scene, vis)
         obj_map = object_visibility[sid]["object_to_images"]
         for dim in results:
             results[dim].setdefault(sid, {})

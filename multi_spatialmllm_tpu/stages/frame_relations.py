@@ -51,6 +51,81 @@ def _relations_fn(i_pad: int, n_pad: int, dtype_name: str):
     return fn
 
 
+@functools.lru_cache(maxsize=32)
+def _relations_multichip_fn(mesh, n_pad: int):
+    """Compiled shard_map relations program per (mesh, point width) —
+    scenes shard over the mesh's leading axis, each device vmapping the
+    single-scene fused program over its shard (the multi-chip
+    incarnation of the reference's 25-process Pool over scenes,
+    calculate_frames_relations.py:200-253)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import shard_map_compat
+
+    axis = mesh.axis_names[0]
+
+    def local(packed, extrinsics, image_valid):
+        return jax.vmap(
+            lambda pk, e, iv: G.pairwise_frame_relations(
+                _unpack_bits(pk, n_pad), e, iv)
+        )(packed, extrinsics, image_valid)
+
+    return jax.jit(shard_map_compat(
+        local, mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis)))
+
+
+def compute_relations_multichip(
+    scenes: "list[Scene]",
+    mesh,
+    visibility: "dict[str, np.ndarray]",
+    dtype=np.float64,
+    per_device_batch: int = 4,
+) -> "dict[str, dict[str, np.ndarray]]":
+    """Scene-parallel frame relations across every device of a mesh.
+
+    Returns `{scene_id: {relation: [I, I]}}` — bit-identical to
+    :func:`compute_scene_relations` per scene (test-asserted on the
+    8-device CPU mesh and in `dryrun_multichip`). Scenes are grouped by
+    padded shape, stacked, and sharded over the mesh's leading axis;
+    short groups pad with repeated scenes whose rows are dropped."""
+    from .visibility import ensure_x64
+
+    ensure_x64(dtype)
+    axis = mesh.axis_names[0]
+    batch = mesh.shape[axis] * per_device_batch
+
+    groups: dict[tuple, list[Scene]] = {}
+    for scene in scenes:
+        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
+        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
+        groups.setdefault((i_pad, n_pad), []).append(scene)
+
+    out: dict[str, dict[str, np.ndarray]] = {}
+    for (i_pad, n_pad), members in groups.items():
+        fn = _relations_multichip_fn(mesh, n_pad)
+        for lo in range(0, len(members), batch):
+            chunk = members[lo: lo + batch]
+            packed = np.zeros((batch, i_pad, (n_pad + 7) // 8), np.uint8)
+            exts = np.tile(np.eye(4, dtype=dtype), (batch, i_pad, 1, 1))
+            ivalid = np.zeros((batch, i_pad), dtype=bool)
+            for j, scene in enumerate(chunk):
+                vis = visibility[scene.scene_id]
+                vis_pad = np.zeros((i_pad, n_pad), dtype=bool)
+                vis_pad[: vis.shape[0], : vis.shape[1]] = vis
+                packed[j] = np.packbits(vis_pad, axis=1)
+                exts[j], _, ivalid[j] = scene.padded_images(dtype)
+            rel = {k: np.asarray(v) for k, v in
+                   fn(jnp.asarray(packed), jnp.asarray(exts),
+                      jnp.asarray(ivalid)).items()}
+            for j, scene in enumerate(chunk):
+                n = scene.num_images
+                out[scene.scene_id] = {k: v[j, :n, :n]
+                                       for k, v in rel.items()}
+    return out
+
+
 def compute_scene_relations(
     scene: Scene,
     vis: np.ndarray | None = None,

@@ -269,6 +269,19 @@ class TestTapvid:
         ids = TV.load_split_list(str(tmp_path / "meta"), "adt", "train")
         assert ids == ["seq_a", "seq_b"]
 
+    def test_vendored_meta_lists(self):
+        """meta_data_dir=None loads the VENDORED split lists
+        (data/tapvid3d_meta, provenance in its README) with the
+        reference's published counts, and they match the reference's
+        shipped lists id-for-id when the reference is mounted."""
+        for (sub, split), want in TV.EXPECTED_SPLIT_COUNTS.items():
+            ids = TV.load_split_list(None, sub, split)
+            assert len(ids) == want
+            assert len(set(ids)) == want  # no duplicate scene ids
+            ref = "/root/reference/data/tapvid3d_dataset/meta_data"
+            if os.path.isdir(ref):
+                assert ids == TV.load_split_list(ref, sub, split)
+
     def test_reference_meta_lists_present(self):
         # The reference ships the official split lists; verify our loader
         # reads them (read-only access).

@@ -427,6 +427,75 @@ class TestMultichipVisibility:
             np.testing.assert_array_equal(got[s.scene_id], single)
 
 
+class TestMultichipRelationsAndCoverage:
+    """Scene-parallel frame relations + coverage intervals over the mesh
+    data axis (the reference's 25-process relation Pool and
+    process-per-10-scenes coverage fan-out): results must equal the
+    single-device stages exactly."""
+
+    @pytest.fixture()
+    def mesh8(self):
+        import jax as _jax
+
+        if len(_jax.devices()) < 8 or _jax.default_backend() != "cpu":
+            pytest.skip("needs the 8-device CPU mesh (scripts/test.sh)")
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(_jax.devices()[:8]), ("data",))
+
+    def _scenes(self):
+        scenes = [make_scene(scene_id=f"mcr{i:04d}_00", seed=60 + i,
+                             n_images=10, n_background=2000, n_objects=2,
+                             n_invalid_poses=1)
+                  for i in range(9)]  # not a multiple of 8: pad path
+        vis = {s.scene_id: compute_scene_visibility(s, np.float32)
+               for s in scenes}
+        return scenes, vis
+
+    def test_relations_sharded_equals_per_scene(self, mesh8):
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            compute_relations_multichip,
+            compute_scene_relations,
+        )
+
+        scenes, vis = self._scenes()
+        got = compute_relations_multichip(scenes, mesh8, vis,
+                                          dtype=np.float32,
+                                          per_device_batch=1)
+        assert set(got) == {s.scene_id for s in scenes}
+        for s in scenes:
+            single = compute_scene_relations(s, vis=vis[s.scene_id],
+                                             dtype=np.float32)
+            assert set(got[s.scene_id]) == set(single)
+            for k, v in single.items():
+                np.testing.assert_array_equal(got[s.scene_id][k], v)
+
+    def test_coverage_sharded_equals_per_scene(self, mesh8):
+        from multi_spatialmllm_tpu.stages.coverage import (
+            build_object_coverage,
+            coverage_intervals_multichip,
+            object_coverage_intervals,
+        )
+        from multi_spatialmllm_tpu.stages.object_visibility import (
+            build_object_visibility,
+        )
+
+        scenes, vis = self._scenes()
+        intervals = coverage_intervals_multichip(scenes, mesh8, vis)
+        for s in scenes:
+            mins, maxs, cnt = object_coverage_intervals(s,
+                                                        vis[s.scene_id])
+            np.testing.assert_array_equal(intervals[s.scene_id][0], mins)
+            np.testing.assert_array_equal(intervals[s.scene_id][1], maxs)
+            np.testing.assert_array_equal(intervals[s.scene_id][2], cnt)
+
+        ovis = build_object_visibility(scenes, visibility=vis)
+        cov_mc = build_object_coverage(scenes, ovis, visibility=vis,
+                                       mesh=mesh8)
+        cov_single = build_object_coverage(scenes, ovis, visibility=vis)
+        assert cov_mc == cov_single
+
+
 class TestBatchedRelations:
     def test_batched_matches_per_scene(self):
         """build_frame_relations with precomputed visibility (batched
