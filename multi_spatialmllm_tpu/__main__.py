@@ -39,6 +39,11 @@ def _mllm_config(args):
         overrides["vocab_size"] = args.vocab_size
     if getattr(args, "moe_experts", 0):
         overrides["moe_experts"] = args.moe_experts
+        # grouped routing only affects TRAINING dispatch cost/drops;
+        # inference paths ignore it, so serving/eval configs stay
+        # compatible with any trained value (models/moe.py module doc)
+        if getattr(args, "moe_group", 0):
+            overrides["moe_group"] = args.moe_group
     if overrides:
         cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, **overrides))
@@ -1080,6 +1085,11 @@ def main() -> None:
     p.add_argument("--moe-experts", type=int, default=0,
                    help="replace every decoder MLP with a top-2 routed "
                         "MoE of this many experts")
+    p.add_argument("--moe-group", type=int, default=0,
+                   help="GShard routing-group size for MoE training "
+                        "(capacity binds per group; REQUIRED for "
+                        "training-scale sequences — whole-row dispatch "
+                        "is O(T^2)). 256 is a good default")
     p.add_argument("--fsdp", action="store_true",
                    help="also shard large params over the data axis")
     p.add_argument("--seed", type=int, default=0)

@@ -48,6 +48,11 @@ class LLMConfig:
     #   weights shard over the mesh "expert" axis (expert parallelism)
     moe_top_k: int = 2
     moe_capacity: float = 2.0  # expert buffer = ceil(top_k*T*cap/E)
+    moe_group: int = 0  # >0: TRAINING routes in groups of this many
+    #   tokens (GShard groups) — capacity binds per group, so the
+    #   dispatch/combine tensors are O(T * top_k*group*cap) instead of
+    #   O(top_k * T^2); required for training-scale sequences. 0 keeps
+    #   whole-row routing (fine for short rows and all inference paths)
 
     @property
     def head_dim(self) -> int:

@@ -217,6 +217,24 @@ def bench_1chip_config() -> MLLMConfig:
     return MLLMConfig(vit=vit, llm=llm)
 
 
+def bench_1chip_moe_config(num_experts: int = 4) -> MLLMConfig:
+    """bench_1chip_config with every decoder MLP swapped for top-2
+    routed MoE (models/moe.py) at the SAME total parameter count:
+    ffn_size 8192/E per expert, so params + AdamW memory match the
+    dense bench config on one v5e and the step-time delta isolates
+    routing + dispatch/combine cost against halved activated-FFN
+    compute (top-2 of E same-width experts). Behind
+    scripts/profiles/_moe_drive.py's real-chip measurement."""
+    base = bench_1chip_config()
+    # full-layer recompute (not the dense config's save-matmul-outputs
+    # policy): the dispatch/combine einsums are dots too, and saving
+    # their [E,B*G,C,D]-sized outputs across 8 layers OOMs one v5e
+    llm = dataclasses.replace(base.llm, moe_experts=num_experts,
+                              ffn_size=base.llm.ffn_size // num_experts,
+                              moe_group=256, remat_policy=None)
+    return dataclasses.replace(base, llm=llm)
+
+
 def flagship_config() -> MLLMConfig:
     """InternVL2-8B-like shape (InternViT-300M + 7-8B decoder).
 

@@ -17,6 +17,15 @@ Design (GShard / Switch-Transformer dispatch, TPU-idiomatic):
   - capacity C = ceil(top_k * T * capacity_factor / E) per batch row;
     position-in-expert via cumsum along T, tokens past C are dropped
     (their combine weight is 0 — output falls back to the residual);
+  - TRAINING with cfg.moe_group = g > 0 routes in GShard groups: rows
+    reshape to [B*(T/g), g, D] and capacity binds per group, so the
+    dispatch/combine tensors cost O(T * k*g*cap) FLOPs against D —
+    independent of T — instead of the whole-row O(k*T^2) that is
+    infeasible at training sequence lengths (at S=2048 the per-row
+    dispatch einsum alone is ~270 TFLOP/layer). The load-balance
+    statistic is unchanged (fractions still average over all real
+    tokens); only WHERE capacity binds moves (group-local, the
+    standard GShard/Switch formulation);
   - INFERENCE (a kv cache is active) uses a NO-DROP capacity
     C = top_k * T for chunks up to NO_DROP_MAX_T, so incremental
     decode, chunked decode, and chunked prefill all produce identical
@@ -166,7 +175,21 @@ class MoEMLP(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         b, t, d = x.shape
         e, f = cfg.moe_experts, cfg.ffn_size
-        cap = moe_capacity(cfg, t, inference=inference)
+
+        # GShard grouped routing (training only): capacity binds per
+        # `moe_group`-token group, so the dispatch tensor is
+        # [B*G, g, E, ceil(k*g*cap/E)] — O(T * k*g*cap) total instead
+        # of the whole-row O(k*T^2) that makes training-scale sequences
+        # (S >= 2K) infeasible. Inference keeps whole-chunk routing:
+        # its chunk-invariance guarantees depend on it.
+        g = getattr(cfg, "moe_group", 0)
+        grouped = (not inference) and 0 < g < t and t % g == 0
+        if grouped:
+            xr = x.reshape(b * (t // g), g, d)
+            vr = None if valid is None else valid.reshape(b * (t // g), g)
+        else:
+            xr, vr = x, valid
+        cap = moe_capacity(cfg, xr.shape[1], inference=inference)
 
         init = nn.initializers.lecun_normal()
         router = self.param("router", init, (d, e), jnp.float32)
@@ -174,16 +197,16 @@ class MoEMLP(nn.Module):
         wi_up = self.param("wi_up", init, (e, d, f), jnp.float32)
         wo = self.param("wo", init, (e, f, d), jnp.float32)
 
-        logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32), router)
+        logits = jnp.einsum("btd,de->bte", xr.astype(jnp.float32), router)
         dispatch, combine, aux = top_k_routing(logits, cfg.moe_top_k, cap,
-                                               valid=valid)
+                                               valid=vr)
         self.sow("intermediates", "moe_aux_loss", aux)
 
         xin = jnp.einsum("btec,btd->ebcd", dispatch.astype(dtype),
-                         x.astype(dtype))
+                         xr.astype(dtype))
         gate = jnp.einsum("ebcd,edf->ebcf", xin, wi_gate.astype(dtype))
         up = jnp.einsum("ebcd,edf->ebcf", xin, wi_up.astype(dtype))
         out = jnp.einsum("ebcf,efd->ebcd", nn.silu(gate) * up,
                          wo.astype(dtype))
         y = jnp.einsum("btec,ebcd->btd", combine.astype(dtype), out)
-        return y.astype(dtype)
+        return y.reshape(b, t, d).astype(dtype)

@@ -45,13 +45,23 @@ def device_peak_flops(device) -> float | None:
 
 
 def llm_matmul_params(cfg: LLMConfig) -> int:
-    """Weights that participate in per-token matmuls (embedding lookup
-    excluded, lm_head included)."""
+    """Weights each token's matmuls touch (embedding lookup excluded,
+    lm_head included).
+
+    MoE (cfg.moe_experts > 0): a token runs `moe_top_k` expert MLPs plus
+    the router, NOT all E experts — MoE MFU counts activated-expert
+    FLOPs only (the Switch/GShard convention). The dense dispatch/
+    combine einsums the implementation uses are an implementation
+    choice (a gather/scatter would avoid them), so their FLOPs are not
+    "required by the model" and are excluded — MoE MFU is therefore an
+    honest lower bound on hardware utilisation."""
     h, hd = cfg.hidden_size, cfg.head_dim
     attn = (h * cfg.num_heads * hd            # wq
             + 2 * h * cfg.num_kv_heads * hd   # wk, wv
             + cfg.num_heads * hd * h)         # wo
     ffn = 3 * h * cfg.ffn_size                # gate, up, down
+    if cfg.moe_experts > 0:
+        ffn = cfg.moe_top_k * ffn + h * cfg.moe_experts  # experts + router
     return cfg.num_layers * (attn + ffn) + h * cfg.vocab_size
 
 

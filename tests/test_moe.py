@@ -146,6 +146,56 @@ class TestMoEMLP:
         np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
                                    atol=1e-5, rtol=1e-5)
 
+    def test_grouped_routing_matches_ungrouped_when_no_drop(self):
+        """moe_group changes WHERE capacity binds, nothing else: with an
+        ample capacity factor (cap >= E means no drops in either
+        formulation) the grouped and whole-row outputs are identical —
+        buffer positions differ, the combine result does not."""
+        cfg = dc.replace(_f32_moe_cfg(4).llm, moe_capacity=4.0)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 32, cfg.hidden_size)),
+                        jnp.float32)
+        m = MoEMLP(cfg)
+        p = m.init(jax.random.key(0), x)
+        y0 = m.apply(p, x)
+        yg = MoEMLP(dc.replace(cfg, moe_group=8)).apply(p, x)
+        np.testing.assert_allclose(np.asarray(yg), np.asarray(y0),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_identical_experts_match_dense_mlp_grouped(self):
+        """The dense-MLP oracle holds through grouped dispatch too."""
+        cfg = dc.replace(_f32_moe_cfg(num_experts=4).llm, moe_group=4)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, cfg.hidden_size)),
+                        jnp.float32)
+        dense = MLP(dc.replace(cfg, moe_experts=0))
+        dp = dense.init(jax.random.key(0), x)
+        y_dense = dense.apply(dp, x)
+        e, d_, f = cfg.moe_experts, cfg.hidden_size, cfg.ffn_size
+        k = dp["params"]
+        mp = {"params": {
+            "router": jnp.zeros((d_, e), jnp.float32),
+            "wi_gate": jnp.broadcast_to(k["gate"]["kernel"], (e, d_, f)),
+            "wi_up": jnp.broadcast_to(k["up"]["kernel"], (e, d_, f)),
+            "wo": jnp.broadcast_to(k["down"]["kernel"], (e, f, d_)),
+        }}
+        y_moe = MoEMLP(cfg).apply(mp, x)
+        np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_inference_ignores_moe_group(self):
+        """Inference chunk-invariance guarantees depend on whole-chunk
+        routing: moe_group must not change inference outputs."""
+        cfg = _f32_moe_cfg().llm
+        x = jnp.asarray(np.random.default_rng(4).normal(
+            size=(1, 16, cfg.hidden_size)), jnp.float32)
+        m = MoEMLP(cfg)
+        p = m.init(jax.random.key(0), x)
+        y0 = m.apply(p, x, inference=True)
+        yg = MoEMLP(dc.replace(cfg, moe_group=4)).apply(p, x,
+                                                        inference=True)
+        np.testing.assert_array_equal(np.asarray(yg), np.asarray(y0))
+
     def test_forward_finite_and_sows_aux(self):
         cfg = _f32_moe_cfg().llm
         x = jnp.asarray(np.random.default_rng(2).normal(
