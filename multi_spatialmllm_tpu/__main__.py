@@ -44,6 +44,8 @@ def _mllm_config(args):
         # compatible with any trained value (models/moe.py module doc)
         if getattr(args, "moe_group", 0):
             overrides["moe_group"] = args.moe_group
+        if getattr(args, "moe_impl", None):
+            overrides["moe_impl"] = args.moe_impl
     if overrides:
         cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, **overrides))
@@ -942,6 +944,11 @@ def main() -> None:
     p.add_argument("--moe-experts", type=int, default=0,
                    help="routed-MoE expert count; must match the checkpoint's "
                         "training value (see train --moe-experts)")
+    p.add_argument("--moe-impl", choices=("einsum", "ragged"),
+                   default=None,
+                   help="MoE dispatch implementation (serve a "
+                        "ragged-trained checkpoint with ragged for "
+                        "matching routing semantics)")
     p.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16")
     p.add_argument("--shard-gb", type=float, default=4.0,
@@ -963,6 +970,11 @@ def main() -> None:
     p.add_argument("--moe-experts", type=int, default=0,
                    help="routed-MoE expert count; must match the checkpoint's "
                         "training value (see train --moe-experts)")
+    p.add_argument("--moe-impl", choices=("einsum", "ragged"),
+                   default=None,
+                   help="MoE dispatch implementation (serve a "
+                        "ragged-trained checkpoint with ragged for "
+                        "matching routing semantics)")
     p.add_argument("--eval-jsonl", default=None,
                    help="one engine evaluation_data JSONL")
     p.add_argument("--eval-root", default=None,
@@ -1008,6 +1020,11 @@ def main() -> None:
     p.add_argument("--moe-experts", type=int, default=0,
                    help="routed-MoE expert count; must match the checkpoint's "
                         "training value (see train --moe-experts)")
+    p.add_argument("--moe-impl", choices=("einsum", "ragged"),
+                   default=None,
+                   help="MoE dispatch implementation (serve a "
+                        "ragged-trained checkpoint with ragged for "
+                        "matching routing semantics)")
     p.add_argument("--images-root", default=".")
     p.add_argument("--max-tiles", type=int, default=6,
                    help="dynamic-tiling cap per image")
@@ -1090,6 +1107,12 @@ def main() -> None:
                         "(capacity binds per group; REQUIRED for "
                         "training-scale sequences — whole-row dispatch "
                         "is O(T^2)). 256 is a good default")
+    p.add_argument("--moe-impl", choices=("einsum", "ragged"),
+                   default=None,
+                   help="MoE dispatch implementation: einsum (GShard "
+                        "dense dispatch; shards over the expert axis) "
+                        "or ragged (dropless sorted ragged_dot; "
+                        "single-chip / data-parallel)")
     p.add_argument("--fsdp", action="store_true",
                    help="also shard large params over the data axis")
     p.add_argument("--seed", type=int, default=0)

@@ -48,6 +48,12 @@ class LLMConfig:
     #   weights shard over the mesh "expert" axis (expert parallelism)
     moe_top_k: int = 2
     moe_capacity: float = 2.0  # expert buffer = ceil(top_k*T*cap/E)
+    moe_impl: str = "einsum"  # "einsum": GShard dense-dispatch einsums
+    #   (what XLA's SPMD partitioner turns into expert-parallel
+    #   all-to-alls; capacity drops apply). "ragged": DROPLESS
+    #   sorted-gather + lax.ragged_dot grouped matmuls — exactly the
+    #   activated FLOPs, for single-chip / data-parallel meshes
+    #   (models/moe.ragged_moe)
     moe_group: int = 0  # >0: TRAINING routes in groups of this many
     #   tokens (GShard groups) — capacity binds per group, so the
     #   dispatch/combine tensors are O(T * top_k*group*cap) instead of

@@ -217,7 +217,8 @@ def bench_1chip_config() -> MLLMConfig:
     return MLLMConfig(vit=vit, llm=llm)
 
 
-def bench_1chip_moe_config(num_experts: int = 4) -> MLLMConfig:
+def bench_1chip_moe_config(num_experts: int = 4,
+                           impl: str = "einsum") -> MLLMConfig:
     """bench_1chip_config with every decoder MLP swapped for top-2
     routed MoE (models/moe.py) at the SAME total parameter count:
     ffn_size 8192/E per expert, so params + AdamW memory match the
@@ -231,7 +232,8 @@ def bench_1chip_moe_config(num_experts: int = 4) -> MLLMConfig:
     # their [E,B*G,C,D]-sized outputs across 8 layers OOMs one v5e
     llm = dataclasses.replace(base.llm, moe_experts=num_experts,
                               ffn_size=base.llm.ffn_size // num_experts,
-                              moe_group=256, remat_policy=None)
+                              moe_group=256, moe_impl=impl,
+                              remat_policy=None)
     return dataclasses.replace(base, llm=llm)
 
 

@@ -39,6 +39,18 @@ Design (GShard / Switch-Transformer dispatch, TPU-idiomatic):
     of routing: they consume no expert capacity and are excluded from
     the load-balance aux fractions (a heavily padded batch must not
     bias router statistics toward whatever pads route to);
+  - cfg.moe_impl = "ragged" swaps the dispatch machinery for a DROPLESS
+    sorted-gather path (MegaBlocks / megablox style): token copies are
+    stable-sorted by chosen expert and the three SwiGLU projections run
+    as `jax.lax.ragged_dot` grouped matmuls over the sorted rows — the
+    machine executes EXACTLY the activated-expert FLOPs (no capacity
+    buffers, no one-hot dispatch einsums, no drops ever). Routing is
+    per-token, so outputs are trivially chunk-/batch-composition-
+    invariant at inference; the load-balance statistic is the same
+    formula. Use it on single-chip or data-parallel meshes; the
+    "einsum" impl remains the default because its dense dispatch is
+    what XLA's SPMD partitioner turns into expert-parallel all-to-alls
+    (a global sort does not shard over the "expert" axis);
   - dispatch [B,T,E,C] / combine [B,T,E,C] contract tokens into
     per-expert buffers [E,B,C,D]; the expert SwiGLU is ONE batched
     einsum per projection ([E,B,C,D] x [E,D,F]) — E stays a leading
@@ -145,6 +157,81 @@ def top_k_routing(logits: jax.Array, top_k: int, capacity: int,
     return dispatch, combine, aux
 
 
+def _topk_select(logits: jax.Array, top_k: int,
+                 vmask: jax.Array | None):
+    """Per-token top-k expert selection shared by the ragged path.
+
+    Args:
+      logits: [N, E] router logits (f32).
+      vmask: optional [N] f32 validity (0.0 for pads).
+    Returns:
+      idx [N, top_k] int32, gates [N, top_k] f32 (renormalized to sum
+      to 1 per token; zeroed on pads), aux (same load-balance statistic
+      as top_k_routing, over real tokens only).
+    """
+    n, e = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    masked = probs
+    idxs, gates = [], []
+    for _ in range(top_k):
+        i = jnp.argmax(masked, axis=-1)                      # [N]
+        idxs.append(i.astype(jnp.int32))
+        gates.append(jnp.max(masked, axis=-1))               # [N]
+        masked = masked * (1.0 - jax.nn.one_hot(i, e,
+                                                dtype=jnp.float32))
+    denom = sum(gates) + 1e-9
+    gate_mat = jnp.stack([g / denom for g in gates], axis=1)  # [N,k]
+
+    oh0 = jax.nn.one_hot(idxs[0], e, dtype=jnp.float32)       # [N,E]
+    if vmask is None:
+        route_frac = jnp.mean(oh0, axis=0)
+        prob_frac = jnp.mean(probs, axis=0)
+    else:
+        gate_mat = gate_mat * vmask[:, None]
+        n_valid = jnp.maximum(jnp.sum(vmask), 1.0)
+        route_frac = jnp.sum(oh0 * vmask[:, None], axis=0) / n_valid
+        prob_frac = jnp.sum(probs * vmask[:, None], axis=0) / n_valid
+    aux = jnp.sum(route_frac * prob_frac) * e
+    return jnp.stack(idxs, axis=1), gate_mat, aux
+
+
+def ragged_moe(cfg, x, router, wi_gate, wi_up, wo,
+               valid: jax.Array | None = None):
+    """Dropless sorted-gather MoE forward (cfg.moe_impl == "ragged").
+
+    [B,T,D] -> [B,T,D]. Token copies are stable-sorted by expert id and
+    the SwiGLU runs as three `lax.ragged_dot` grouped matmuls — exactly
+    the activated-expert FLOPs, no capacity buffers or dispatch
+    one-hots. Returns (y, aux)."""
+    dtype = jnp.dtype(cfg.dtype)
+    b, t, d = x.shape
+    k, e = cfg.moe_top_k, cfg.moe_experts
+    n = b * t
+    xf = x.reshape(n, d)
+    vmask = (None if valid is None
+             else valid.reshape(n).astype(jnp.float32))
+
+    logits = jnp.einsum("nd,de->ne", xf.astype(jnp.float32), router)
+    idx, gates, aux = _topk_select(logits, k, vmask)          # [N,k] x2
+
+    ei = idx.reshape(n * k)
+    # stable sort keeps (token, k) order within an expert: the whole
+    # pipeline below is a fixed permutation of per-row-independent
+    # work, so outputs are batch-/chunk-composition invariant
+    order = jnp.argsort(ei, stable=True)
+    xs = jnp.take(xf, order // k, axis=0).astype(dtype)       # [N*k, D]
+    group_sizes = jnp.bincount(ei, length=e).astype(jnp.int32)
+
+    hg = jax.lax.ragged_dot(xs, wi_gate.astype(dtype), group_sizes)
+    hu = jax.lax.ragged_dot(xs, wi_up.astype(dtype), group_sizes)
+    ys = jax.lax.ragged_dot(nn.silu(hg) * hu, wo.astype(dtype),
+                            group_sizes)                      # [N*k, D]
+    inv = jnp.argsort(order, stable=True)
+    yk = jnp.take(ys, inv, axis=0).reshape(n, k, d)
+    y = jnp.sum(yk * gates.astype(dtype)[..., None], axis=1)
+    return y.reshape(b, t, d).astype(dtype), aux
+
+
 class MoEMLP(nn.Module):
     """Drop-in replacement for models/llm.MLP when cfg.moe_experts > 0.
 
@@ -175,6 +262,17 @@ class MoEMLP(nn.Module):
         dtype = jnp.dtype(cfg.dtype)
         b, t, d = x.shape
         e, f = cfg.moe_experts, cfg.ffn_size
+
+        if getattr(cfg, "moe_impl", "einsum") == "ragged":
+            init = nn.initializers.lecun_normal()
+            router = self.param("router", init, (d, e), jnp.float32)
+            wi_gate = self.param("wi_gate", init, (e, d, f), jnp.float32)
+            wi_up = self.param("wi_up", init, (e, d, f), jnp.float32)
+            wo = self.param("wo", init, (e, f, d), jnp.float32)
+            y, aux = ragged_moe(cfg, x, router, wi_gate, wi_up, wo,
+                                valid=valid)
+            self.sow("intermediates", "moe_aux_loss", aux)
+            return y
 
         # GShard grouped routing (training only): capacity binds per
         # `moe_group`-token group, so the dispatch tensor is

@@ -13,11 +13,19 @@ Design (TPU-first): quantization is a pure host-side tree transform
 program, via one central hook — `MultiFrameMLLM.apply` routes variables
 through `maybe_dequantize` before flax binds them. XLA sees
 `convert(int8) * scale` producers feeding each matmul and fuses or
-hoists them; at rest the weights stay int8. Dequantized values are
+hoists them; at rest the weights stay int8. Dequantized VALUES are
 bit-identical to dequantizing on the host first (int8 -> f32 is exact,
-one f32 multiply per element), so a batcher holding quantized params
-produces EXACTLY the tokens of the same batcher holding
-`dequantize_weights(params_q)` — the oracle the tests pin.
+one f32 multiply per element), so on CPU a batcher holding quantized
+params produces EXACTLY the tokens of the same batcher holding
+`dequantize_weights(params_q)` — the oracle the tests pin. On TPU the
+teacher-forcing forward is also bitwise equal, but XLA compiles the
+skinny DECODE matmuls to different layouts/fusions when their weight
+producer is a convert — per-token logprobs shift ~3e-2, so very long
+greedy continuations can flip an argmax near-tie and diverge (measured
+2026-08-19: 0 flips in 8x32 tokens, 2 of 8 requests diverged by 128;
+scripts/profiles/_wint8_drive.py checks shared-prefix logprob
+closeness there). Same benignity class as prefix-cache resume
+numerics — documented float tolerance, not bug.
 
 A quantized leaf replaces the original array with the sub-tree
 `{"w_int8": int8 [...], "w_scale": f32 [..., 1 x last]}` where the

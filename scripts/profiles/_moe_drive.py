@@ -85,7 +85,10 @@ def drive(name, cfg):
 
 
 moe = drive("moe E=4 top2", M.bench_1chip_moe_config())
+ragged = drive("moe ragged", M.bench_1chip_moe_config(impl="ragged"))
 dense = drive("dense", M.bench_1chip_config())
-print(f"SUMMARY: moe {moe[0]*1e3:.1f} ms/step (MFU {moe[2]*100:.1f}%) vs "
+print(f"SUMMARY: moe {moe[0]*1e3:.1f} ms/step (MFU {moe[2]*100:.1f}%), "
+      f"ragged {ragged[0]*1e3:.1f} ms/step (MFU {ragged[2]*100:.1f}%) vs "
       f"dense {dense[0]*1e3:.1f} ms/step (MFU {dense[2]*100:.1f}%), "
-      f"moe/dense step ratio {moe[0]/dense[0]:.2f}", flush=True)
+      f"moe/dense step ratio {moe[0]/dense[0]:.2f}, "
+      f"ragged/dense {ragged[0]/dense[0]:.2f}", flush=True)

@@ -2,6 +2,19 @@
 the paged decode chunk with native-f32 vs int8 weights on the real TPU
 backend (CPU fallback checks correctness only).
 
+Oracle semantics (measured 2026-08-19): on CPU, in-jit dequant tokens
+are BIT-equal to the host-dequant oracle (tests pin this). On TPU the
+teacher-forcing forward is also bitwise equal, but the paged DECODE
+program compiles to ULP-different numerics when its weight producers
+are convert(int8)*scale (XLA picks different layouts/fusions for the
+skinny decode matmuls) — per-token logprobs differ by ~3e-2, so a long
+greedy continuation can flip an argmax near-tie and diverge from there
+(probed: 32-token runs identical across 8 requests with max |dlogprob|
+3.1e-2; 128-token runs diverged on 2 of 8 requests). On TPU this drive
+therefore checks per-token LOGPROB closeness over the shared prefix of
+each pair of continuations and reports the token-agreement fraction,
+instead of asserting bit-equality.
+
 Timing through the axon tunnel: fetch a scalar per dispatch and take
 the median over several chunks (block_until_ready does not reliably
 block here)."""
@@ -45,8 +58,10 @@ print(f"weights: {tree_nbytes(params) / 2**20:.0f} MiB f32 -> "
       f"{tree_nbytes(pq) / 2**20:.0f} MiB int8 "
       f"({tree_nbytes(params) / tree_nbytes(pq):.2f}x)")
 
+import dataclasses as _dc
+
 if backend == "tpu":
-    pcfg = bench_paged_config()
+    pcfg = _dc.replace(bench_paged_config(), logprobs=True)
 else:
     from multi_spatialmllm_tpu.models.paged_kv import PagedConfig
 
@@ -61,18 +76,37 @@ def run(p):
     t0 = time.perf_counter()
     outs = b.generate_all(reqs)
     dt = time.perf_counter() - t0
-    return outs, sum(len(o) for o in outs) / dt
+    lps = ([np.asarray(b.request_logprobs[i]) for i in range(len(reqs))]
+           if pcfg.logprobs else None)
+    return outs, sum(len(o) for o in outs) / dt, lps
 
 
-o_q, tps_q = run(pq)
-o_f, tps_f = run(dequantize_weights(pq))
-for a, b_ in zip(o_q, o_f):
-    np.testing.assert_array_equal(a, b_)
-print("int8-weight tokens bit-equal to host-dequant oracle")
+o_q, tps_q, lp_q = run(pq)
+o_f, tps_f, lp_f = run(dequantize_weights(pq))
+if backend == "tpu":
+    # ULP-different decode programs (module doc): require logprob
+    # closeness over each pair's shared prefix, report agreement
+    n_tok = n_same = 0
+    for i, (a, b_) in enumerate(zip(o_q, o_f)):
+        n = min(len(a), len(b_))
+        agree = np.asarray(a[:n]) == np.asarray(b_[:n])
+        j = int(agree.argmin()) if not agree.all() else n
+        if j:
+            d = np.max(np.abs(lp_q[i][:j] - lp_f[i][:j]))
+            assert d < 0.1, (i, d)
+        n_tok += n
+        n_same += int(agree[:j].sum())
+    print(f"token agreement {n_same}/{n_tok}; shared-prefix logprobs "
+          f"within 0.1", flush=True)
+else:
+    for a, b_ in zip(o_q, o_f):
+        np.testing.assert_array_equal(a, b_)
+    print("int8-weight tokens bit-equal to host-dequant oracle",
+          flush=True)
 if backend == "tpu":
     # second pass each, warm programs
-    _, tps_q = run(pq)
-    _, tps_f = run(dequantize_weights(pq))
+    _, tps_q, _ = run(pq)
+    _, tps_f, _ = run(dequantize_weights(pq))
     print(f"serving tok/s: f32 weights {tps_f:,.0f} vs int8 weights "
-          f"{tps_q:,.0f} ({tps_q / tps_f:.2f}x)")
-print("PASS weight-only int8 drive on", backend)
+          f"{tps_q:,.0f} ({tps_q / tps_f:.2f}x)", flush=True)
+print("PASS weight-only int8 drive on", backend, flush=True)

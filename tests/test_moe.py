@@ -196,6 +196,112 @@ class TestMoEMLP:
                                                         inference=True)
         np.testing.assert_array_equal(np.asarray(yg), np.asarray(y0))
 
+    def test_ragged_identical_experts_match_dense_mlp(self):
+        """The dense-MLP oracle holds through the dropless sorted
+        ragged_dot path (moe_impl="ragged") too."""
+        cfg = dc.replace(_f32_moe_cfg(num_experts=4).llm,
+                         moe_impl="ragged")
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, cfg.hidden_size)),
+                        jnp.float32)
+        dense = MLP(dc.replace(cfg, moe_experts=0))
+        dp = dense.init(jax.random.key(0), x)
+        y_dense = dense.apply(dp, x)
+        e, d_, f = cfg.moe_experts, cfg.hidden_size, cfg.ffn_size
+        k = dp["params"]
+        mp = {"params": {
+            "router": jnp.zeros((d_, e), jnp.float32),
+            "wi_gate": jnp.broadcast_to(k["gate"]["kernel"], (e, d_, f)),
+            "wi_up": jnp.broadcast_to(k["up"]["kernel"], (e, d_, f)),
+            "wo": jnp.broadcast_to(k["down"]["kernel"], (e, f, d_)),
+        }}
+        y_moe = MoEMLP(cfg).apply(mp, x)
+        np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_ragged_matches_einsum_when_no_drops(self):
+        """Cross-impl oracle: with ample capacity the GShard einsum path
+        drops nothing, so both impls compute the same gate-weighted sum
+        of expert MLPs for every token."""
+        base = dc.replace(_f32_moe_cfg(4).llm, moe_capacity=4.0)
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(2, 16, base.hidden_size)),
+                        jnp.float32)
+        m = MoEMLP(base)
+        p = m.init(jax.random.key(0), x)
+        y_einsum = m.apply(p, x)
+        y_ragged = MoEMLP(dc.replace(base, moe_impl="ragged")).apply(p, x)
+        np.testing.assert_allclose(np.asarray(y_ragged),
+                                   np.asarray(y_einsum),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_ragged_aux_matches_einsum(self):
+        """The load-balance statistic is the same formula in both
+        impls — sow'n values must agree on the same params/input."""
+        base = _f32_moe_cfg(4).llm
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(1, 12, base.hidden_size)),
+                        jnp.float32)
+        p = MoEMLP(base).init(jax.random.key(0), x)
+
+        def aux_of(cfg):
+            _, mut = MoEMLP(cfg).apply(p, x, mutable=["intermediates"])
+            return float(mut["intermediates"]["moe_aux_loss"][0])
+
+        np.testing.assert_allclose(
+            aux_of(dc.replace(base, moe_impl="ragged")), aux_of(base),
+            rtol=1e-6)
+
+    def test_ragged_pads_do_not_change_real_tokens(self):
+        """Ragged rows are per-token independent: appending pads (valid
+        False) must leave every real token's output unchanged and
+        produce zero output on the pads."""
+        cfg = dc.replace(_f32_moe_cfg(4).llm, moe_impl="ragged")
+        rng = np.random.default_rng(3)
+        x4 = jnp.asarray(rng.normal(size=(1, 4, cfg.hidden_size)),
+                         jnp.float32)
+        pad = jnp.asarray(rng.normal(size=(1, 4, cfg.hidden_size)),
+                          jnp.float32)
+        x8 = jnp.concatenate([x4, pad], axis=1)
+        valid = jnp.asarray([[1, 1, 1, 1, 0, 0, 0, 0]], bool)
+        m = MoEMLP(cfg)
+        p = m.init(jax.random.key(0), x4)
+        y4 = m.apply(p, x4)
+        y8 = m.apply(p, x8, valid=valid)
+        np.testing.assert_allclose(np.asarray(y8)[:, :4], np.asarray(y4),
+                                   atol=1e-6, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(y8)[:, 4:], 0.0, atol=1e-6)
+
+    def test_ragged_chunk_invariant_at_inference(self):
+        """Dropless per-token routing is trivially chunk-invariant:
+        halves processed separately equal the whole chunk."""
+        cfg = dc.replace(_f32_moe_cfg(4).llm, moe_impl="ragged")
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 16, cfg.hidden_size)),
+                        jnp.float32)
+        m = MoEMLP(cfg)
+        p = m.init(jax.random.key(0), x)
+        y_full = m.apply(p, x, inference=True)
+        y_halves = jnp.concatenate(
+            [m.apply(p, x[:, :8], inference=True),
+             m.apply(p, x[:, 8:], inference=True)], axis=1)
+        np.testing.assert_allclose(np.asarray(y_halves),
+                                   np.asarray(y_full),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_ragged_grads_finite(self):
+        cfg = dc.replace(_f32_moe_cfg(4).llm, moe_impl="ragged")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.normal(size=(2, 8, cfg.hidden_size)),
+                        jnp.float32)
+        m = MoEMLP(cfg)
+        p = m.init(jax.random.key(0), x)
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(p)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # router must receive gradient through the gate weights
+        assert float(jnp.abs(g["params"]["router"]).sum()) > 0
+
     def test_forward_finite_and_sows_aux(self):
         cfg = _f32_moe_cfg().llm
         x = jnp.asarray(np.random.default_rng(2).normal(
@@ -230,6 +336,35 @@ class TestExpertParallelTraining:
         np.testing.assert_allclose(float(m_ep["grad_norm"]),
                                    float(m_1["grad_norm"]), rtol=1e-4)
         for a, b in zip(jax.tree_util.tree_leaves(p_ep),
+                        jax.tree_util.tree_leaves(p_1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-6, rtol=1e-5)
+
+    def test_ragged_dp_step_matches_single_device(self):
+        """The dropless ragged impl under a data-sharded pjit step (the
+        mesh it is designed for) equals the single-device step: the
+        global sort/gather/ragged_dot pipeline must survive SPMD
+        partitioning bit-for-bit at f32 tolerances."""
+        cfg = _f32_moe_cfg(num_experts=4)
+        cfg = M.MLLMConfig(vit=cfg.vit,
+                           llm=dc.replace(cfg.llm, moe_impl="ragged"))
+        batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=32)
+        tc = TrainConfig(learning_rate=1e-3, warmup_steps=1)
+
+        mesh_dp = make_mesh(n_data=2, n_model=1,
+                            devices=jax.devices()[:2])
+        model, p_dp, o_dp, tx = init_train_state(cfg, tc, batch, mesh_dp)
+        step_dp = make_train_step(model, tx, mesh_dp)
+        p_dp, o_dp, m_dp = step_dp(p_dp, o_dp, batch)
+
+        mesh_1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+        model, p_1, o_1, tx1 = init_train_state(cfg, tc, batch, mesh_1)
+        step_1 = make_train_step(model, tx1, mesh_1)
+        p_1, o_1, m_1 = step_1(p_1, o_1, batch)
+
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_1["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(p_dp),
                         jax.tree_util.tree_leaves(p_1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-6, rtol=1e-5)
