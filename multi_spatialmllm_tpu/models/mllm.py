@@ -227,13 +227,16 @@ def bench_1chip_moe_config(num_experts: int = 4,
     compute (top-2 of E same-width experts). Behind
     scripts/profiles/_moe_drive.py's real-chip measurement."""
     base = bench_1chip_config()
-    # full-layer recompute (not the dense config's save-matmul-outputs
-    # policy): the dispatch/combine einsums are dots too, and saving
-    # their [E,B*G,C,D]-sized outputs across 8 layers OOMs one v5e
+    # einsum: full-layer recompute — the dispatch/combine einsums are
+    # dots too, and saving their [E,B*G,C,D]-sized outputs across 8
+    # layers OOMs one v5e. ragged has no capacity buffers, so the dense
+    # config's save-matmul-outputs policy fits and is 2% faster
+    # (358 vs 367 ms/step measured; docs/profiles/moe_train.md)
+    pol = base.llm.remat_policy if impl == "ragged" else None
     llm = dataclasses.replace(base.llm, moe_experts=num_experts,
                               ffn_size=base.llm.ffn_size // num_experts,
                               moe_group=256, moe_impl=impl,
-                              remat_policy=None)
+                              remat_policy=pol)
     return dataclasses.replace(base, llm=llm)
 
 
