@@ -46,6 +46,11 @@ def _mllm_config(args):
             overrides["moe_group"] = args.moe_group
         if getattr(args, "moe_impl", None):
             overrides["moe_impl"] = args.moe_impl
+    elif getattr(args, "moe_group", 0) or getattr(args, "moe_impl", None):
+        raise SystemExit(
+            "--moe-group/--moe-impl require --moe-experts (a dense "
+            "config has no routed FFN; the checkpoint's param tree "
+            "would not match)")
     if overrides:
         cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, **overrides))
@@ -257,6 +262,17 @@ def cmd_export_checkpoint(args) -> None:
     # import-checkpoint saves the bare vars ({"params": tree})
     params = raw["params"] if isinstance(raw, dict) and "step" in raw \
         else raw
+    layers = params.get("params", {}).get("llm", {})
+    has_moe = cfg.llm.moe_experts > 0 or any(
+        "moe" in v for k, v in layers.items()
+        if k.startswith("layer_") and isinstance(v, dict))
+    if has_moe:
+        raise SystemExit(
+            "export-checkpoint: routed-MoE checkpoints cannot be "
+            "exported — the HF InternVL-2 safetensors layout has no "
+            "routed-expert tensors (feed_forward.w{1,2,3} are dense). "
+            "Keep MoE checkpoints in orbax form; eval/serve/generate "
+            "load them via --moe-experts.")
     state = CI.export_state_dict(params, cfg)
     dtype = {"float32": np.float32, "bfloat16": None}[args.dtype]
     if dtype is None:
@@ -941,14 +957,8 @@ def main() -> None:
     p.add_argument("--config", choices=("flagship", "bench", "tiny"),
                    default="flagship")
     p.add_argument("--vocab-size", type=int, default=0)
-    p.add_argument("--moe-experts", type=int, default=0,
-                   help="routed-MoE expert count; must match the checkpoint's "
-                        "training value (see train --moe-experts)")
-    p.add_argument("--moe-impl", choices=("einsum", "ragged"),
-                   default=None,
-                   help="MoE dispatch implementation (serve a "
-                        "ragged-trained checkpoint with ragged for "
-                        "matching routing semantics)")
+    # no --moe-experts here: the HF InternVL-2 layout has no
+    # routed-expert tensors; cmd_export_checkpoint rejects MoE trees
     p.add_argument("--dtype", choices=("bfloat16", "float32"),
                    default="bfloat16")
     p.add_argument("--shard-gb", type=float, default=4.0,

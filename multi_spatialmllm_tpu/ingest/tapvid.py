@@ -43,7 +43,10 @@ def load_split_list(meta_data_dir: str | None, sub_dataset: str,
         ids = [line.strip() for line in f if line.strip()]
     if vendored:
         want = EXPECTED_SPLIT_COUNTS[(sub_dataset, split)]
-        assert len(ids) == want, (sub_dataset, split, len(ids), want)
+        if len(ids) != want:  # survives python -O, unlike assert
+            raise ValueError(
+                f"vendored {sub_dataset}/{split}.txt has {len(ids)} "
+                f"ids, expected {want} — corrupted checkout?")
     return ids
 
 

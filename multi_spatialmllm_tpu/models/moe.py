@@ -107,33 +107,31 @@ def top_k_routing(logits: jax.Array, top_k: int, capacity: int,
       dispatch), aux (load-balance loss scalar, f32).
     """
     b, t, e = logits.shape
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    # ONE copy of the router math: selection order, gate renorm, and
+    # the Switch aux statistic live in _topk_select (shared with the
+    # ragged impl); this function adds only the GShard dispatch/combine
+    # construction. Gate values are identical: max(masked) ==
+    # sum(masked * one_hot(argmax)) at every step, and pad tokens end
+    # zeroed either way (gate_mat * vmask here, oh * vmask below).
+    vflat = (None if valid is None
+             else valid.reshape(b * t).astype(jnp.float32))
+    idx, gate_mat, aux = _topk_select(
+        logits.reshape(b * t, e), top_k, vflat)
+    idx = idx.reshape(b, t, top_k)
+    gate_mat = gate_mat.reshape(b, t, top_k)
     vmask = None
     if valid is not None:
         vmask = valid.astype(jnp.float32)[..., None]          # [B,T,1]
-
-    masked = probs
-    sel_onehot = []        # k x [B,T,E]
-    sel_gate = []          # k x [B,T]
-    for _ in range(top_k):
-        idx = jnp.argmax(masked, axis=-1)                    # [B,T]
-        oh = jax.nn.one_hot(idx, e, dtype=jnp.float32)       # [B,T,E]
-        if vmask is not None:
-            oh = oh * vmask  # pads select nothing, consume nothing
-        sel_onehot.append(oh)
-        sel_gate.append(jnp.sum(masked * oh, axis=-1))       # [B,T]
-        masked = masked * (1.0 - oh)
-
-    # renormalize the chosen gates to sum to 1 per token
-    denom = sum(sel_gate) + 1e-9
-    sel_gate = [g / denom for g in sel_gate]
 
     # positions in each expert's buffer: k-th choices queue after the
     # (k-1)-th (GShard order), cumsum along T within each batch row
     counts = jnp.zeros((b, 1, e), dtype=jnp.float32)
     dispatch = jnp.zeros((b, t, e, capacity), dtype=jnp.float32)
     combine = jnp.zeros_like(dispatch)
-    for oh, gate in zip(sel_onehot, sel_gate):
+    for j in range(top_k):
+        oh = jax.nn.one_hot(idx[:, :, j], e, dtype=jnp.float32)
+        if vmask is not None:
+            oh = oh * vmask  # pads select nothing, consume nothing
         pos = jnp.cumsum(oh, axis=1) - oh + counts           # [B,T,E]
         counts = counts + jnp.sum(oh, axis=1, keepdims=True)
         keep = (pos < capacity) * oh                         # [B,T,E]
@@ -141,19 +139,7 @@ def top_k_routing(logits: jax.Array, top_k: int, capacity: int,
                                 dtype=jnp.float32)           # [B,T,E,C]
         d = keep[..., None] * pos_oh
         dispatch = dispatch + d
-        combine = combine + gate[..., None, None] * d
-
-    # load-balance aux loss (Switch Transformer eq. 4): fraction of
-    # tokens routed to each expert (first choice) x mean router prob —
-    # both over REAL tokens only when a validity mask is given
-    if vmask is None:
-        route_frac = jnp.mean(sel_onehot[0], axis=(0, 1))    # [E]
-        prob_frac = jnp.mean(probs, axis=(0, 1))             # [E]
-    else:
-        n_valid = jnp.maximum(jnp.sum(vmask), 1.0)
-        route_frac = jnp.sum(sel_onehot[0], axis=(0, 1)) / n_valid
-        prob_frac = jnp.sum(probs * vmask, axis=(0, 1)) / n_valid
-    aux = jnp.sum(route_frac * prob_frac) * e
+        combine = combine + gate_mat[:, :, j, None, None] * d
     return dispatch, combine, aux
 
 
@@ -281,7 +267,15 @@ class MoEMLP(nn.Module):
         # (S >= 2K) infeasible. Inference keeps whole-chunk routing:
         # its chunk-invariance guarantees depend on it.
         g = getattr(cfg, "moe_group", 0)
-        grouped = (not inference) and 0 < g < t and t % g == 0
+        if (not inference) and 0 < g < t and t % g != 0:
+            # silent fallback here would mean whole-row O(k*T^2)
+            # dispatch — the exact regime grouping exists to avoid
+            # (~270 TFLOP/layer at S=2048; OOMs a 16 GB chip)
+            raise ValueError(
+                f"moe_group={g} must divide the training sequence "
+                f"length (got T={t}); pick a divisor or 0 for "
+                f"whole-row routing")
+        grouped = (not inference) and 0 < g < t
         if grouped:
             xr = x.reshape(b * (t // g), g, d)
             vr = None if valid is None else valid.reshape(b * (t // g), g)

@@ -135,42 +135,31 @@ def coverage_intervals_multichip(
     them unchanged, so `build_object_coverage(mesh=...)` output equals
     the single-device run bit-for-bit). Scenes group by padded shape and
     shard over the mesh's leading axis."""
-    from .visibility import ensure_x64
+    from .visibility import ensure_x64, iter_packed_scene_batches
 
     ensure_x64(np.float64)
-    axis = mesh.axis_names[0]
-    batch = mesh.shape[axis] * per_device_batch
-
-    groups: dict[tuple, list[Scene]] = {}
-    for scene in scenes:
-        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
-        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
-        groups.setdefault((i_pad, n_pad), []).append(scene)
+    if not scenes:  # the single-device path returns {} here too
+        return {}
     num_segments = max(s.num_objects for s in scenes) + 1
 
     out: dict = {}
-    for (i_pad, n_pad), members in groups.items():
+    for i_pad, n_pad, chunk, packed in iter_packed_scene_batches(
+            scenes, mesh, visibility, per_device_batch):
         fn = _interval_multichip_fn(mesh, n_pad, num_segments)
-        for lo in range(0, len(members), batch):
-            chunk = members[lo: lo + batch]
-            packed = np.zeros((batch, i_pad, (n_pad + 7) // 8), np.uint8)
-            seg = np.zeros((batch, n_pad), np.int32)
-            pts = np.zeros((batch, n_pad, 3), np.float64)
-            for j, scene in enumerate(chunk):
-                vis = visibility[scene.scene_id]
-                vis_pad = np.zeros((i_pad, n_pad), dtype=bool)
-                vis_pad[: vis.shape[0], : vis.shape[1]] = vis
-                packed[j] = np.packbits(vis_pad, axis=1)
-                n = scene.num_points
-                seg[j, :n] = scene.instance_ids.astype(np.int32)
-                pts[j, :n] = scene.points_aligned[:, :3]
-            mins, maxs, cnt = (np.asarray(v) for v in fn(
-                jnp.asarray(packed), jnp.asarray(seg), jnp.asarray(pts)))
-            for j, scene in enumerate(chunk):
-                i, o = scene.num_images, scene.num_objects + 1
-                out[scene.scene_id] = (mins[j, :i, :, :o],
-                                       maxs[j, :i, :, :o],
-                                       cnt[j, :i, :o])
+        batch = packed.shape[0]
+        seg = np.zeros((batch, n_pad), np.int32)
+        pts = np.zeros((batch, n_pad, 3), np.float64)
+        for j, scene in enumerate(chunk):
+            n = scene.num_points
+            seg[j, :n] = scene.instance_ids.astype(np.int32)
+            pts[j, :n] = scene.points_aligned[:, :3]
+        mins, maxs, cnt = (np.asarray(v) for v in fn(
+            jnp.asarray(packed), jnp.asarray(seg), jnp.asarray(pts)))
+        for j, scene in enumerate(chunk):
+            i, o = scene.num_images, scene.num_objects + 1
+            out[scene.scene_id] = (mins[j, :i, :, :o],
+                                   maxs[j, :i, :, :o],
+                                   cnt[j, :i, :o])
     return out
 
 

@@ -90,39 +90,25 @@ def compute_relations_multichip(
     8-device CPU mesh and in `dryrun_multichip`). Scenes are grouped by
     padded shape, stacked, and sharded over the mesh's leading axis;
     short groups pad with repeated scenes whose rows are dropped."""
-    from .visibility import ensure_x64
+    from .visibility import ensure_x64, iter_packed_scene_batches
 
     ensure_x64(dtype)
-    axis = mesh.axis_names[0]
-    batch = mesh.shape[axis] * per_device_batch
-
-    groups: dict[tuple, list[Scene]] = {}
-    for scene in scenes:
-        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
-        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
-        groups.setdefault((i_pad, n_pad), []).append(scene)
-
     out: dict[str, dict[str, np.ndarray]] = {}
-    for (i_pad, n_pad), members in groups.items():
+    for i_pad, n_pad, chunk, packed in iter_packed_scene_batches(
+            scenes, mesh, visibility, per_device_batch):
         fn = _relations_multichip_fn(mesh, n_pad)
-        for lo in range(0, len(members), batch):
-            chunk = members[lo: lo + batch]
-            packed = np.zeros((batch, i_pad, (n_pad + 7) // 8), np.uint8)
-            exts = np.tile(np.eye(4, dtype=dtype), (batch, i_pad, 1, 1))
-            ivalid = np.zeros((batch, i_pad), dtype=bool)
-            for j, scene in enumerate(chunk):
-                vis = visibility[scene.scene_id]
-                vis_pad = np.zeros((i_pad, n_pad), dtype=bool)
-                vis_pad[: vis.shape[0], : vis.shape[1]] = vis
-                packed[j] = np.packbits(vis_pad, axis=1)
-                exts[j], _, ivalid[j] = scene.padded_images(dtype)
-            rel = {k: np.asarray(v) for k, v in
-                   fn(jnp.asarray(packed), jnp.asarray(exts),
-                      jnp.asarray(ivalid)).items()}
-            for j, scene in enumerate(chunk):
-                n = scene.num_images
-                out[scene.scene_id] = {k: v[j, :n, :n]
-                                       for k, v in rel.items()}
+        batch = packed.shape[0]
+        exts = np.tile(np.eye(4, dtype=dtype), (batch, i_pad, 1, 1))
+        ivalid = np.zeros((batch, i_pad), dtype=bool)
+        for j, scene in enumerate(chunk):
+            exts[j], _, ivalid[j] = scene.padded_images(dtype)
+        rel = {k: np.asarray(v) for k, v in
+               fn(jnp.asarray(packed), jnp.asarray(exts),
+                  jnp.asarray(ivalid)).items()}
+        for j, scene in enumerate(chunk):
+            n = scene.num_images
+            out[scene.scene_id] = {k: v[j, :n, :n]
+                                   for k, v in rel.items()}
     return out
 
 

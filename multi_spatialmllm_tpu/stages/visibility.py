@@ -76,6 +76,42 @@ def ensure_x64(dtype) -> None:
         jax.config.update("jax_enable_x64", True)
 
 
+def iter_packed_scene_batches(scenes, mesh, visibility: dict,
+                              per_device_batch: int):
+    """Scenes grouped by padded (I, N) shape, visibility packbits-padded,
+    yielded in mesh-shardable batches.
+
+    Shared scaffolding for the scene-parallel derived-index stages
+    (`frame_relations.compute_relations_multichip`,
+    `coverage.coverage_intervals_multichip`): yields
+    `(i_pad, n_pad, chunk, packed)` where `chunk` is this dispatch's
+    <= batch scenes and `packed` the zero-filled
+    `[batch, i_pad, n_pad // 8]` uint8 buffer
+    (batch = mesh.shape[leading axis] * per_device_batch; trailing rows
+    stay zero and are dropped by the caller's unpad slice). Keeping the
+    8-row / 128-lane rounding here means every scene-parallel stage
+    shares one padding convention."""
+    axis = mesh.axis_names[0]
+    batch = mesh.shape[axis] * per_device_batch
+
+    groups: dict[tuple, list] = {}
+    for scene in scenes:
+        i_pad = ((max(scene.num_images, 1) + 7) // 8) * 8
+        n_pad = ((max(scene.num_points, 1) + 127) // 128) * 128
+        groups.setdefault((i_pad, n_pad), []).append(scene)
+
+    for (i_pad, n_pad), members in groups.items():
+        for lo in range(0, len(members), batch):
+            chunk = members[lo: lo + batch]
+            packed = np.zeros((batch, i_pad, n_pad // 8), np.uint8)
+            for j, scene in enumerate(chunk):
+                vis = visibility[scene.scene_id]
+                vis_pad = np.zeros((i_pad, n_pad), dtype=bool)
+                vis_pad[: vis.shape[0], : vis.shape[1]] = vis
+                packed[j] = np.packbits(vis_pad, axis=1)
+            yield i_pad, n_pad, chunk, packed
+
+
 # Image-chunking threshold: the fused program materializes several
 # [I, N]-shaped f64 intermediates (projected xy, depths, gather indices);
 # past ~24M point-image pairs the single-program footprint stops fitting

@@ -32,9 +32,8 @@ from multi_spatialmllm_tpu.utils.flops import (
     device_peak_flops, mllm_train_flops,
 )
 
-B, S, TILES, CHAIN = 4, 2048, 2, 8
-if len(sys.argv) > 1:
-    B, S, TILES, CHAIN = map(int, sys.argv[1:5])
+_over = list(map(int, sys.argv[1:5]))  # any prefix of the 4 overrides
+B, S, TILES, CHAIN = _over + [4, 2048, 2, 8][len(_over):]
 
 dev = jax.devices()[0]
 print(f"backend: {jax.default_backend()} device: {dev.device_kind}",

@@ -206,3 +206,38 @@ class TestExportCLI:
                 assert pa == pb
                 np.testing.assert_array_equal(np.asarray(la),
                                               np.asarray(lb))
+
+    def test_export_rejects_moe_checkpoints(self, tmp_path, monkeypatch):
+        """HF InternVL-2 has no routed-expert layout: exporting a tree
+        whose decoder layers carry a 'moe' module must exit with a
+        clear message, not a KeyError deep inside export_state_dict."""
+        import dataclasses
+        import sys
+
+        import orbax.checkpoint as ocp
+
+        from multi_spatialmllm_tpu.__main__ import main
+
+        cfg = M.tiny_config()
+        cfg = dataclasses.replace(
+            cfg, llm=dataclasses.replace(cfg.llm, moe_experts=2,
+                                         ffn_size=cfg.llm.ffn_size // 2))
+        model = M.MultiFrameMLLM(cfg)
+        b, t = 1, 8
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((b, t), jnp.int32),
+            jnp.zeros((b, 1, cfg.vit.image_size, cfg.vit.image_size, 3),
+                      jnp.float32),
+            jnp.zeros((b, 1), jnp.int32))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(str(tmp_path / "moe_ckpt"), variables)
+        ckptr.wait_until_finished()
+
+        monkeypatch.setattr(sys, "argv", [
+            "prog", "export-checkpoint",
+            "--checkpoint", str(tmp_path / "moe_ckpt"),
+            "--output", str(tmp_path / "hf"), "--config", "tiny",
+            "--dtype", "float32"])
+        with pytest.raises(SystemExit, match="routed-MoE"):
+            main()

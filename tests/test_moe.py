@@ -196,6 +196,19 @@ class TestMoEMLP:
                                                         inference=True)
         np.testing.assert_array_equal(np.asarray(yg), np.asarray(y0))
 
+    def test_moe_group_must_divide_training_seq_len(self):
+        """A non-divisor moe_group must error, not silently fall back to
+        whole-row O(k*T^2) dispatch (the regime grouping exists to
+        avoid); inference stays exempt (groups are ignored there)."""
+        cfg = dc.replace(_f32_moe_cfg().llm, moe_group=5)
+        x = jnp.zeros((1, 16, cfg.hidden_size), jnp.float32)
+        m = MoEMLP(cfg)
+        with pytest.raises(ValueError, match="must divide"):
+            m.init(jax.random.key(0), x)
+        # inference ignores moe_group entirely, divisor or not
+        p = MoEMLP(dc.replace(cfg, moe_group=0)).init(jax.random.key(0), x)
+        m.apply(p, x, inference=True)
+
     def test_ragged_identical_experts_match_dense_mlp(self):
         """The dense-MLP oracle holds through the dropless sorted
         ragged_dot path (moe_impl="ragged") too."""

@@ -480,6 +480,10 @@ class TestMultichipRelationsAndCoverage:
             build_object_visibility,
         )
 
+        # no scenes (e.g. visibility built from a different split) must
+        # return empty like the single-device path, not crash on max()
+        assert coverage_intervals_multichip([], mesh8, {}) == {}
+
         scenes, vis = self._scenes()
         intervals = coverage_intervals_multichip(scenes, mesh8, vis)
         for s in scenes:
