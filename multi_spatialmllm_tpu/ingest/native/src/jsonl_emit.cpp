@@ -9,7 +9,7 @@
 //   OP_LIT  (0): append literals[a]                     (pre-JSON-escaped)
 //   OP_STR  (1): append string_table[str_indices[a*n + row]]  (pre-escaped)
 //   OP_INT  (2): append decimal of int_cols[a*n + row]
-//   OP_FLT  (3): append shortest-ish float of float_cols[a*n + row]
+//   OP_FLT  (3): append repr-exact shortest float of float_cols[a*n+row]
 //   OP_SEL  (4): sel = int_cols[a*n + row]; run subprogram
 //                (sub_offsets[b + sel], sub_lengths[b + sel])   [recurses]
 // The main program is (main_offset, main_length) in the same array.
@@ -24,6 +24,8 @@
 #include <string>
 #include <vector>
 
+#include "ryu_tables.h"
+
 namespace {
 
 enum Op { OP_LIT = 0, OP_STR = 1, OP_INT = 2, OP_FLT = 3, OP_SEL = 4 };
@@ -34,11 +36,268 @@ inline bool roundtrips(double v, int D, char* buf, size_t cap) {
   return strtod(buf, nullptr) == v;
 }
 
+// Whether SOME D-digit decimal round-trips v — not necessarily the
+// correctly-rounded one: near asymmetric binary intervals (power-of-2
+// mantissas) a D-digit string one ulp-of-last-digit away from the
+// nearest can round-trip where the nearest does not. CPython's repr
+// (dtoa mode 0) prints the shortest round-tripping string, so the
+// oracle must consider the neighbors too. On success writes the
+// winning "d.ddd...eSXX"-shaped string into buf.
+inline bool any_roundtrips(double v, int D, char* buf, size_t cap) {
+  snprintf(buf, cap, "%.*e", D - 1, v);
+  double back = strtod(buf, nullptr);
+  if (back == v) return true;
+  // Try the last-digit neighbor on v's side: digits as an integer +-1.
+  char* e = strchr(buf, 'e');
+  if (!e) return false;
+  uint64_t mant = 0;
+  for (char* p = buf; p < e; ++p)
+    if (*p >= '0' && *p <= '9') mant = mant * 10 + (uint64_t)(*p - '0');
+  mant += (back < v) ? 1 : (uint64_t)-1;  // toward v
+  // Rebuild (a +1 carry past 10^D bumps the exponent).
+  uint64_t limit = 1;
+  for (int i = 0; i < D; ++i) limit *= 10;
+  int exp10 = atoi(e + 1);
+  if (mant >= limit) {
+    mant /= 10;
+    ++exp10;
+  }
+  char mbuf[24];
+  int n = 0;
+  while (mant) {
+    mbuf[n++] = (char)('0' + (uint32_t)(mant % 10));
+    mant /= 10;
+  }
+  while (n < D) mbuf[n++] = '0';
+  char* w = buf;
+  *w++ = mbuf[--n];
+  if (n) {
+    *w++ = '.';
+    while (n) *w++ = mbuf[--n];
+  }
+  w += snprintf(w, 8, "e%+03d", exp10);
+  return strtod(buf, nullptr) == v;
+}
+
+// Shortest round-trip digits via snprintf probing (~2us/value). Kept as
+// the in-process oracle for the Ryu fast path below (the fuzz tests
+// compare the two byte-for-byte over >=1e8 values); not on the hot path.
+// Returns ndig; *exp10_out = decimal exponent of the FIRST digit.
+int probe_digits(double v, char* digits, int* exp10_out) {
+  char ebuf[40];
+  int D = 17;
+  if (any_roundtrips(v, 16, ebuf, sizeof(ebuf))) {
+    if (any_roundtrips(v, 15, ebuf, sizeof(ebuf))) {
+      int lo = 1, hi = 14;
+      D = 15;
+      while (lo <= hi) {  // monotone: if D digits round-trip, D+1 do too
+        int mid = (lo + hi) / 2;
+        if (any_roundtrips(v, mid, ebuf, sizeof(ebuf))) {
+          D = mid;
+          hi = mid - 1;
+        } else {
+          lo = mid + 1;
+        }
+      }
+    } else {
+      D = 16;
+    }
+  }
+  any_roundtrips(v, D, ebuf, sizeof(ebuf));  // leaves the winner in ebuf
+
+  // Parse d[.ddd]e(+|-)XX into digit string + exponent (v > 0 here).
+  const char* s = ebuf;
+  int ndig = 0;
+  digits[ndig++] = *s++;
+  if (*s == '.') {
+    ++s;
+    while (*s != 'e' && *s != 'E') digits[ndig++] = *s++;
+  }
+  *exp10_out = atoi(strchr(s, 'e') ? strchr(s, 'e') + 1 : s + 1);
+  while (ndig > 1 && digits[ndig - 1] == '0') --ndig;  // shortest digits
+  return ndig;
+}
+
+// ---- Ryu shortest-float digit generation (Adams, PLDI 2018) --------
+//
+// ~60ns/value vs the ~2us probing path: the QA engines' record emission
+// is float-formatting bound (10+ reals per record), so this is the
+// single hottest host-side routine in the data-engine pipeline.
+// Produces THE shortest correctly-rounded digit string (identical to
+// CPython repr's dtoa mode 0); byte-parity with probe_digits is
+// fuzz-asserted over 1e8+ random bit patterns plus structured families
+// (tests/test_fast_jsonl.py + scripts/fuzz_ryu.cpp).
+
+inline int pow5bits_i(int e) {           // bitlength of 5^e, 0<=e<=3528
+  return (int)(((uint32_t)e * 1217359) >> 19) + 1;
+}
+inline uint32_t log10Pow2(int e) {       // floor(e*log10 2), 0<=e<=1650
+  return ((uint32_t)e * 78913) >> 18;
+}
+inline uint32_t log10Pow5(int e) {       // floor(e*log10 5), 0<=e<=2620
+  return ((uint32_t)e * 732923) >> 20;
+}
+inline bool multipleOfPow5(uint64_t value, uint32_t p) {
+  while (p--) {
+    if (value % 5) return false;
+    value /= 5;
+  }
+  return true;
+}
+inline bool multipleOfPow2(uint64_t value, uint32_t p) {
+  return (value & ((1ull << p) - 1)) == 0;
+}
+// floor(m * mul / 2^j) for the 125-bit table entries; 64 < j < 128.
+inline uint64_t mulShift64(uint64_t m, const uint64_t* mul, int j) {
+  __uint128_t b0 = (__uint128_t)m * mul[0];
+  __uint128_t b2 = (__uint128_t)m * mul[1];
+  return (uint64_t)(((b0 >> 64) + b2) >> (j - 64));
+}
+
+// Shortest round-trip decimal digits of finite positive non-integral v.
+// Returns ndig (<= 17, no trailing zeros); *exp10_out = decimal
+// exponent of the FIRST digit (value = d.ddd * 10^exp10).
+int ryu_digits(double v, char* digits, int* exp10_out) {
+  uint64_t bits;
+  memcpy(&bits, &v, 8);
+  const uint64_t ieee_m = bits & ((1ull << 52) - 1);
+  const uint32_t ieee_e = (uint32_t)(bits >> 52) & 0x7ff;
+  uint64_t m2;
+  int e2;
+  if (ieee_e == 0) {  // subnormal
+    m2 = ieee_m;
+    e2 = 1 - 1023 - 52 - 2;
+  } else {
+    m2 = (1ull << 52) | ieee_m;
+    e2 = (int)ieee_e - 1023 - 52 - 2;
+  }
+  const bool accept = (m2 & 1) == 0;  // even mantissa owns the boundary
+
+  // Halfway interval scaled by 4: upper bound mv+2 (half ulp), lower
+  // mv-2, or mv-1 at power-of-2 boundaries where the gap below halves.
+  const uint64_t mv = 4 * m2;
+  const uint32_t mmShift = (ieee_m != 0 || ieee_e <= 1) ? 1 : 0;
+  const uint64_t mm = mv - 1 - mmShift;
+  const uint64_t mp = mv + 2;
+
+  uint64_t vr, vp, vm;
+  int e10;
+  bool vmTZ = false, vrTZ = false;
+  if (e2 >= 0) {
+    // value * 10^-q = m * 2^(e2-q) / 5^q via the rounded-up inverse
+    const uint32_t q = log10Pow2(e2) - (e2 > 3);
+    e10 = (int)q;
+    const int k = RYU_POW5_INV_BITCOUNT + pow5bits_i((int)q) - 1;
+    const int j = -e2 + (int)q + k;
+    vr = mulShift64(mv, RYU_POW5_INV_SPLIT[q], j);
+    vp = mulShift64(mp, RYU_POW5_INV_SPLIT[q], j);
+    vm = mulShift64(mm, RYU_POW5_INV_SPLIT[q], j);
+    if (q <= 21) {  // 5^22 > 2^53: beyond q=21 nothing divides
+      if (mv % 5 == 0) {
+        vrTZ = multipleOfPow5(mv, q);
+      } else if (accept) {
+        vmTZ = multipleOfPow5(mm, q);
+      } else {
+        vp -= multipleOfPow5(mp, q);  // exact open upper bound excluded
+      }
+    }
+  } else {
+    // value * 10^-q-e2 = m * 5^i / 2^q, i = -e2-q (truncated table)
+    const uint32_t q = log10Pow5(-e2) - (-e2 > 1);
+    e10 = (int)q + e2;
+    const int i = -e2 - (int)q;
+    const int k = pow5bits_i(i) - RYU_POW5_BITCOUNT;
+    const int j = (int)q - k;
+    vr = mulShift64(mv, RYU_POW5_SPLIT[i], j);
+    vp = mulShift64(mp, RYU_POW5_SPLIT[i], j);
+    vm = mulShift64(mm, RYU_POW5_SPLIT[i], j);
+    if (q <= 1) {
+      vrTZ = true;  // mv = 4*m2 has >= 1 trailing zero bit
+      if (accept) {
+        vmTZ = mmShift == 1;  // mm = mv-2 even; mv-1 odd
+      } else {
+        --vp;  // mp = mv+2 is exact: open upper bound excluded
+      }
+    } else if (q < 63) {
+      vrTZ = multipleOfPow2(mv, q);  // 5^i odd: exact iff 2^q | mv
+    }
+  }
+
+  // Shorten while the whole interval still agrees on the digits.
+  int removed = 0;
+  uint8_t lastRemoved = 0;
+  uint64_t output;
+  if (vmTZ || vrTZ) {  // general path: trailing-zero bookkeeping
+    for (;;) {
+      const uint64_t vpDiv10 = vp / 10, vmDiv10 = vm / 10;
+      if (vpDiv10 <= vmDiv10) break;
+      const uint32_t vmMod10 = (uint32_t)(vm % 10);
+      const uint64_t vrDiv10 = vr / 10;
+      const uint32_t vrMod10 = (uint32_t)(vr % 10);
+      vmTZ &= vmMod10 == 0;
+      vrTZ &= lastRemoved == 0;
+      lastRemoved = (uint8_t)vrMod10;
+      vr = vrDiv10;
+      vp = vpDiv10;
+      vm = vmDiv10;
+      ++removed;
+    }
+    if (vmTZ) {  // lower bound exact: may shorten onto it
+      for (;;) {
+        const uint64_t vmDiv10 = vm / 10;
+        if ((uint32_t)(vm % 10) != 0) break;
+        const uint64_t vpDiv10 = vp / 10, vrDiv10 = vr / 10;
+        const uint32_t vrMod10 = (uint32_t)(vr % 10);
+        vrTZ &= lastRemoved == 0;
+        lastRemoved = (uint8_t)vrMod10;
+        vr = vrDiv10;
+        vp = vpDiv10;
+        vm = vmDiv10;
+        ++removed;
+      }
+    }
+    if (vrTZ && lastRemoved == 5 && vr % 2 == 0) {
+      lastRemoved = 4;  // exact tie: round half to even
+    }
+    output = vr + ((vr == vm && (!accept || !vmTZ)) || lastRemoved >= 5);
+  } else {  // common path: no exactness anywhere
+    bool roundUp = false;
+    for (;;) {
+      const uint64_t vpDiv10 = vp / 10, vmDiv10 = vm / 10;
+      if (vpDiv10 <= vmDiv10) break;
+      roundUp = (vr % 10) >= 5;
+      vr /= 10;
+      vp = vpDiv10;
+      vm = vmDiv10;
+      ++removed;
+    }
+    output = vr + (vr == vm || roundUp);
+  }
+  const int exp_base = e10 + removed;  // value = output * 10^exp_base
+
+  // Digits of output; strip trailing zeros (a +1 carry can mint a
+  // power of 10, and CPython repr never prints trailing zeros).
+  char tmp[24];
+  int n = 0;
+  while (output) {
+    tmp[n++] = (char)('0' + (uint32_t)(output % 10));
+    output /= 10;
+  }
+  int strip = 0;
+  while (strip < n - 1 && tmp[strip] == '0') ++strip;
+  const int ndig = n - strip;
+  for (int d = 0; d < ndig; ++d) digits[d] = tmp[n - 1 - d];
+  *exp10_out = exp_base + strip + (ndig - 1);
+  return ndig;
+}
+
 // Format v exactly as CPython repr(float) / json.dumps: the shortest
 // decimal digit string that round-trips, fixed notation when the decimal
 // point lands in (-4, 16], else exponential with a signed >=2-digit
 // exponent. Returns the length written to out (capacity >= 40).
-int format_double_pyrepr(double v, char* out) {
+// `probe` routes digit generation through the snprintf oracle instead of
+// Ryu (fuzz tests only).
+int format_double_pyrepr_impl(double v, char* out, bool probe) {
   if (v != v) return snprintf(out, 8, "NaN");            // json.dumps spelling
   if (v > 1.7976931348623157e308) return snprintf(out, 12, "Infinity");
   if (v < -1.7976931348623157e308) return snprintf(out, 12, "-Infinity");
@@ -60,43 +319,12 @@ int format_double_pyrepr(double v, char* out) {
     return len;
   }
 
-  // Shortest round-trip digit count D. Real-valued engine data almost
-  // always needs 16-17 digits, so probe downward from 17 (free) and fall
-  // back to binary search for the rare short values.
-  char ebuf[40];
-  int D = 17;
-  if (roundtrips(v, 16, ebuf, sizeof(ebuf))) {
-    if (roundtrips(v, 15, ebuf, sizeof(ebuf))) {
-      int lo = 1, hi = 14;
-      D = 15;
-      while (lo <= hi) {  // monotone: if D digits round-trip, D+1 do too
-        int mid = (lo + hi) / 2;
-        if (roundtrips(v, mid, ebuf, sizeof(ebuf))) {
-          D = mid;
-          hi = mid - 1;
-        } else {
-          lo = mid + 1;
-        }
-      }
-    } else {
-      D = 16;
-    }
-  }
-  snprintf(ebuf, sizeof(ebuf), "%.*e", D - 1, v);
-
-  // Parse [-]d[.ddd]e(+|-)XX into sign + digit string + exponent.
-  const char* s = ebuf;
-  bool neg = (*s == '-');
-  if (neg) ++s;
+  const bool neg = v < 0;
+  const double a = neg ? -v : v;
   char digits[20];
-  int ndig = 0;
-  digits[ndig++] = *s++;
-  if (*s == '.') {
-    ++s;
-    while (*s != 'e' && *s != 'E') digits[ndig++] = *s++;
-  }
-  int exp10 = atoi(strchr(s, 'e') ? strchr(s, 'e') + 1 : s + 1);
-  while (ndig > 1 && digits[ndig - 1] == '0') --ndig;  // shortest digits
+  int exp10;
+  const int ndig = probe ? probe_digits(a, digits, &exp10)
+                         : ryu_digits(a, digits, &exp10);
 
   char* w = out;
   if (neg) *w++ = '-';
@@ -129,6 +357,10 @@ int format_double_pyrepr(double v, char* out) {
     memcpy(w, eb, el); w += el;
   }
   return (int)(w - out);
+}
+
+inline int format_double_pyrepr(double v, char* out) {
+  return format_double_pyrepr_impl(v, out, /*probe=*/false);
 }
 
 struct Ctx {
@@ -286,4 +518,16 @@ extern "C" int msm_emit_jsonl(
   }
   fclose(f);
   return 0;
+}
+
+// Direct float-formatting entry points for the fuzz/parity tests
+// (tests/test_fast_jsonl.py): `msm_format_double` is the production Ryu
+// path, `msm_format_double_slow` the snprintf-probing oracle. Both
+// return the length written (out capacity >= 40).
+extern "C" int msm_format_double(double v, char* out) {
+  return format_double_pyrepr_impl(v, out, /*probe=*/false);
+}
+
+extern "C" int msm_format_double_slow(double v, char* out) {
+  return format_double_pyrepr_impl(v, out, /*probe=*/true);
 }

@@ -77,6 +77,54 @@ class TestEmitVM:
                            + "\n" for v in vals)
         assert nat == expected
 
+    def test_ryu_formatter_matches_repr_adversarial(self):
+        """The native Ryu float formatter against CPython repr on the
+        families where shortest-ROUND-TRIP differs from shortest-
+        correctly-rounded: power-of-2 mantissas have an asymmetric
+        binary interval, so the round-tripping D-digit string can sit
+        one last-digit ulp away from the nearest one (e.g. repr gives
+        7.678447687145631e-239 where the correctly-rounded 16-digit
+        string does not round-trip). The pre-Ryu probing emitter got
+        these wrong (17 digits); deep coverage is scripts/fuzz_ryu.cpp
+        (125M+ values vs the in-process oracle)."""
+        import ctypes
+        import math
+        import random
+        import struct
+
+        from multi_spatialmllm_tpu.ingest import native
+
+        native.build()
+        lib = native._load()
+        assert lib is not None
+        lib.msm_format_double.argtypes = [ctypes.c_double,
+                                          ctypes.c_char_p]
+        lib.msm_format_double.restype = ctypes.c_int
+        buf = ctypes.create_string_buffer(64)
+
+        def fmt(v):
+            ln = lib.msm_format_double(v, buf)
+            return buf.raw[:ln].decode()
+
+        cases = []
+        for e in range(-1074, 1024, 7):  # power-of-2 mantissas + edges
+            p = math.ldexp(1.0, e)
+            cases += [p, -p, math.nextafter(p, 0.0),
+                      math.nextafter(p, math.inf)]
+        cases += [struct.unpack(">d", bytes.fromhex(h))[0] for h in
+                  ("8e80000000000000", "0eb0000000000000",
+                   "1690000000000000")]  # regression: pre-Ryu mismatches
+        cases += [5e-324, 2.2250738585072014e-308, 0.1, 2 / 3,
+                  1.7976931348623157e308]
+        rng = random.Random(11)
+        for _ in range(20000):
+            bits = rng.getrandbits(64)
+            v = struct.unpack(">d", struct.pack(">Q", bits))[0]
+            if v == v and not math.isinf(v):
+                cases.append(v)
+        for v in cases:
+            assert fmt(v) == repr(v), (v.hex(), fmt(v), repr(v))
+
     def test_escaping(self, tmp_path):
         p = FJ.EmitProgram(1)
         c = p.add_str_col(['with "quotes"\nand\tctrl'])
