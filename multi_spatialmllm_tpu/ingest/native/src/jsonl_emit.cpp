@@ -15,6 +15,7 @@
 // The main program is (main_offset, main_length) in the same array.
 // Rows are emitted in row_order (shuffle permutation), one line each.
 
+#include <algorithm>
 #include <atomic>
 #include <cinttypes>
 #include <thread>
@@ -29,6 +30,45 @@
 namespace {
 
 enum Op { OP_LIT = 0, OP_STR = 1, OP_INT = 2, OP_FLT = 3, OP_SEL = 4 };
+
+// Two-digit pair table + branchy i64toa: ~6x snprintf("%" PRId64) —
+// OP_INT runs ~20x per record, so this is on the per-row hot path.
+struct DigitPairs {
+  char s[200];
+  constexpr DigitPairs() : s{} {
+    for (int i = 0; i < 100; ++i) {
+      s[2 * i] = (char)('0' + i / 10);
+      s[2 * i + 1] = (char)('0' + i % 10);
+    }
+  }
+};
+constexpr DigitPairs kPairs;
+
+inline int i64toa(int64_t v, char* out) {
+  char* w = out;
+  uint64_t u = (uint64_t)v;
+  if (v < 0) {
+    *w++ = '-';
+    u = ~u + 1;  // two's complement: correct for INT64_MIN too
+  }
+  char tmp[20];
+  int n = 0;
+  while (u >= 100) {
+    const unsigned d = (unsigned)(u % 100) * 2;
+    u /= 100;
+    tmp[n++] = kPairs.s[d + 1];
+    tmp[n++] = kPairs.s[d];
+  }
+  if (u >= 10) {
+    const unsigned d = (unsigned)u * 2;
+    tmp[n++] = kPairs.s[d + 1];
+    tmp[n++] = kPairs.s[d];
+  } else {
+    tmp[n++] = (char)('0' + (unsigned)u);
+  }
+  while (n) *w++ = tmp[--n];
+  return (int)(w - out);
+}
 
 // True iff D significant digits round-trip v through decimal.
 inline bool roundtrips(double v, int D, char* buf, size_t cap) {
@@ -313,7 +353,7 @@ int format_double_pyrepr_impl(double v, char* out, bool probe) {
       memcpy(out, z, n);
       return (int)n;
     }
-    int len = snprintf(out, 24, "%" PRId64, iv);
+    int len = i64toa(iv, out);
     out[len++] = '.';
     out[len++] = '0';
     return len;
@@ -373,7 +413,41 @@ struct Ctx {
   const int64_t* sub_offsets;
   const int64_t* sub_lengths;
   int64_t n_rows;
+  // Precomputed lengths: append(const char*) would strlen every
+  // literal/table string on EVERY row (init_lengths fills these once).
+  std::vector<size_t> lit_len;
+  std::vector<size_t> str_len;
 };
+
+// Scan the whole flat program (subprograms precede main, so
+// main_offset+main_length is the total op count) for the literal ids
+// and string columns actually used, then cache every strlen once.
+void init_lengths(Ctx* ctx, int64_t main_offset, int64_t main_length) {
+  const int64_t prog_end = main_offset + main_length;
+  int max_lit = -1;
+  std::vector<int> str_cols;
+  for (int64_t i = 0; i < prog_end; ++i) {
+    const int32_t op = ctx->program[i * 3], a = ctx->program[i * 3 + 1];
+    if (op == OP_LIT && a > max_lit) max_lit = a;
+    if (op == OP_STR) str_cols.push_back(a);
+  }
+  ctx->lit_len.resize(max_lit + 1);
+  for (int i = 0; i <= max_lit; ++i)
+    ctx->lit_len[i] = strlen(ctx->literals[i]);
+
+  std::sort(str_cols.begin(), str_cols.end());
+  str_cols.erase(std::unique(str_cols.begin(), str_cols.end()),
+                 str_cols.end());
+  int64_t max_idx = -1;
+  for (int a : str_cols) {
+    const int64_t* col = ctx->str_indices + (int64_t)a * ctx->n_rows;
+    for (int64_t r = 0; r < ctx->n_rows; ++r)
+      if (col[r] > max_idx) max_idx = col[r];
+  }
+  ctx->str_len.resize(max_idx + 1);
+  for (int64_t i = 0; i <= max_idx; ++i)
+    ctx->str_len[i] = strlen(ctx->string_table[i]);
+}
 
 void run(const Ctx& ctx, int64_t offset, int64_t length, int64_t row,
          std::string* out) {
@@ -382,16 +456,16 @@ void run(const Ctx& ctx, int64_t offset, int64_t length, int64_t row,
     int32_t op = ops[i * 3], a = ops[i * 3 + 1], b = ops[i * 3 + 2];
     switch (op) {
       case OP_LIT:
-        out->append(ctx.literals[a]);
+        out->append(ctx.literals[a], ctx.lit_len[a]);
         break;
-      case OP_STR:
-        out->append(
-            ctx.string_table[ctx.str_indices[(int64_t)a * ctx.n_rows + row]]);
+      case OP_STR: {
+        const int64_t idx = ctx.str_indices[(int64_t)a * ctx.n_rows + row];
+        out->append(ctx.string_table[idx], ctx.str_len[idx]);
         break;
+      }
       case OP_INT: {
         char buf[24];
-        int len = snprintf(buf, sizeof(buf), "%" PRId64,
-                           ctx.int_cols[(int64_t)a * ctx.n_rows + row]);
+        int len = i64toa(ctx.int_cols[(int64_t)a * ctx.n_rows + row], buf);
         out->append(buf, len);
         break;
       }
@@ -437,6 +511,7 @@ extern "C" int msm_emit_jsonl_mt(
 
   Ctx ctx{literals,  string_table, str_indices, int_cols,
           float_cols, program,     sub_offsets, sub_lengths, n_rows};
+  init_lengths(&ctx, main_offset, main_length);
   const int64_t slice = 8192;  // rows per thread per wave
   const int64_t wave = slice * n_threads;
   std::vector<std::string> bufs(n_threads);
@@ -500,6 +575,7 @@ extern "C" int msm_emit_jsonl(
 
   Ctx ctx{literals,  string_table, str_indices, int_cols,
           float_cols, program,     sub_offsets, sub_lengths, n_rows};
+  init_lengths(&ctx, main_offset, main_length);
   std::string line;
   line.reserve(4096);
   for (int64_t i = 0; i < n_out; ++i) {
