@@ -257,6 +257,9 @@ def _run(out: dict) -> None:
             "value": round(n_pairs / dt, 1), "unit": "pairs/s",
             "vs_baseline": None,
         }
+        # one-time table resolution shared by all question types (a real
+        # campaign draws all nine from one table; outputs byte-identical)
+        relations = CM.prepare_relations(relations, store)
 
         # -- HEADLINE: camera-movement QA, production sampler config ------
         # Measured FIRST (right after its two prerequisites) and written

@@ -200,6 +200,74 @@ def build_answer_values_batch(disp: np.ndarray, yaw: np.ndarray,
     return out
 
 
+class PreparedRelations:
+    """Numeric-index view of a frame-relations table bound to a SceneStore.
+
+    Column conversion (pandas/arrow -> numpy) and image-id -> extrinsic
+    resolution run ONCE per table and amortize across question types and
+    passes — a real campaign draws all nine question types from one
+    relations table (the reference re-does two dict lookups + two 4x4
+    copies per ROW per type, camera_movement_engine_train_val.py:150-158).
+    Accepted anywhere `relations` is (generate_to_jsonl, generate,
+    build_sample_columns); sampling, swap, and GT math are unchanged —
+    outputs are byte-identical to the unprepared path (test-asserted)."""
+
+    def __init__(self, relations, store: SceneStore):
+        self.columns = {c: np.asarray(relations[c]) for c in
+                        ("scene_id", "image_id1", "image_id2", "overlap",
+                         "distance", "yaw", "pitch")}
+        sids = self.columns["scene_id"].astype(str)
+        self.unique_sids, self.scene_idx = np.unique(sids,
+                                                     return_inverse=True)
+        n_scenes = len(self.unique_sids)
+        i_max = 1
+        scenes = []
+        for sid in self.unique_sids:
+            scenes.append(store.get(str(sid)))
+            i_max = max(i_max, scenes[-1].num_images)
+        self.ext_all = np.zeros((n_scenes, i_max, 4, 4), dtype=np.float64)
+        self.hw_all = np.zeros((n_scenes, 2), dtype=np.int64)
+        img1 = self.columns["image_id1"].astype(str)
+        img2 = self.columns["image_id2"].astype(str)
+        # global image-id string codes: the emit program's string
+        # columns skip per-call dedup (fast_jsonl.add_coded_str_col)
+        self.img_strings, inv = np.unique(
+            np.concatenate([img1, img2]), return_inverse=True)
+        self.im1_codes = inv[: len(img1)].astype(np.int64)
+        self.im2_codes = inv[len(img1):].astype(np.int64)
+        self.i1 = np.zeros(len(img1), dtype=np.int64)
+        self.i2 = np.zeros(len(img2), dtype=np.int64)
+        for u, scene in enumerate(scenes):
+            ext = scene.extrinsics_align()
+            self.ext_all[u, : len(ext)] = ext
+            self.hw_all[u] = scene.image_hw
+            rows = np.where(self.scene_idx == u)[0]
+            ids = np.asarray(scene.image_ids, dtype=str)  # sorted
+            a1 = np.clip(np.searchsorted(ids, img1[rows]), 0, len(ids) - 1)
+            a2 = np.clip(np.searchsorted(ids, img2[rows]), 0, len(ids) - 1)
+            if not (np.array_equal(ids[a1], img1[rows])
+                    and np.array_equal(ids[a2], img2[rows])):
+                missing = sorted(
+                    set(img1[rows][ids[a1] != img1[rows]])
+                    | set(img2[rows][ids[a2] != img2[rows]]))
+                raise KeyError(
+                    f"relations rows reference image ids absent from "
+                    f"scene {scene.scene_id}: {missing[:5]}"
+                    f"{'...' if len(missing) > 5 else ''}")
+            self.i1[rows] = a1
+            self.i2[rows] = a2
+
+    def __getitem__(self, c):  # mapping compatibility (column access)
+        return self.columns[c]
+
+
+def prepare_relations(relations, store: SceneStore) -> PreparedRelations:
+    """See :class:`PreparedRelations` (idempotent)."""
+    if isinstance(relations, PreparedRelations):
+        return relations
+    return PreparedRelations(relations, store)
+
+
 def build_sample_columns(
     relations,
     store: SceneStore,
@@ -216,9 +284,11 @@ def build_sample_columns(
     if rng is None:
         rng = stream(config.seed, "camera_movement", question_type)
 
-    cols = {c: np.asarray(relations[c]) for c in
-            ("scene_id", "image_id1", "image_id2", "overlap", "distance",
-             "yaw", "pitch")}
+    prep = relations if isinstance(relations, PreparedRelations) else None
+    cols = prep.columns if prep is not None else {
+        c: np.asarray(relations[c]) for c in
+        ("scene_id", "image_id1", "image_id2", "overlap", "distance",
+         "yaw", "pitch")}
     idx = sample_overlap_balanced(
         cols["overlap"], desired_count, rng,
         overlap_min=config.overlap_min, overlap_max=config.overlap_max,
@@ -244,7 +314,25 @@ def build_sample_columns(
     yaw = np.where(yaw < -180.0, yaw + 360.0, yaw)
 
     # Batched GT math on device.
-    E1, E2, hw = _gather_pair_extrinsics(store, scene_ids, image1, image2)
+    coded = {}
+    if prep is not None:  # pure integer gather, resolution precomputed
+        si = prep.scene_idx[idx]
+        a1 = np.where(swap, prep.i2[idx], prep.i1[idx])
+        a2 = np.where(swap, prep.i1[idx], prep.i2[idx])
+        E1 = prep.ext_all[si, a1]
+        E2 = prep.ext_all[si, a2]
+        hw = prep.hw_all[si]
+        coded = {  # pre-factored string columns for the emit program
+            "scene_codes": si, "scene_strings": prep.unique_sids,
+            "img1_codes": np.where(swap, prep.im2_codes[idx],
+                                   prep.im1_codes[idx]),
+            "img2_codes": np.where(swap, prep.im1_codes[idx],
+                                   prep.im2_codes[idx]),
+            "img_strings": prep.img_strings,
+        }
+    else:
+        E1, E2, hw = _gather_pair_extrinsics(store, scene_ids, image1,
+                                             image2)
     disp = compute_displacements(E1, E2, config.chunk)
     dist = np.linalg.norm(disp, axis=1)
     bad = np.abs(dist - ref_distance) >= config.distance_consistency_tol
@@ -275,6 +363,7 @@ def build_sample_columns(
             len(T.QUESTION_TEMPLATES[question_type]), size=n),
         "a_idx": rng.integers(
             len(T.ANSWER_TEMPLATES[question_type]), size=n),
+        **coded,
     }
 
 
@@ -343,9 +432,15 @@ def _emit_program(cols: dict, eval_mode: bool = False):
     yaw, pitch = cols["yaw"], cols["pitch"]
     p = EmitProgram(n)
 
-    sid = p.add_str_col(cols["scene_ids"])
-    img1 = p.add_str_col(cols["image1"])
-    img2 = p.add_str_col(cols["image2"])
+    if "scene_codes" in cols:  # PreparedRelations: pre-factored strings
+        sid = p.add_coded_str_col(cols["scene_codes"],
+                                  cols["scene_strings"])
+        img1 = p.add_coded_str_col(cols["img1_codes"], cols["img_strings"])
+        img2 = p.add_coded_str_col(cols["img2_codes"], cols["img_strings"])
+    else:
+        sid = p.add_str_col(cols["scene_ids"])
+        img1 = p.add_str_col(cols["image1"])
+        img2 = p.add_str_col(cols["image2"])
     c_id = p.add_int_col(np.arange(n))
     c_h = p.add_int_col(cols["hw"][:, 0])
     c_w = p.add_int_col(cols["hw"][:, 1])
@@ -505,6 +600,9 @@ def generate(
     config = config or CameraMovementConfig()
     train_counts = train_counts or TRAIN_QUESTION_SAMPLES
     val_counts = val_counts or VAL_QUESTION_SAMPLES
+    # one table resolution shared by all nine question types
+    relations_train = prepare_relations(relations_train, store)
+    relations_val = prepare_relations(relations_val, store)
     outputs: dict[str, EngineOutputs] = {}
     for qtype, count in train_counts.items():
         out = EngineOutputs()

@@ -60,8 +60,16 @@ class EmitProgram:
         highly repetitive)."""
         arr = np.asarray(values, dtype=str)
         uniques, inverse = np.unique(arr, return_inverse=True)
-        remap = np.empty(len(uniques), dtype=np.int64)
-        for u, v in enumerate(uniques):
+        return self.add_coded_str_col(inverse, uniques,
+                                      pre_escaped=pre_escaped)
+
+    def add_coded_str_col(self, codes, strings,
+                          pre_escaped: bool = False) -> int:
+        """String column already factored into (codes, unique strings) —
+        skips the per-call np.unique over row strings (PreparedRelations
+        carries table-wide codes, so repeated emits dedupe nothing)."""
+        remap = np.empty(len(strings), dtype=np.int64)
+        for u, v in enumerate(strings):
             s = v if pre_escaped else escape(str(v))
             j = self._string_ids.get(s)
             if j is None:
@@ -69,7 +77,7 @@ class EmitProgram:
                 self._string_ids[s] = j
                 self.string_table.append(s)
             remap[u] = j
-        self.str_cols.append(remap[inverse])
+        self.str_cols.append(remap[np.asarray(codes, dtype=np.int64)])
         return len(self.str_cols) - 1
 
     # -- ops ------------------------------------------------------------

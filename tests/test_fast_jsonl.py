@@ -197,6 +197,27 @@ class TestCameraMovementNativeParity:
                              stream(0, "b"), force_python=True)
         assert open(p_nat).read() == open(p_py).read()
 
+    def test_prepared_relations_byte_identical(self, env, tmp_path):
+        """PreparedRelations (one-time id->extrinsic resolution) must not
+        change a single byte vs the raw-table path, for every qtype."""
+        from multi_spatialmllm_tpu.core.rng import stream
+        from multi_spatialmllm_tpu.engines import camera_movement as CM
+
+        store, rel, _ = env
+        cfg = CM.CameraMovementConfig(overlap_min=0.1, overlap_max=100,
+                                      interval=5)
+        prep = CM.prepare_relations(rel, store)
+        assert CM.prepare_relations(prep, store) is prep  # idempotent
+        for qtype in ("total_distance", "displacement_vector",
+                      "x_movement", "yaw_angle", "pitch_movement"):
+            p_raw = str(tmp_path / f"raw_{qtype}.jsonl")
+            p_prep = str(tmp_path / f"prep_{qtype}.jsonl")
+            CM.generate_to_jsonl(rel, store, qtype, 25, p_raw, cfg,
+                                 stream(0, "pr", qtype))
+            CM.generate_to_jsonl(prep, store, qtype, 25, p_prep, cfg,
+                                 stream(0, "pr", qtype))
+            assert open(p_raw).read() == open(p_prep).read()
+
     def test_eval_mode_schema(self, env, tmp_path):
         from multi_spatialmllm_tpu.core.rng import stream
         from multi_spatialmllm_tpu.engines import camera_movement as CM
