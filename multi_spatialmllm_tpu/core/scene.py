@@ -95,7 +95,13 @@ class Scene:
 
     def image_index(self, image_id: str | int) -> int:
         key = f"{int(image_id):05d}"
-        return self.image_ids.index(key)
+        # lazy id -> row dict: list.index is an O(I) string scan and this
+        # sits on the QA engines' per-sample path
+        idx = self.__dict__.get("_image_id_index")
+        if idx is None:
+            idx = {iid: i for i, iid in enumerate(self.image_ids)}
+            self.__dict__["_image_id_index"] = idx
+        return idx[key]
 
     def extrinsic_align(self, index: int) -> np.ndarray:
         """`axis_align @ E` (camera to axis-aligned world).
