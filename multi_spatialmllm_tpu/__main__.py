@@ -775,17 +775,24 @@ def cmd_train(args) -> None:
         eval_done[step] = rep["accuracy"]
         return rep["accuracy"]
 
+    saver = None
+    if args.async_save and args.output:
+        from .parallel.train import AsyncRollingSaver
+
+        saver = AsyncRollingSaver(os.path.abspath(args.output),
+                                  keep=args.keep)
+
     def save(step):
         from .parallel.train import save_checkpoint_rolling
 
         out = os.path.abspath(args.output)
-        if args.lora_rank:
-            where = save_checkpoint_rolling(
-                out, merge_lora(params, lora, lcfg), step=step,
-                keep=args.keep)
+        tree = merge_lora(params, lora, lcfg) if args.lora_rank else params
+        opt = None if args.lora_rank else opt_state
+        if saver is not None:  # IO overlaps the next training interval
+            where = saver.save(tree, opt, step=step)
         else:
-            where = save_checkpoint_rolling(out, params, opt_state,
-                                            step=step, keep=args.keep)
+            where = save_checkpoint_rolling(out, tree, opt, step=step,
+                                            keep=args.keep)
         log.event("checkpoint", path=where, step=step)
 
     import itertools
@@ -859,6 +866,8 @@ def cmd_train(args) -> None:
     losses = [float(x) for x in losses]
     if args.output:
         save(min(args.steps, start_step + len(losses)))
+        if saver is not None:
+            saver.wait()  # final save must be durable before we exit
     final_acc = run_eval_now(start_step + len(losses)) \
         if eval_samples else None
     steady_s = (steady_end - steady_t0 - save_s) if steady_steps else 0.0
@@ -1085,6 +1094,10 @@ def main() -> None:
     p.add_argument("--save-every", type=int, default=0)
     p.add_argument("--keep", type=int, default=2,
                    help="rolling checkpoints retained under --output")
+    p.add_argument("--async-save", action="store_true",
+                   help="overlap checkpoint IO with training (orbax "
+                        "async writes; LATEST commits only after a "
+                        "write finishes, so crash-safety is unchanged)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=4096)

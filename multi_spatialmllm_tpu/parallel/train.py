@@ -283,6 +283,62 @@ def save_checkpoint_rolling(root: str, params, opt_state=None,
     return out
 
 
+class AsyncRollingSaver:
+    """Asynchronous crash-safe rolling saves (train CLI --async-save).
+
+    `save()` blocks only for orbax's device->host snapshot (the async
+    contract: data is copied to host before save() returns, so later
+    donated train steps cannot clobber it), then serialization + IO run
+    on background threads while training continues. LATEST commits
+    DEFERRED — a step's pointer flips only once its write has finished
+    (on the next save() or wait()) — so an interrupted run can never
+    point LATEST at a half-written directory: the same crash-safety
+    contract as :func:`save_checkpoint_rolling`, at one checkpoint of
+    pointer latency."""
+
+    def __init__(self, root: str, keep: int = 2):
+        import orbax.checkpoint as ocp
+
+        self.root = os.path.abspath(root)
+        self.keep = keep
+        # StandardCheckpointer IS an AsyncCheckpointer; the sync helpers
+        # above only block because they call wait_until_finished()
+        self._ckptr = ocp.StandardCheckpointer()
+        self._pending: int | None = None
+        os.makedirs(self.root, exist_ok=True)
+
+    def _commit(self) -> None:
+        import shutil
+
+        if self._pending is None:
+            return
+        self._ckptr.wait_until_finished()  # usually a no-op by now
+        step, self._pending = self._pending, None
+        tmp = os.path.join(self.root, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"step_{step:08d}\n")
+        os.replace(tmp, os.path.join(self.root, "LATEST"))
+        steps = sorted(d for d in os.listdir(self.root)
+                       if d.startswith("step_"))
+        for stale in steps[:-self.keep] if self.keep else []:
+            shutil.rmtree(os.path.join(self.root, stale),
+                          ignore_errors=True)
+
+    def save(self, params, opt_state=None, step: int = 0) -> str:
+        self._commit()  # finalize the previous save first
+        out = os.path.join(self.root, f"step_{step:08d}")
+        payload: dict[str, Any] = {"params": params, "step": step}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        self._ckptr.save(out, payload, force=True)
+        self._pending = step
+        return out
+
+    def wait(self) -> None:
+        """Block until every pending save is durable and committed."""
+        self._commit()
+
+
 def resolve_checkpoint(path: str) -> str:
     """Accept either a plain orbax directory or a rolling-save root
     (resolves `{path}/LATEST` to its step dir)."""

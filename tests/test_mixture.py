@@ -504,6 +504,95 @@ class TestRollingCheckpoints:
         direct = os.path.join(root, "step_00000002")
         assert resolve_checkpoint(direct) == direct
 
+    def test_async_rolling_saver(self, tmp_path):
+        """AsyncRollingSaver: LATEST commits deferred (only after the
+        write is durable), pruning honors keep, restore returns the
+        values AT SAVE TIME even when the caller's arrays are donated
+        away by later jitted steps (orbax's async contract snapshots to
+        host before save() returns)."""
+        import jax
+        import jax.numpy as jnp
+
+        from multi_spatialmllm_tpu.parallel.train import (
+            AsyncRollingSaver,
+            resolve_checkpoint,
+            restore_checkpoint,
+        )
+
+        root = str(tmp_path / "ackpts")
+        saver = AsyncRollingSaver(root, keep=2)
+
+        bump_donating = jax.jit(
+            lambda tree: jax.tree_util.tree_map(lambda x: x + 1.0, tree),
+            donate_argnums=(0,))
+
+        tree = {"w": jnp.arange(8.0)}
+        for step in (1, 2, 3):
+            saver.save(tree, step=step)
+            if step == 1:
+                # no LATEST yet OR it points at a COMPLETE step-1 save;
+                # never at a half-written directory
+                latest = os.path.join(root, "LATEST")
+                assert not os.path.exists(latest)
+            tree = bump_donating(tree)  # the saved buffers get donated
+        saver.wait()
+
+        dirs = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+        assert dirs == ["step_00000002", "step_00000003"]  # pruned
+        assert resolve_checkpoint(root).endswith("step_00000003")
+        got = restore_checkpoint(root)
+        # values at save time: step 3 saved arange+2 (two bumps before)
+        np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                      np.arange(8.0) + 2.0)
+        assert int(got["step"]) == 3
+        got2 = restore_checkpoint(os.path.join(root, "step_00000002"))
+        np.testing.assert_array_equal(np.asarray(got2["params"]["w"]),
+                                      np.arange(8.0) + 1.0)
+
+    def test_train_cli_async_save(self, tmp_path, monkeypatch, capsys):
+        """`train --async-save --save-every 1`: overlapped saves through
+        the donated train step, LATEST resolves, checkpoint restores."""
+        import cv2
+
+        import multi_spatialmllm_tpu.__main__ as cli
+        from multi_spatialmllm_tpu.parallel.train import (
+            resolve_checkpoint,
+            restore_checkpoint,
+        )
+
+        (tmp_path / "imgs").mkdir()
+        rng = np.random.default_rng(5)
+        recs = []
+        for i in range(4):
+            name = f"im{i}.jpg"
+            cv2.imwrite(str(tmp_path / "imgs" / name),
+                        rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+            recs.append({"id": f"s{i}", "image": [name],
+                         "conversations": [
+                             {"from": "human", "value": "<image>\nq?"},
+                             {"from": "gpt", "value": f"{i} mm"}]})
+        (tmp_path / "t.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in recs))
+        (tmp_path / "mix.json").write_text(json.dumps(
+            {"d": {"root": "imgs", "annotation": "t.jsonl"}}))
+        out = tmp_path / "ackpt"
+        monkeypatch.setattr("sys.argv", [
+            "prog", "train", "--meta", str(tmp_path / "mix.json"),
+            "--config", "tiny", "--vocab-size", "800", "--steps", "3",
+            "--batch-size", "2", "--seq-len", "128", "--max-tiles", "1",
+            "--tiles-per-image", "1", "--warmup", "1",
+            "--data-parallel", "1", "--log-every", "1",
+            "--save-every", "1", "--keep", "2", "--async-save",
+            "--output", str(out)])
+        cli.main()
+        report = json.loads([l for l in capsys.readouterr().out.splitlines()
+                             if l.startswith("{")][-1])
+        assert report["steps"] == 3
+        assert resolve_checkpoint(str(out)).endswith("step_00000003")
+        got = restore_checkpoint(str(out))
+        assert int(got["step"]) == 3
+        assert "opt_state" in got  # full state saved (non-LoRA run)
+
 
 class TestTrainEval:
     def test_train_with_periodic_eval(self, tmp_path, monkeypatch,
