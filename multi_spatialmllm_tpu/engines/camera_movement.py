@@ -213,6 +213,7 @@ class PreparedRelations:
     outputs are byte-identical to the unprepared path (test-asserted)."""
 
     def __init__(self, relations, store: SceneStore):
+        self.store = store  # gathers are only valid against this store
         self.columns = {c: np.asarray(relations[c]) for c in
                         ("scene_id", "image_id1", "image_id2", "overlap",
                          "distance", "yaw", "pitch")}
@@ -220,12 +221,16 @@ class PreparedRelations:
         self.unique_sids, self.scene_idx = np.unique(sids,
                                                      return_inverse=True)
         n_scenes = len(self.unique_sids)
-        i_max = 1
-        scenes = []
-        for sid in self.unique_sids:
-            scenes.append(store.get(str(sid)))
-            i_max = max(i_max, scenes[-1].num_images)
-        self.ext_all = np.zeros((n_scenes, i_max, 4, 4), dtype=np.float64)
+        scenes = [store.get(str(sid)) for sid in self.unique_sids]
+        # ragged flat layout (offsets per scene), NOT dense
+        # [n_scenes, i_max] padding: at campaign scale one multi-
+        # thousand-frame scene would pad every other scene to it
+        self.ext_off = np.zeros(n_scenes, dtype=np.int64)
+        total = 0
+        for u, scene in enumerate(scenes):
+            self.ext_off[u] = total
+            total += scene.num_images
+        self.ext_flat = np.zeros((total, 4, 4), dtype=np.float64)
         self.hw_all = np.zeros((n_scenes, 2), dtype=np.int64)
         img1 = self.columns["image_id1"].astype(str)
         img2 = self.columns["image_id2"].astype(str)
@@ -239,7 +244,7 @@ class PreparedRelations:
         self.i2 = np.zeros(len(img2), dtype=np.int64)
         for u, scene in enumerate(scenes):
             ext = scene.extrinsics_align()
-            self.ext_all[u, : len(ext)] = ext
+            self.ext_flat[self.ext_off[u]: self.ext_off[u] + len(ext)] = ext
             self.hw_all[u] = scene.image_hw
             rows = np.where(self.scene_idx == u)[0]
             ids = np.asarray(scene.image_ids, dtype=str)  # sorted
@@ -262,9 +267,12 @@ class PreparedRelations:
 
 
 def prepare_relations(relations, store: SceneStore) -> PreparedRelations:
-    """See :class:`PreparedRelations` (idempotent)."""
+    """See :class:`PreparedRelations` (idempotent for the same store;
+    rebinds — re-resolving extrinsics — when given a different one)."""
     if isinstance(relations, PreparedRelations):
-        return relations
+        if relations.store is store:
+            return relations
+        return PreparedRelations(relations.columns, store)
     return PreparedRelations(relations, store)
 
 
@@ -285,6 +293,11 @@ def build_sample_columns(
         rng = stream(config.seed, "camera_movement", question_type)
 
     prep = relations if isinstance(relations, PreparedRelations) else None
+    if prep is not None and prep.store is not store:
+        raise ValueError(
+            "PreparedRelations was built against a different SceneStore; "
+            "its extrinsic gathers would be wrong — re-run "
+            "prepare_relations(prep, store)")
     cols = prep.columns if prep is not None else {
         c: np.asarray(relations[c]) for c in
         ("scene_id", "image_id1", "image_id2", "overlap", "distance",
@@ -319,8 +332,9 @@ def build_sample_columns(
         si = prep.scene_idx[idx]
         a1 = np.where(swap, prep.i2[idx], prep.i1[idx])
         a2 = np.where(swap, prep.i1[idx], prep.i2[idx])
-        E1 = prep.ext_all[si, a1]
-        E2 = prep.ext_all[si, a2]
+        base = prep.ext_off[si]
+        E1 = prep.ext_flat[base + a1]
+        E2 = prep.ext_flat[base + a2]
         hw = prep.hw_all[si]
         coded = {  # pre-factored string columns for the emit program
             "scene_codes": si, "scene_strings": prep.unique_sids,

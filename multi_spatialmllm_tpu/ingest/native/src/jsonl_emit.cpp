@@ -70,12 +70,6 @@ inline int i64toa(int64_t v, char* out) {
   return (int)(w - out);
 }
 
-// True iff D significant digits round-trip v through decimal.
-inline bool roundtrips(double v, int D, char* buf, size_t cap) {
-  snprintf(buf, cap, "%.*e", D - 1, v);
-  return strtod(buf, nullptr) == v;
-}
-
 // Whether SOME D-digit decimal round-trips v — not necessarily the
 // correctly-rounded one: near asymmetric binary intervals (power-of-2
 // mantissas) a D-digit string one ulp-of-last-digit away from the

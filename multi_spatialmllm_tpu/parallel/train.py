@@ -261,18 +261,11 @@ def save_checkpoint(path: str, params, opt_state=None, step: int = 0):
     ckptr.wait_until_finished()
 
 
-def save_checkpoint_rolling(root: str, params, opt_state=None,
-                            step: int = 0, keep: int = 2) -> str:
-    """Crash-safe rolling saves: each checkpoint lands in its own
-    `{root}/step_{N}` directory, `{root}/LATEST` flips to it only after
-    the save completes, and older step dirs beyond `keep` are pruned —
-    an interrupted save can never destroy the previous good checkpoint
-    (unlike an in-place overwrite). Returns the step dir."""
+def _commit_latest(root: str, step: int, keep: int) -> None:
+    """Atomically flip `{root}/LATEST` to step_{N} and prune step dirs
+    beyond `keep` (shared by the sync and async rolling savers)."""
     import shutil
 
-    os.makedirs(root, exist_ok=True)
-    out = os.path.join(os.path.abspath(root), f"step_{step:08d}")
-    save_checkpoint(out, params, opt_state, step=step)
     tmp = os.path.join(root, "LATEST.tmp")
     with open(tmp, "w") as f:
         f.write(f"step_{step:08d}\n")
@@ -280,6 +273,19 @@ def save_checkpoint_rolling(root: str, params, opt_state=None,
     steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
     for stale in steps[:-keep] if keep else []:
         shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+
+
+def save_checkpoint_rolling(root: str, params, opt_state=None,
+                            step: int = 0, keep: int = 2) -> str:
+    """Crash-safe rolling saves: each checkpoint lands in its own
+    `{root}/step_{N}` directory, `{root}/LATEST` flips to it only after
+    the save completes, and older step dirs beyond `keep` are pruned —
+    an interrupted save can never destroy the previous good checkpoint
+    (unlike an in-place overwrite). Returns the step dir."""
+    os.makedirs(root, exist_ok=True)
+    out = os.path.join(os.path.abspath(root), f"step_{step:08d}")
+    save_checkpoint(out, params, opt_state, step=step)
+    _commit_latest(root, step, keep)
     return out
 
 
@@ -308,21 +314,11 @@ class AsyncRollingSaver:
         os.makedirs(self.root, exist_ok=True)
 
     def _commit(self) -> None:
-        import shutil
-
         if self._pending is None:
             return
         self._ckptr.wait_until_finished()  # usually a no-op by now
         step, self._pending = self._pending, None
-        tmp = os.path.join(self.root, "LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(f"step_{step:08d}\n")
-        os.replace(tmp, os.path.join(self.root, "LATEST"))
-        steps = sorted(d for d in os.listdir(self.root)
-                       if d.startswith("step_"))
-        for stale in steps[:-self.keep] if self.keep else []:
-            shutil.rmtree(os.path.join(self.root, stale),
-                          ignore_errors=True)
+        _commit_latest(self.root, step, self.keep)
 
     def save(self, params, opt_state=None, step: int = 0) -> str:
         self._commit()  # finalize the previous save first
