@@ -362,10 +362,12 @@ def _run(out: dict) -> None:
         with section("object_visibility_realscale"):
             build_object_visibility([real],
                                     visibility={real.scene_id: vis_real})
-            t0 = time.perf_counter()
-            ovis = build_object_visibility(
-                [real], visibility={real.scene_id: vis_real})
-            dt = time.perf_counter() - t0
+            dt = float("inf")  # best-of-2: single passes jitter 2x
+            for _ in range(2):
+                t0 = time.perf_counter()
+                ovis = build_object_visibility(
+                    [real], visibility={real.scene_id: vis_real})
+                dt = min(dt, time.perf_counter() - t0)
             log(f"object visibility real-scale: {dt:.2f}s/scene")
             stages["object_visibility_realscale"] = {
                 "value": round(dt, 3), "unit": "s/scene",
@@ -383,10 +385,12 @@ def _run(out: dict) -> None:
         with section("coverage_and_object_perception"):
             build_object_coverage([real], ovis,
                                   visibility={real.scene_id: vis_real})
-            t0 = time.perf_counter()
-            cov_h, cov_l, cov_w = build_object_coverage(
-                [real], ovis, visibility={real.scene_id: vis_real})
-            dt = time.perf_counter() - t0
+            dt = float("inf")  # best-of-2: single passes jitter 1.5x
+            for _ in range(2):
+                t0 = time.perf_counter()
+                cov_h, cov_l, cov_w = build_object_coverage(
+                    [real], ovis, visibility={real.scene_id: vis_real})
+                dt = min(dt, time.perf_counter() - t0)
             log(f"coverage search real-scale: {dt:.2f}s/scene")
             stages["coverage_search_realscale"] = {
                 "value": round(dt, 3), "unit": "s/scene",
