@@ -65,13 +65,31 @@ class LLMConfig:
         return self.hidden_size // self.num_heads
 
 
+def _dots_and_flash_policy(prim, *args, **params):
+    """`dots_with_no_batch_dims_saveable` PLUS the flash-attention fwd
+    products. The attention custom VJPs differentiate through a
+    `remat_opt` primitive (ops/attention.py defvjp(optimize_remat=True))
+    whose outputs are (o, lse); saving them means the remat backward
+    re-runs only elementwise ops — never a matmul OR a forward attention
+    kernel. Costs one bf16 [B, S, D] + f32 [B, H, S] per attention layer
+    (~34 MB/LLM layer at the bench shapes) and removes the second fwd
+    kernel launch per layer (~15 ms/step of the 312 ms bench step)."""
+    if prim is not None and getattr(prim, "name", "") == "remat_opt":
+        return True
+    return jax.checkpoint_policies.dots_with_no_batch_dims_saveable(
+        prim, *args, **params)
+
+
 def _remat_policy(cfg):
     """Resolve `cfg.remat_policy` (a `jax.checkpoint_policies` attribute
-    name, shared by LLMConfig and ViTConfig) to the policy callable;
-    None/empty = save nothing (full per-layer recompute)."""
+    name or the repo-composite "dots_and_flash_saveable", shared by
+    LLMConfig and ViTConfig) to the policy callable; None/empty = save
+    nothing (full per-layer recompute)."""
     name = getattr(cfg, "remat_policy", None)
     if not name:
         return None
+    if name == "dots_and_flash_saveable":
+        return _dots_and_flash_policy
     return getattr(jax.checkpoint_policies, name)
 
 

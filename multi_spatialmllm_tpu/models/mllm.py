@@ -205,8 +205,11 @@ def bench_1chip_config() -> MLLMConfig:
     bench.py's `model` block (train tokens/s + MFU, serve tokens/s)."""
     # selective remat: keeping matmul outputs (recompute only elementwise
     # ops) fits this model on one v5e and is 15% faster than full-layer
-    # recompute — 313 vs 359 ms/step (scripts/profiles/_remat_drive.py)
-    pol = "dots_with_no_batch_dims_saveable"
+    # recompute — 313 vs 359 ms/step (scripts/profiles/_remat_drive.py).
+    # "dots_and_flash_saveable" additionally saves the flash-attention
+    # fwd products (o, lse) so the backward never re-launches a forward
+    # attention kernel (models/llm._dots_and_flash_policy).
+    pol = "dots_and_flash_saveable"
     vit = ViTConfig(image_size=448, patch_size=14, hidden_size=1024,
                     num_layers=6, num_heads=16, use_flash_attention=True,
                     remat=True, remat_policy=pol)

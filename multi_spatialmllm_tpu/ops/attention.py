@@ -948,7 +948,15 @@ def _tfa_bwd(causal, residuals, g):
     return _flash_bwd_xl(q, k, v, o, lse, g, causal, sm_scale, b, b)
 
 
-trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd)
+# optimize_remat routes differentiation through a `remat_opt` primitive
+# whose outputs are the fwd products (o, lse). Under per-layer
+# jax.checkpoint a policy that saves `remat_opt` outputs (models/llm.py
+# "dots_and_flash_saveable") then keeps them for the backward instead of
+# re-running the forward kernel during the remat replay — without it the
+# custom_vjp fwd rule (and its Pallas call) always re-executes, because
+# residuals of a custom_vjp are opaque to checkpoint_name/policy saving
+# (measured: 2 fwd kernel launches per layer per step -> 1).
+trainable_flash_attention.defvjp(_tfa_fwd, _tfa_bwd, optimize_remat=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -1020,4 +1028,6 @@ def _tfap_bwd(causal, residuals, g):
     return dq, dk, dv, dseg
 
 
-trainable_flash_attention_packed.defvjp(_tfap_fwd, _tfap_bwd)
+# optimize_remat: see trainable_flash_attention.defvjp above
+trainable_flash_attention_packed.defvjp(_tfap_fwd, _tfap_bwd,
+                                        optimize_remat=True)

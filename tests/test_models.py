@@ -216,6 +216,21 @@ class TestMLLM:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+        # repo-composite policy (matmul outputs + flash-attention fwd
+        # products via the remat_opt primitive): same math once more —
+        # this is bench_1chip_config's shipped policy
+        fcfg = M.MLLMConfig(
+            vit=dc.replace(cfg.vit, remat=True,
+                           remat_policy="dots_and_flash_saveable"),
+            llm=dc.replace(cfg.llm, remat=True,
+                           remat_policy="dots_and_flash_saveable"),
+            img_context_id=cfg.img_context_id)
+        _, (l3, g3) = loss_of(fcfg)
+        np.testing.assert_allclose(float(l0), float(l3), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g3)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)
 
     def test_pixel_shuffle(self):
         x = jnp.arange(1 * 16 * 4, dtype=jnp.float32).reshape(1, 16, 4)
