@@ -87,14 +87,23 @@ inline bool any_roundtrips(double v, int D, char* buf, size_t cap) {
   uint64_t mant = 0;
   for (char* p = buf; p < e; ++p)
     if (*p >= '0' && *p <= '9') mant = mant * 10 + (uint64_t)(*p - '0');
-  mant += (back < v) ? 1 : (uint64_t)-1;  // toward v
-  // Rebuild (a +1 carry past 10^D bumps the exponent).
+  const bool up = back < v;
+  mant += up ? 1 : (uint64_t)-1;  // toward v
+  // Rebuild (a +1 carry past 10^D bumps the exponent; a -1 below
+  // 10^(D-1) crosses into the decade below, where the true D-digit
+  // neighbor is 10^D-1 at exp10-1 — zero-padding mant back to D digits
+  // would test the WRONG value 10^(D-1)-1 * 10 at the same exponent,
+  // i.e. a (D-1)-digit string, overstating the shortest digit count on
+  // decade-boundary values).
   uint64_t limit = 1;
   for (int i = 0; i < D; ++i) limit *= 10;
   int exp10 = atoi(e + 1);
   if (mant >= limit) {
     mant /= 10;
     ++exp10;
+  } else if (!up && mant < limit / 10) {
+    mant = limit - 1;
+    --exp10;
   }
   char mbuf[24];
   int n = 0;

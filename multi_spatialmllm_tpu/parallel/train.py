@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llm import cross_entropy_loss
 from ..models.mllm import MLLMConfig, MultiFrameMLLM
-from .mesh import DATA_AXIS, SEQ_AXIS
+from .mesh import DATA_AXIS, EXPERT_AXIS, SEQ_AXIS
 from .sharding import params_shardings
 
 
@@ -108,6 +108,20 @@ def make_train_step(model: MultiFrameMLLM,
     # collect it via a mutable apply only when the config enables MoE so
     # the dense path's programs are unchanged.
     use_moe = getattr(model.cfg.llm, "moe_experts", 0) > 0
+    # The ragged impl routes via a GLOBAL stable sort + ragged_dot, which
+    # cannot use the expert mesh axis (parallel/sharding.py still maps
+    # moe/wi_* onto EXPERT_AXIS, so an EP mesh would at best allgather
+    # every expert table per layer, at worst fail GSPMD partitioning).
+    # Fail loudly instead of silently compiling the wrong program.
+    if (use_moe
+            and getattr(model.cfg.llm, "moe_impl", "einsum") == "ragged"
+            and mesh.shape.get(EXPERT_AXIS, 1) > 1):
+        raise ValueError(
+            "moe_impl='ragged' is single-chip/data-parallel only: its "
+            "global sort + ragged_dot dispatch cannot shard over the "
+            f"'{EXPERT_AXIS}' mesh axis (size "
+            f"{mesh.shape[EXPERT_AXIS]}). Use moe_impl='einsum' for "
+            "expert-parallel meshes, or drop --expert-parallel.")
 
     def loss_of(params, batch):
         if use_moe:
@@ -266,11 +280,18 @@ def _commit_latest(root: str, step: int, keep: int) -> None:
     beyond `keep` (shared by the sync and async rolling savers)."""
     import shutil
 
+    import re
+
     tmp = os.path.join(root, "LATEST.tmp")
     with open(tmp, "w") as f:
         f.write(f"step_{step:08d}\n")
     os.replace(tmp, os.path.join(root, "LATEST"))
-    steps = sorted(d for d in os.listdir(root) if d.startswith("step_"))
+    # prune only COMPLETED step dirs: a crashed async save leaves
+    # step_NNNNNNNN.orbax-checkpoint-tmp-* behind, and a startswith()
+    # match would let such an unusable dir consume a `keep` slot (at
+    # keep=1 the only surviving entry could be the tmp dir)
+    steps = sorted(d for d in os.listdir(root)
+                   if re.fullmatch(r"step_\d{8}", d))
     for stale in steps[:-keep] if keep else []:
         shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
 
@@ -312,6 +333,15 @@ class AsyncRollingSaver:
         self._ckptr = ocp.StandardCheckpointer()
         self._pending: int | None = None
         os.makedirs(self.root, exist_ok=True)
+        # clear half-written leftovers from a crashed earlier async run
+        # (never pointed to by LATEST, but they waste disk and would
+        # shadow a same-step re-save)
+        import shutil
+
+        for d in os.listdir(self.root):
+            if ".orbax-checkpoint-tmp-" in d:
+                shutil.rmtree(os.path.join(self.root, d),
+                              ignore_errors=True)
 
     def _commit(self) -> None:
         if self._pending is None:

@@ -125,6 +125,38 @@ class TestEmitVM:
         for v in cases:
             assert fmt(v) == repr(v), (v.hex(), fmt(v), repr(v))
 
+    def test_probing_oracle_decade_boundaries(self):
+        """Regression for the oracle's decade-crossing lower neighbor:
+        when the correctly-rounded D-digit mantissa is exactly 10^(D-1)
+        and rounds ABOVE v, the true neighbor below is 10^D-1 in the
+        decade below (9.99...e(X-1)) — zero-padding mant-1 back to D
+        digits instead tested the wrong value and overstated the
+        shortest digit count. Scans 80 doubles below every decade
+        boundary in [1e-30, 1e30] against CPython repr, on both the
+        probing oracle and the production Ryu path."""
+        import ctypes
+        import math
+
+        from multi_spatialmllm_tpu.ingest import native
+
+        native.build()
+        lib = native._load()
+        assert lib is not None
+        for name in ("msm_format_double", "msm_format_double_slow"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_double, ctypes.c_char_p]
+            fn.restype = ctypes.c_int
+        buf = ctypes.create_string_buffer(64)
+        for e in range(-30, 31):
+            v = 10.0 ** e
+            for _ in range(80):
+                v = math.nextafter(v, 0.0)
+                for name in ("msm_format_double",
+                             "msm_format_double_slow"):
+                    n = getattr(lib, name)(v, buf)
+                    assert buf.raw[:n].decode() == repr(v), (
+                        name, v.hex(), buf.raw[:n].decode(), repr(v))
+
     def test_escaping(self, tmp_path):
         p = FJ.EmitProgram(1)
         c = p.add_str_col(['with "quotes"\nand\tctrl'])

@@ -504,6 +504,37 @@ class TestRollingCheckpoints:
         direct = os.path.join(root, "step_00000002")
         assert resolve_checkpoint(direct) == direct
 
+    def test_prune_ignores_orbax_tmp_dirs(self, tmp_path):
+        """Stale `step_N.orbax-checkpoint-tmp-*` leftovers (crashed
+        async save) must not consume `keep` slots — at keep=1 a
+        startswith-based prune could leave ONLY the unusable tmp dir.
+        AsyncRollingSaver also clears such leftovers at init."""
+        import jax
+
+        from multi_spatialmllm_tpu.parallel.train import (
+            AsyncRollingSaver,
+            resolve_checkpoint,
+            save_checkpoint_rolling,
+        )
+
+        params = {"w": jax.numpy.arange(4.0)}
+        root = str(tmp_path / "ckpts")
+        save_checkpoint_rolling(root, params, step=1, keep=1)
+        # simulate a crashed async write AFTER the good step-1 save
+        stale = os.path.join(
+            root, "step_00000002.orbax-checkpoint-tmp-1234567890")
+        os.makedirs(stale)
+        save_checkpoint_rolling(root, params, step=3, keep=1)
+        dirs = sorted(d for d in os.listdir(root)
+                      if d.startswith("step_"))
+        # the real step-3 dir survives; the tmp dir did not displace it
+        assert "step_00000003" in dirs
+        assert "step_00000001" not in dirs  # pruned (keep=1)
+        assert resolve_checkpoint(root).endswith("step_00000003")
+        # saver init clears the leftover tmp dir
+        AsyncRollingSaver(root, keep=1)
+        assert not os.path.exists(stale)
+
     def test_async_rolling_saver(self, tmp_path):
         """AsyncRollingSaver: LATEST commits deferred (only after the
         write is durable), pruning honors keep, restore returns the

@@ -382,6 +382,22 @@ class TestExpertParallelTraining:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-6, rtol=1e-5)
 
+    def test_ragged_rejects_expert_parallel_mesh(self):
+        """moe_impl='ragged' cannot use the expert axis (global sort +
+        ragged_dot don't shard over it); make_train_step must fail
+        loudly instead of compiling a weight-allgathering program."""
+        import pytest
+
+        cfg = _f32_moe_cfg(num_experts=4)
+        cfg = M.MLLMConfig(vit=cfg.vit,
+                           llm=dc.replace(cfg.llm, moe_impl="ragged"))
+        batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=32)
+        tc = TrainConfig(learning_rate=1e-3, warmup_steps=1)
+        mesh_ep = make_mesh(n_data=2, n_model=1, n_expert=4)
+        model, _, _, tx = init_train_state(cfg, tc, batch, mesh_ep)
+        with pytest.raises(ValueError, match="ragged"):
+            make_train_step(model, tx, mesh_ep)
+
     def test_expert_specs_shard_expert_axis(self):
         cfg = M.tiny_moe_config()
         batch = M.make_example_batch(cfg, batch=2, n_tiles=1, seq_len=32)
