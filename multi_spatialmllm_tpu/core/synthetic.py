@@ -295,3 +295,68 @@ def make_tapvid_npz(
     if path is not None:
         np.savez(path, **record)
     return record
+
+
+# ---------------------------------------------------------------------------
+# Synthetic .sens stream (L1 ingestion bench / fixtures)
+# ---------------------------------------------------------------------------
+
+def make_synthetic_sens(
+    path: str,
+    n_frames: int = 100,
+    image_hw: tuple[int, int] = (480, 640),
+    depth_hw: tuple[int, int] = (480, 640),
+    seed: int = 0,
+) -> None:
+    """Write a ScanNet-like `.sens` stream with REALISTIC payload sizes.
+
+    Color frames are smooth gradients + textured blobs (JPEG compresses
+    them like real photos, not like noise); depth is a smooth surface
+    with quantization steps (zlib ratios comparable to real ScanNet
+    exports). Used by bench.py's L1 ingestion stage — the reference's
+    extractor (extract_posed_images.py:161-188) publishes no wall, the
+    info update publishes ~40 min (utils/scannet_utils/README.md:82).
+    """
+    import zlib
+
+    import cv2
+
+    from ..ingest.sens import SensFrame, SensHeader, write_sens
+
+    rng = np.random.default_rng(seed)
+    h, w = image_hw
+    hd, wd = depth_hw
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    yyd, xxd = np.mgrid[0:hd, 0:wd].astype(np.float32)
+    frames = []
+    for i in range(n_frames):
+        # smooth background + a few textured blobs, drifting per frame
+        img = (96 + 80 * np.sin(xx / 97.0 + i * 0.1)
+               * np.cos(yy / 61.0 - i * 0.05))
+        for _ in range(6):
+            bx, by = rng.uniform(0, w), rng.uniform(0, h)
+            r2 = (xx - bx) ** 2 + (yy - by) ** 2
+            img = img + 50 * np.exp(-r2 / rng.uniform(500, 5000))
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        img3 = np.stack([img, np.roll(img, 7, 0), np.roll(img, 13, 1)], -1)
+        ok, jpeg = cv2.imencode(".jpg", img3,
+                                [cv2.IMWRITE_JPEG_QUALITY, 90])
+        assert ok
+        depth = (2000 + 1500 * np.sin(xxd / 131.0 + i * 0.07)
+                 + 900 * np.cos(yyd / 89.0)).astype(np.uint16)
+        pose = look_at_c2w(np.array([i * 0.05, 0.0, 1.5]),
+                           np.array([2.0, 1.0, 1.0]))
+        frames.append(SensFrame(
+            index=i, camera_to_world=pose, timestamp_color=i,
+            timestamp_depth=i, color_jpeg=jpeg.tobytes(),
+            depth_zlib=zlib.compress(depth.tobytes())))
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 1.2 * w
+    K[0, 2], K[1, 2] = w / 2.0, h / 2.0
+    header = SensHeader(
+        sensor_name="synthetic", intrinsic_color=K,
+        extrinsic_color=np.eye(4), intrinsic_depth=K,
+        extrinsic_depth=np.eye(4), color_compression="jpeg",
+        depth_compression="zlib_ushort", color_hw=image_hw,
+        depth_hw=depth_hw, depth_shift=1000.0, num_frames=n_frames)
+    write_sens(path, header, frames)
