@@ -62,12 +62,15 @@ def compute_object_visibility(
     scene: Scene,
     vis: np.ndarray | None = None,
     warning_sink: WarningSink | None = None,
+    counts: np.ndarray | None = None,
 ) -> dict:
     """Reference-schema dict for one scene (compute_object_visibility.py
-    docstring :40-44)."""
-    if vis is None:
-        vis = compute_scene_visibility(scene)
-    counts = object_image_counts(scene, vis)
+    docstring :40-44). `counts` short-circuits the device matmul when a
+    batched/multichip caller already computed `[I, num_objects]`."""
+    if counts is None:
+        if vis is None:
+            vis = compute_scene_visibility(scene)
+        counts = object_image_counts(scene, vis)
     valid = scene.valid_image_mask()
     result = {"object_to_images": {}, "image_to_objects": {}}
     for object_id in range(scene.num_objects):
@@ -97,6 +100,70 @@ def compute_object_visibility(
                      "visibility": pct}
                 )
     return result
+
+
+@functools.lru_cache(maxsize=32)
+def _counts_multichip_fn(mesh, n_pad: int, seg_pad: int):
+    """Compiled shard_map object-count program per (mesh, point width,
+    segment width) — scenes shard over the mesh's leading axis, each
+    device running the one-matmul count program on its shard (the
+    multi-chip incarnation of the reference's sequential per-scene loop,
+    compute_object_visibility.py:154-196)."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import shard_map_compat
+
+    axis = mesh.axis_names[0]
+
+    def local(packed, instance_ids):
+        def one(pk, ii):
+            bits = (pk[:, :, None]
+                    >> jnp.arange(7, -1, -1, dtype=pk.dtype)) & 1
+            vis = bits.reshape(pk.shape[0], -1)[:, :n_pad]
+            onehot = jax.nn.one_hot(ii, seg_pad, dtype=jnp.float32)
+            return vis.astype(jnp.float32) @ onehot
+
+        return jax.vmap(one)(packed, instance_ids)
+
+    return jax.jit(shard_map_compat(
+        local, mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis)))
+
+
+def object_visibility_multichip(
+    scenes: "list[Scene]",
+    mesh,
+    visibility: "dict[str, np.ndarray]",
+    warning_path: str | None = None,
+    per_device_batch: int = 4,
+) -> dict:
+    """Scene-parallel object visibility across every device of a mesh.
+
+    Returns the same {scene_id: reference-schema dict} as
+    :func:`build_object_visibility`, bit-identical per scene
+    (test-asserted on the 8-device CPU mesh): visible-point counts are
+    sums of 0/1 values, exact in f32 at any reduction order, and the
+    host threshold/assembly pass is shared with the single-device path.
+    Scenes are grouped by padded shape via the shared batching
+    scaffolding (`visibility.iter_packed_scene_batches`)."""
+    from .visibility import iter_packed_scene_batches
+
+    sink = WarningSink(warning_path)
+    results = {}
+    for i_pad, n_pad, chunk, packed in iter_packed_scene_batches(
+            scenes, mesh, visibility, per_device_batch):
+        seg_pad = ((max(s.num_objects for s in chunk) + 1 + 7) // 8) * 8
+        batch = packed.shape[0]
+        inst = np.zeros((batch, n_pad), dtype=np.int32)
+        for j, scene in enumerate(chunk):
+            inst[j, : scene.num_points] = scene.instance_ids.astype(
+                np.int32)
+        fn = _counts_multichip_fn(mesh, n_pad, seg_pad)
+        counts = np.asarray(fn(jnp.asarray(packed), jnp.asarray(inst)))
+        for j, scene in enumerate(chunk):
+            c = counts[j, : scene.num_images, 1: scene.num_objects + 1]
+            results[scene.scene_id] = compute_object_visibility(
+                scene, warning_sink=sink, counts=c)
+    return results
 
 
 def build_object_visibility(

@@ -499,6 +499,21 @@ class TestMultichipRelationsAndCoverage:
         cov_single = build_object_coverage(scenes, ovis, visibility=vis)
         assert cov_mc == cov_single
 
+    def test_object_visibility_sharded_equals_per_scene(self, mesh8):
+        """Scene-parallel object visibility (the last L3 stage without a
+        multichip variant) equals the sequential builder exactly —
+        counts are 0/1 sums, exact in f32 at any reduction order."""
+        from multi_spatialmllm_tpu.stages.object_visibility import (
+            build_object_visibility,
+            object_visibility_multichip,
+        )
+
+        scenes, vis = self._scenes()
+        got = object_visibility_multichip(scenes, mesh8, vis,
+                                          per_device_batch=1)
+        single = build_object_visibility(scenes, visibility=vis)
+        assert got == single
+
 
 class TestBatchedRelations:
     def test_batched_matches_per_scene(self):
