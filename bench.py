@@ -638,6 +638,7 @@ def _run(out: dict) -> None:
         # add 82.65M train pairs (calculate_frames_relations.py:7-11).
         from multi_spatialmllm_tpu.stages.frame_relations import (
             compute_scene_relations,
+            project_scenes_pipelined,
         )
 
         with section("split_projection_val"):
@@ -650,6 +651,19 @@ def _run(out: dict) -> None:
                            n_invalid_poses=0)
                 for i in range(sc(6, 2))
             ]
+            # 1-scene warmup: re-warms the tunnel's heavy-transfer path
+            # (first 182 MB upload after a light-activity stretch has
+            # been observed to stall 100-300 s) so neither timed pass
+            # eats the ramp
+            for _ in project_scenes_pipelined(proj_scenes[:1],
+                                              dtype=np.float32):
+                pass
+            # sequential per-scene loop: on this 1-core host the
+            # cross-scene pipeline (project_scenes_pipelined) measures
+            # SLOWER — host fix-up/fetches contend with the tunnel's
+            # transfer threads for the one core (_pipeproj_drive.py:
+            # seq 4.3-5.1 s/scene vs pipe 5.5-5.7). The pipelined path
+            # is the library API for multi-core hosts.
             proj_mins = []  # the most jitter-exposed stage: 2 full
             for _ in range(2):  # passes + dispersion (r4 ran it ONCE)
                 t0 = time.perf_counter()

@@ -183,67 +183,128 @@ class SpatialEnginePipeline:
     def _eval_dir(self, engine: str) -> str:
         return os.path.join(self.root, "qa", "evaluation_data", engine)
 
+    def _unit(self, stage: str, unit: str, cfg, fn):
+        """Manifest-gated engine unit: an interrupted campaign resumes
+        at unit granularity — completed engine outputs are skipped (the
+        recorded counts come back as an EngineOutputs-shaped namespace),
+        the interrupted unit reruns from scratch. Config changes (counts,
+        sampler params) invalidate the unit via the hash."""
+        from types import SimpleNamespace
+
+        h = config_hash(cfg)
+        if self.manifest.is_done(stage, unit, h):
+            saved = self.manifest.outputs(stage, unit)
+
+            def revive(v):
+                if isinstance(v, dict) and "n_train" in v:
+                    return SimpleNamespace(**v)
+                if isinstance(v, dict):
+                    return {k: revive(x) for k, x in v.items()}
+                return v
+
+            return revive(saved)
+        res = fn()
+
+        def persist(v):
+            if isinstance(v, dict):
+                return {k: persist(x) for k, x in v.items()}
+            return {"n_train": getattr(v, "n_train", 0),
+                    "n_val": getattr(v, "n_val", 0)}
+
+        self.manifest.mark_done(stage, unit, h, persist(res))
+        return res
+
     def run_camera_movement(self, train_counts=None, val_counts=None):
+        """One manifest unit PER question type: a 3M-sample campaign
+        (reference TRAIN_QUESTION_SAMPLES scale) killed mid-type resumes
+        at the interrupted type, not from scratch. Relations are
+        prepared once and shared across the types that actually run."""
         from .engines import camera_movement as CM
 
-        rel = self.frame_relations()
         cfg = CM.CameraMovementConfig(
             overlap_min=self.config.overlap_min,
             overlap_max=self.config.overlap_max,
             interval=self.config.interval)
-        return CM.generate(
-            rel, rel, self.store,
-            self._train_dir("camera_movement"),
-            self._eval_dir("camera_movement"),
-            train_counts=train_counts, val_counts=val_counts, config=cfg)
+        train_counts = train_counts or CM.TRAIN_QUESTION_SAMPLES
+        val_counts = val_counts or CM.VAL_QUESTION_SAMPLES
+        prepared = None
+        out = {}
+        for qtype, count in train_counts.items():
+            n_val = val_counts.get(qtype, 300)
+
+            def run(qtype=qtype, count=count, n_val=n_val):
+                nonlocal prepared
+                if prepared is None:
+                    prepared = CM.prepare_relations(
+                        self.frame_relations(), self.store)
+                return CM.generate(
+                    prepared, prepared, self.store,
+                    self._train_dir("camera_movement"),
+                    self._eval_dir("camera_movement"),
+                    train_counts={qtype: count},
+                    val_counts={qtype: n_val}, config=cfg)[qtype]
+
+            out[qtype] = self._unit(
+                "engine.camera_movement", qtype,
+                {"cfg": cfg, "n": count, "n_val": n_val}, run)
+        return out
 
     def run_depth_perception(self, all_max_samples=1000,
-                             eval_max_samples=None):
+                             eval_max_samples=None,
+                             dot_max_samples=None, annotate_dots=True):
         """All four depth engines, train + eval files each (the reference
         runs every engine twice: generate_qa_training_data then
         generate_qa_eval_data, e.g. depth_estimation_coor_engine.py
-        :355-364)."""
+        :355-364). Dot variants write annotated JPEGs next to their
+        JSONL (reference depth_estimation_dot_engine.py:162-173) and
+        take their own sample budget (`dot_max_samples`) so volume
+        campaigns can scale the coor engines past the annotated ones."""
         from .engines import depth_perception as DP
+        from .engines.annotate import SyntheticImageProvider
 
-        vis = self.visibility()
         if eval_max_samples is None:
             eval_max_samples = max(all_max_samples // 4, 1)
+        if dot_max_samples is None:
+            dot_max_samples = all_max_samples
+        dot_eval_max = max(dot_max_samples // 4, 1)
+        provider = None
+        if annotate_dots:
+            first = self.store.get(self.store.scene_ids()[0])
+            provider = SyntheticImageProvider(first.image_hw)
         out = {}
         for variant in ("coor", "dot"):
-            task = f"depth_estimation_{variant}"
-            out[f"estimation_{variant}"] = \
-                DP.generate_depth_estimation_to_jsonl(
-                    self.store, vis,
-                    os.path.join(self._train_dir(task), f"{task}.jsonl"),
-                    variant=variant,
-                    config=DP.DepthEngineConfig(
-                        all_max_samples=all_max_samples))
-            out[f"estimation_{variant}_eval"] = \
-                DP.generate_depth_estimation_to_jsonl(
-                    self.store, vis,
-                    os.path.join(self._eval_dir(task), f"{task}.jsonl"),
-                    variant=variant, eval_mode=True,
-                    config=DP.DepthEngineConfig(
-                        all_max_samples=eval_max_samples))
-            task = f"depth_comparison_{variant}"
-            out[f"comparison_{variant}"] = \
-                DP.generate_depth_comparison_to_jsonl(
-                    self.store, vis,
-                    os.path.join(self._train_dir(task), f"{task}.jsonl"),
-                    variant=variant,
-                    config=DP.DepthEngineConfig(
-                        all_max_samples=all_max_samples))
-            out[f"comparison_{variant}_eval"] = \
-                DP.generate_depth_comparison_to_jsonl(
-                    self.store, vis,
-                    os.path.join(self._eval_dir(task), f"{task}.jsonl"),
-                    variant=variant, eval_mode=True,
-                    config=DP.DepthEngineConfig(
-                        all_max_samples=eval_max_samples))
+            trn = all_max_samples if variant == "coor" else dot_max_samples
+            ev_n = eval_max_samples if variant == "coor" else dot_eval_max
+            for kind, gen in (("estimation",
+                               DP.generate_depth_estimation_to_jsonl),
+                              ("comparison",
+                               DP.generate_depth_comparison_to_jsonl)):
+                task = f"depth_{kind}_{variant}"
+                for split, n, outdir, ev in (
+                        ("train", trn, self._train_dir, False),
+                        ("eval", ev_n, self._eval_dir, True)):
+                    key = (f"{kind}_{variant}" if split == "train"
+                           else f"{kind}_{variant}_eval")
+                    img_dir = (os.path.join(outdir(task), "images")
+                               if variant == "dot" and provider is not None
+                               else None)
+                    out[key] = self._unit(
+                        f"engine.{task}", split,
+                        {"n": n, "dtype": self.config.dtype,
+                         "annotated": img_dir is not None},
+                        lambda task=task, n=n, outdir=outdir, ev=ev,
+                        gen=gen, variant=variant, img_dir=img_dir: gen(
+                            self.store, self.visibility(),
+                            os.path.join(outdir(task), f"{task}.jsonl"),
+                            variant=variant, eval_mode=ev,
+                            image_provider=(provider if img_dir else None),
+                            image_output_dir=img_dir,
+                            config=DP.DepthEngineConfig(
+                                all_max_samples=n)))
         return out
 
     def run_visual_correspondence(self, desired_count=1000,
-                                  eval_count=None):
+                                  eval_count=None, dot_count=None):
         from .engines import visual_correspondence as VC
         from .engines.annotate import SyntheticImageProvider
 
@@ -255,44 +316,61 @@ class SpatialEnginePipeline:
             interval=self.config.interval)
         if eval_count is None:
             eval_count = max(desired_count // 4, 1)
+        if dot_count is None:
+            dot_count = desired_count
+        dot_eval_count = max(dot_count // 4, 1)
         first = self.store.get(self.store.scene_ids()[0])
         provider = SyntheticImageProvider(first.image_hw)
         out = {}
         task = "visual_correspondence_coor_2_coor"
-        out["coor_2_coor"] = VC.generate_coor_to_coor(
-            rel, self.store, vis,
-            os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
-            desired_count, cfg)
-        out["coor_2_coor_eval"] = VC.generate_coor_to_coor(
-            rel, self.store, vis,
-            os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
-            eval_count, cfg, eval_mode=True)
-        task = "visual_correspondence_dot_2_multichoice"
-        out["dot_2_multichoice"] = VC.generate_dot_to_multichoice_to_jsonl(
-            rel, self.store, vis,
-            os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
-            desired_count,
-            os.path.join(self._train_dir(task), "images"),
-            image_provider=provider, config=cfg)
-        out["dot_2_multichoice_eval"] = VC.generate_dot_to_multichoice_to_jsonl(
-            rel, self.store, vis,
-            os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
-            eval_count,
-            os.path.join(self._eval_dir(task), "images"),
-            image_provider=provider, config=cfg, eval_mode=True)
+        out["coor_2_coor"] = self._unit(
+            f"engine.{task}", "train", {"n": desired_count, "cfg": cfg},
+            lambda: VC.generate_coor_to_coor(
+                rel, self.store, vis,
+                os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
+                desired_count, cfg))
+        out["coor_2_coor_eval"] = self._unit(
+            f"engine.{task}", "eval", {"n": eval_count, "cfg": cfg},
+            lambda: VC.generate_coor_to_coor(
+                rel, self.store, vis,
+                os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
+                eval_count, cfg, eval_mode=True))
+        task2 = "visual_correspondence_dot_2_multichoice"
+        out["dot_2_multichoice"] = self._unit(
+            f"engine.{task2}", "train", {"n": dot_count, "cfg": cfg},
+            lambda: VC.generate_dot_to_multichoice_to_jsonl(
+                rel, self.store, vis,
+                os.path.join(self._train_dir(task2), f"train_{task2}.jsonl"),
+                dot_count,
+                os.path.join(self._train_dir(task2), "images"),
+                image_provider=provider, config=cfg))
+        out["dot_2_multichoice_eval"] = self._unit(
+            f"engine.{task2}", "eval", {"n": dot_eval_count, "cfg": cfg},
+            lambda: VC.generate_dot_to_multichoice_to_jsonl(
+                rel, self.store, vis,
+                os.path.join(self._eval_dir(task2), f"val_{task2}.jsonl"),
+                dot_eval_count,
+                os.path.join(self._eval_dir(task2), "images"),
+                image_provider=provider, config=cfg, eval_mode=True))
         return out
 
     def run_object_perception(self):
         from .engines import object_perception as OP
 
-        coverage = self.coverage()
         out = {}
-        out["train"] = OP.generate(
-            self.store, coverage, self._train_dir("object_perception"),
-            "train")
-        out["val"] = OP.generate(
-            self.store, coverage, self._eval_dir("object_perception"),
-            "val", eval_mode=True)
+        out["train"] = self._unit(
+            "engine.object_perception", "train",
+            {"dtype": self.config.dtype, "seed": self.config.seed},
+            lambda: OP.generate(
+                self.store, self.coverage(),
+                self._train_dir("object_perception"), "train"))
+        out["val"] = self._unit(
+            "engine.object_perception", "eval",
+            {"dtype": self.config.dtype, "seed": self.config.seed},
+            lambda: OP.generate(
+                self.store, self.coverage(),
+                self._eval_dir("object_perception"), "val",
+                eval_mode=True))
         return out
 
     def run_object_movement(self, scene_records: dict,
@@ -311,28 +389,54 @@ class SpatialEnginePipeline:
                                           dot_variant=dot)
             img_dir = (os.path.join(self._train_dir(engine), "images")
                        if dot else None)
-            out[f"{tag}_train"] = OM.generate_to_jsonl(
-                scene_records,
-                os.path.join(self._train_dir(engine), f"{engine}.jsonl"),
-                cfg, img_output_dir=img_dir)
+            out[f"{tag}_train"] = self._unit(
+                f"engine.{engine}", "train", {"cfg": cfg},
+                lambda engine=engine, cfg=cfg, img_dir=img_dir:
+                OM.generate_to_jsonl(
+                    scene_records,
+                    os.path.join(self._train_dir(engine),
+                                 f"{engine}.jsonl"),
+                    cfg, img_output_dir=img_dir))
             img_dir_val = (os.path.join(self._eval_dir(engine), "images")
                            if dot else None)
-            out[f"{tag}_eval"] = OM.generate_to_jsonl(
-                scene_records,
-                os.path.join(self._eval_dir(engine), f"{engine}.jsonl"),
-                cfg, img_output_dir=img_dir_val,
-                max_samples=max_eval_samples, eval_mode=True)
+            out[f"{tag}_eval"] = self._unit(
+                f"engine.{engine}", "eval",
+                {"cfg": cfg, "max": max_eval_samples},
+                lambda engine=engine, cfg=cfg, img_dir_val=img_dir_val:
+                OM.generate_to_jsonl(
+                    scene_records,
+                    os.path.join(self._eval_dir(engine),
+                                 f"{engine}.jsonl"),
+                    cfg, img_output_dir=img_dir_val,
+                    max_samples=max_eval_samples, eval_mode=True))
         return out
 
-    def run_all(self, tapvid_records: dict | None = None) -> dict:
-        """Demo-scale full run: all stages + engines, train AND eval
-        outputs per engine (full reference directory shape)."""
+    def run_all(
+        self,
+        tapvid_records: dict | None = None,
+        camera_train_counts: dict | None = None,
+        camera_val_counts: dict | None = None,
+        depth_samples: int = 200,
+        depth_dot_samples: int | None = None,
+        correspondence_count: int = 200,
+        correspondence_dot_count: int | None = None,
+    ) -> dict:
+        """Full run: all stages + engines, train AND eval outputs per
+        engine (full reference directory shape). Defaults are demo
+        scale; a volume campaign passes real counts (every engine unit
+        is manifest-gated, so an interrupted campaign resumes where it
+        stopped — scripts/volume_drill.py). The `*_dot_*` knobs bound
+        the annotated-JPEG engines separately, as a real campaign
+        would (the reference's dot engines run two orders slower than
+        its coor engines)."""
         results = {}
         results["camera_movement"] = self.run_camera_movement(
-            train_counts={"total_distance": 500},
-            val_counts={"total_distance": 50})
-        results["depth_perception"] = self.run_depth_perception(200)
-        results["visual_correspondence"] = self.run_visual_correspondence(200)
+            train_counts=camera_train_counts or {"total_distance": 500},
+            val_counts=camera_val_counts or {"total_distance": 50})
+        results["depth_perception"] = self.run_depth_perception(
+            depth_samples, dot_max_samples=depth_dot_samples)
+        results["visual_correspondence"] = self.run_visual_correspondence(
+            correspondence_count, dot_count=correspondence_dot_count)
         results["object_perception"] = self.run_object_perception()
         if tapvid_records:
             results["object_movement"] = self.run_object_movement(

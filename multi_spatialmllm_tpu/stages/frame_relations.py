@@ -134,6 +134,78 @@ def compute_scene_relations(
     return {k: np.asarray(v)[:n, :n] for k, v in rel.items()}
 
 
+def project_scenes_pipelined(
+    scenes: "list[Scene]",
+    dtype=np.float32,
+    with_relations: bool = True,
+):
+    """Cross-scene software pipeline for the split build: visibility
+    (exact-parity hybrid) + frame relations with scene k+1's uploads and
+    device compute overlapping scene k's fetch + host f64 fix-up.
+
+    The sequential per-scene loop (reference: make_visibility_info.py's
+    25-process Pool, then calculate_frames_relations.py) serializes three
+    resources that can run concurrently: the host->device interconnect
+    (~182 MB of depth per ScanNet-val scene), the device itself, and the
+    host CPU (exact borderline fix-up + packbits). jax dispatch is async,
+    so dispatching scene k+1's chunks BEFORE finalizing scene k keeps all
+    three busy; relation fetches are deferred one further scene because
+    they queue on the device after scene k+1's chunks. Results are
+    IDENTICAL to the unpipelined stages (same programs, same inputs —
+    only the fetch order changes); yields (scene, vis, rel) in input
+    order with rel=None when with_relations=False.
+
+    Needs host cores to win: on a 1-core host the overlapped fix-up/
+    fetch contends with the interconnect's transfer threads for the
+    same core and the pipeline measures ~20% SLOWER than the
+    sequential loop (scripts/profiles/_pipeproj_drive.py on the dev
+    tunnel: seq 4.3-5.1 s/scene vs pipe 5.5-5.7) — bench.py therefore
+    times the sequential loop; production multi-core hosts should use
+    this path.
+    """
+    from .visibility import _hybrid_dispatch, _hybrid_finalize
+
+    hyb_pending = None   # (scene, handles, fn_chunk)
+    rel_pending = None   # (scene, vis, device rel dict)
+
+    def rel_dispatch(scene, vis):
+        ext, _, ivalid = scene.padded_images(dtype)
+        i_pad = ext.shape[0]
+        vis_pad = np.zeros((i_pad, vis.shape[1]), dtype=bool)
+        vis_pad[: vis.shape[0]] = vis
+        fn = _relations_fn(i_pad, vis.shape[1], np.dtype(dtype).name)
+        return fn(jnp.asarray(np.packbits(vis_pad, axis=1)),
+                  jnp.asarray(ext), jnp.asarray(ivalid))
+
+    def rel_fetch(scene, rel):
+        n = scene.num_images
+        return {k: np.asarray(v)[:n, :n] for k, v in rel.items()}
+
+    for scene in scenes:
+        dispatched = (scene, *_hybrid_dispatch(scene))
+        if hyb_pending is not None:
+            s0, h0, c0 = hyb_pending
+            vis0 = _hybrid_finalize(s0, h0, c0)
+            if with_relations:
+                if rel_pending is not None:
+                    s1, v1, r1 = rel_pending
+                    yield s1, v1, rel_fetch(s1, r1)
+                rel_pending = (s0, vis0, rel_dispatch(s0, vis0))
+            else:
+                yield s0, vis0, None
+        hyb_pending = dispatched
+    if hyb_pending is not None:
+        s0, h0, c0 = hyb_pending
+        vis0 = _hybrid_finalize(s0, h0, c0)
+        if with_relations:
+            if rel_pending is not None:
+                s1, v1, r1 = rel_pending
+                yield s1, v1, rel_fetch(s1, r1)
+            yield s0, vis0, rel_fetch(s0, rel_dispatch(s0, vis0))
+        else:
+            yield s0, vis0, None
+
+
 def scene_relation_records(
     scene: Scene,
     rel: dict[str, np.ndarray],

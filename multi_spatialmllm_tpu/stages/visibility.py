@@ -194,23 +194,13 @@ def _hybrid_fn(i_pad: int, n_pad: int, depth_hw: tuple, image_hw: tuple):
     return fn
 
 
-def compute_scene_visibility_hybrid(
-    scene: Scene, image_chunk: int | None = None
-) -> np.ndarray:
-    """Exact-parity visibility WITHOUT the f64-emulation cost.
+def _hybrid_dispatch(scene: Scene, image_chunk: int | None = None):
+    """Upload + dispatch every hybrid chunk of a scene WITHOUT fetching.
 
-    One true-f32 device pass computes the matrix plus a conservative
-    borderline mask (core/geometry.visibility_and_borderline); the tiny
-    flagged fraction — pairs within f32 rounding distance of a comparison
-    boundary (~2%) — is recomputed exactly on host in numpy f64, i.e. the
-    very computation the reference runs. Result is bit-equal to the numpy
-    oracle on every backend — including TPU, where even the emulated-f64
-    path flips ~7 ppm of exact-boundary bits (its division is not
-    correctly rounded). Equals `compute_scene_visibility(scene, float64)`
-    exactly on CPU.
-    """
-    from ..core.synthetic import np_project_points
-
+    jax dispatch is async: the returned handles' uploads/compute proceed
+    in the background, so a caller can start the next scene (or do host
+    work) while this scene's 182 MB of depth rides the interconnect.
+    Returns (handles, fn_chunk) for :func:`_hybrid_finalize`."""
     pts, pvalid = scene.padded_points(np.float32)
     ext, depth, ivalid = scene.padded_images(np.float32)
     i_pad, n_pad = ext.shape[0], pts.shape[0]
@@ -243,7 +233,14 @@ def compute_scene_visibility_hybrid(
            jnp.asarray(ivalid[lo: lo + fn_chunk]), pv_d)
         for lo in range(0, tot, fn_chunk)
     ]
+    return handles, fn_chunk
 
+
+def _hybrid_finalize(scene: Scene, handles, fn_chunk: int) -> np.ndarray:
+    """Fetch the dispatched chunks and run the exact f64 host fix-up."""
+    from ..core.synthetic import np_project_points
+
+    n_pad = handles[0][0].shape[1] * 8
     h, w = scene.image_hw
     hd, wd = scene.depth_hw
     vis_rows = []
@@ -274,6 +271,25 @@ def compute_scene_visibility_hybrid(
             vis_c[r, cols] = inb & (d > 0) & (d < dv)
         vis_rows.append(vis_c)
     return np.concatenate(vis_rows)
+
+
+def compute_scene_visibility_hybrid(
+    scene: Scene, image_chunk: int | None = None
+) -> np.ndarray:
+    """Exact-parity visibility WITHOUT the f64-emulation cost.
+
+    One true-f32 device pass computes the matrix plus a conservative
+    borderline mask (core/geometry.visibility_and_borderline); the tiny
+    flagged fraction — pairs within f32 rounding distance of a comparison
+    boundary (~2%) — is recomputed exactly on host in numpy f64, i.e. the
+    very computation the reference runs. Result is bit-equal to the numpy
+    oracle on every backend — including TPU, where even the emulated-f64
+    path flips ~7 ppm of exact-boundary bits (its division is not
+    correctly rounded). Equals `compute_scene_visibility(scene, float64)`
+    exactly on CPU.
+    """
+    handles, fn_chunk = _hybrid_dispatch(scene, image_chunk)
+    return _hybrid_finalize(scene, handles, fn_chunk)
 
 
 @functools.lru_cache(maxsize=32)

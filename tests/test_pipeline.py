@@ -92,6 +92,40 @@ class TestPipeline:
                         assert "image" in rec and "gt_value" in rec
         assert n_files >= 6
 
+    def test_engine_units_resume_without_rerun(self, pipe):
+        """Campaign resume at engine-unit granularity: after run_all,
+        a FRESH pipeline over the same root (a resumed process) skips
+        every completed engine unit — output files untouched (mtime),
+        recorded counts revived — and a changed config invalidates."""
+        from multi_spatialmllm_tpu.core.synthetic import make_tapvid_npz
+
+        tapvid = {"pipeseq0": make_tapvid_npz(seed=9)}
+        first = pipe.run_all(tapvid_records=tapvid)
+
+        jsonls = {}
+        for dirpath, _, files in os.walk(os.path.join(pipe.root, "qa")):
+            for fname in files:
+                p = os.path.join(dirpath, fname)
+                jsonls[p] = os.path.getmtime(p)
+        assert jsonls
+
+        pipe2 = SpatialEnginePipeline(pipe.store, pipe.root, pipe.config)
+        second = pipe2.run_all(tapvid_records=tapvid)
+        for p, mtime in jsonls.items():
+            assert os.path.getmtime(p) == mtime, f"rewritten: {p}"
+        cm1 = first["camera_movement"]["total_distance"]
+        cm2 = second["camera_movement"]["total_distance"]
+        assert (cm2.n_train, cm2.n_val) == (cm1.n_train, cm1.n_val)
+        dp1, dp2 = first["depth_perception"], second["depth_perception"]
+        assert {k: v.n_train for k, v in dp2.items()} == \
+               {k: v.n_train for k, v in dp1.items()}
+        # a changed unit config (different count) reruns that unit
+        pipe3 = SpatialEnginePipeline(pipe.store, pipe.root, pipe.config)
+        third = pipe3.run_camera_movement(
+            train_counts={"total_distance": 40},
+            val_counts={"total_distance": 5})
+        assert third["total_distance"].n_train <= 40
+
     def test_run_all_reference_directory_shape(self, pipe):
         """Every engine emits BOTH training_data/ and evaluation_data/
         like the reference (depth_estimation_coor_engine.py:318-322), and

@@ -515,6 +515,44 @@ class TestMultichipRelationsAndCoverage:
         assert got == single
 
 
+class TestPipelinedSplitProjection:
+    def test_pipelined_equals_sequential(self):
+        """project_scenes_pipelined (cross-scene overlap of uploads,
+        device compute, and host fix-up) must be IDENTICAL to the
+        unpipelined hybrid + relations loop — same programs, same
+        inputs, only the fetch order changes."""
+        from multi_spatialmllm_tpu.stages.frame_relations import (
+            compute_scene_relations,
+            project_scenes_pipelined,
+        )
+        from multi_spatialmllm_tpu.stages.visibility import (
+            compute_scene_visibility_hybrid,
+        )
+
+        scenes = [make_scene(scene_id=f"pp{i:04d}_00", seed=140 + i,
+                             n_images=10, n_background=2000, n_objects=2,
+                             n_invalid_poses=1)
+                  for i in range(3)]
+        got = list(project_scenes_pipelined(scenes, dtype=np.float32))
+        assert [s.scene_id for s, _, _ in got] == [
+            s.scene_id for s in scenes]  # input order preserved
+        for s, vis, rel in got:
+            vis_seq = compute_scene_visibility_hybrid(s)
+            np.testing.assert_array_equal(vis, vis_seq)
+            rel_seq = compute_scene_relations(s, vis=vis_seq,
+                                              dtype=np.float32)
+            assert set(rel) == set(rel_seq)
+            for k, v in rel_seq.items():
+                np.testing.assert_array_equal(rel[k], v)
+        # no-relations mode + single-scene + empty inputs
+        got1 = list(project_scenes_pipelined(scenes[:1],
+                                             with_relations=False))
+        assert len(got1) == 1 and got1[0][2] is None
+        np.testing.assert_array_equal(
+            got1[0][1], compute_scene_visibility_hybrid(scenes[0]))
+        assert list(project_scenes_pipelined([])) == []
+
+
 class TestBatchedRelations:
     def test_batched_matches_per_scene(self):
         """build_frame_relations with precomputed visibility (batched
