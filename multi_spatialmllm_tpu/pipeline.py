@@ -251,7 +251,8 @@ class SpatialEnginePipeline:
 
     def run_depth_perception(self, all_max_samples=1000,
                              eval_max_samples=None,
-                             dot_max_samples=None, annotate_dots=True):
+                             dot_max_samples=None, annotate_dots=True,
+                             points_per_image=None):
         """All four depth engines, train + eval files each (the reference
         runs every engine twice: generate_qa_training_data then
         generate_qa_eval_data, e.g. depth_estimation_coor_engine.py
@@ -267,6 +268,8 @@ class SpatialEnginePipeline:
         if dot_max_samples is None:
             dot_max_samples = all_max_samples
         dot_eval_max = max(dot_max_samples // 4, 1)
+        ppi = (points_per_image if points_per_image is not None
+               else DP.DepthEngineConfig.max_n_points_per_image)
         provider = None
         if annotate_dots:
             first = self.store.get(self.store.scene_ids()[0])
@@ -290,7 +293,7 @@ class SpatialEnginePipeline:
                                else None)
                     out[key] = self._unit(
                         f"engine.{task}", split,
-                        {"n": n, "dtype": self.config.dtype,
+                        {"n": n, "ppi": ppi, "dtype": self.config.dtype,
                          "annotated": img_dir is not None},
                         lambda task=task, n=n, outdir=outdir, ev=ev,
                         gen=gen, variant=variant, img_dir=img_dir: gen(
@@ -300,7 +303,8 @@ class SpatialEnginePipeline:
                             image_provider=(provider if img_dir else None),
                             image_output_dir=img_dir,
                             config=DP.DepthEngineConfig(
-                                all_max_samples=n)))
+                                all_max_samples=n,
+                                max_n_points_per_image=ppi)))
         return out
 
     def run_visual_correspondence(self, desired_count=1000,
@@ -418,6 +422,7 @@ class SpatialEnginePipeline:
         camera_val_counts: dict | None = None,
         depth_samples: int = 200,
         depth_dot_samples: int | None = None,
+        depth_points_per_image: int | None = None,
         correspondence_count: int = 200,
         correspondence_dot_count: int | None = None,
     ) -> dict:
@@ -434,7 +439,8 @@ class SpatialEnginePipeline:
             train_counts=camera_train_counts or {"total_distance": 500},
             val_counts=camera_val_counts or {"total_distance": 50})
         results["depth_perception"] = self.run_depth_perception(
-            depth_samples, dot_max_samples=depth_dot_samples)
+            depth_samples, dot_max_samples=depth_dot_samples,
+            points_per_image=depth_points_per_image)
         results["visual_correspondence"] = self.run_visual_correspondence(
             correspondence_count, dot_count=correspondence_dot_count)
         results["object_perception"] = self.run_object_perception()

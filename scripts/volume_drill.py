@@ -17,14 +17,15 @@ Modes
             counts against --root (resumable: rerunning skips every
             manifest-complete unit)
 
-Counts (full scale, --scale full):
-  camera movement   9 question types, 755K train + 2.7K val records
-  depth est/comp    coor 60K train + 15K eval each; dot 8K + 2K each
-                    (dot records each ship an annotated 480x640 JPEG)
+Counts (full scale, --scale full; 24 scenes x 296 posed images):
+  camera movement   9 question types x 110K train + 300 val each
+  depth est/comp    coor <=60K train + 15K eval each (8 pts/image);
+                    dot 8K + 2K each (annotated 480x640 JPEGs)
   correspondence    coor->coor 60K + 15K; dot->MC 2.4K + 600 (2 JPEGs
                     per record)
   object perception coverage-driven (all samples, train + val)
   object movement   24 TAPVid sequences, coord + dot (annotated)
+  total             >=1.3M records + ~30K annotated JPEGs
 
 Run on the real chip: `python scripts/volume_drill.py` (~10-25 min
 including the mid-run kill; tunnel latency dominates the stage math).
@@ -43,11 +44,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# camera-movement balanced sampling draws WITHOUT replacement per
+# overlap bin (engines/sampling.py, reference parity), so per-type
+# counts are bounded by qualifying relation pairs: 24 scenes x 296
+# images ~= 1.05M raw pairs, ~40% in the 6-35% overlap band -> ~400K
+# qualifying, comfortably above the 110K/type requests below.
 CAMERA_TRAIN = {
-    "total_distance": 150_000, "displacement_vector": 150_000,
-    "x_movement": 65_000, "y_movement": 65_000, "z_movement": 65_000,
-    "yaw_movement": 65_000, "pitch_movement": 65_000,
-    "yaw_angle": 65_000, "pitch_angle": 65_000,
+    "total_distance": 110_000, "displacement_vector": 110_000,
+    "x_movement": 110_000, "y_movement": 110_000, "z_movement": 110_000,
+    "yaw_movement": 110_000, "pitch_movement": 110_000,
+    "yaw_angle": 110_000, "pitch_angle": 110_000,
 }
 SMOKE_DIV = 500  # --scale smoke: structural pass in ~a minute on CPU
 
@@ -60,9 +66,10 @@ def _counts(scale: str) -> dict:
         "camera_val": {k: max(300 // d, 3) for k in CAMERA_TRAIN},
         "depth": max(60_000 // d, 20),
         "depth_dot": max(8_000 // d, 8),
+        "depth_ppi": 8,  # 24 x 296 images x 8 pts ~= 57K estimation rows
         "corr": max(60_000 // d, 20),
         "corr_dot": max(2_400 // d, 8),
-        "n_scenes": 8 if scale == "full" else 2,
+        "n_scenes": 24 if scale == "full" else 2,
         "n_tapvid": 24 if scale == "full" else 3,
     }
 
@@ -82,8 +89,8 @@ def build_inputs(root: str, scale: str) -> None:
     if not os.path.exists(marker):
         scenes = [
             make_scene(scene_id=f"vol{i:04d}_00", seed=7_000 + i,
-                       n_images=64 if scale == "full" else 10,
-                       n_background=20_000 if scale == "full" else 2_000,
+                       n_images=296 if scale == "full" else 10,
+                       n_background=40_000 if scale == "full" else 2_000,
                        n_objects=5, image_hw=(480, 640),
                        depth_hw=(120, 160), n_invalid_poses=1)
             for i in range(c["n_scenes"])
@@ -122,6 +129,7 @@ def campaign(root: str, scale: str) -> None:
         camera_val_counts=c["camera_val"],
         depth_samples=c["depth"],
         depth_dot_samples=c["depth_dot"],
+        depth_points_per_image=c["depth_ppi"],
         correspondence_count=c["corr"],
         correspondence_dot_count=c["corr_dot"],
     )
