@@ -35,6 +35,32 @@ from .stages.visibility import (
 from .utils.logging import StageLogger
 
 
+def _records_fingerprint(scene_records: dict) -> str:
+    """Content digest of a {scene_id: npz-record} mapping, so an
+    object-movement manifest unit is invalidated when its INPUT changes,
+    not only its config (r5 review: a later run with different TAPVid
+    data on the same root silently revived the previous run's counts)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=8)
+    for sid in sorted(scene_records):
+        h.update(str(sid).encode())
+        rec = scene_records[sid]
+        for k in sorted(rec):
+            v = np.asarray(rec[k])
+            h.update(k.encode())
+            h.update(f"{v.shape}{v.dtype}".encode())
+            if v.dtype == object:  # e.g. images_jpeg_bytes
+                for item in v.ravel():
+                    b = (bytes(item) if isinstance(item, (bytes, bytearray))
+                         else repr(item).encode())
+                    h.update(len(b).to_bytes(8, "little"))
+                    h.update(b)
+            else:
+                h.update(np.ascontiguousarray(v).tobytes())
+    return h.hexdigest()
+
+
 @dataclasses.dataclass
 class PipelineConfig:
     # "float64" (emulated on TPU, ~7ppm boundary flips there), "hybrid"
@@ -312,8 +338,6 @@ class SpatialEnginePipeline:
         from .engines import visual_correspondence as VC
         from .engines.annotate import SyntheticImageProvider
 
-        rel = self.frame_relations()
-        vis = self.visibility()
         cfg = VC.CorrespondenceConfig(
             overlap_min=self.config.overlap_min,
             overlap_max=self.config.overlap_max,
@@ -325,25 +349,37 @@ class SpatialEnginePipeline:
         dot_eval_count = max(dot_count // 4, 1)
         first = self.store.get(self.store.scene_ids()[0])
         provider = SyntheticImageProvider(first.image_hw)
+        # relations/visibility load lazily inside the unit bodies (the
+        # run_camera_movement `prepared` pattern): resuming a finished
+        # campaign must not pay the ~1M-row parquet + npz load just to
+        # skip four completed units.
+        loaded = None
+
+        def inputs():
+            nonlocal loaded
+            if loaded is None:
+                loaded = (self.frame_relations(), self.visibility())
+            return loaded
+
         out = {}
         task = "visual_correspondence_coor_2_coor"
         out["coor_2_coor"] = self._unit(
             f"engine.{task}", "train", {"n": desired_count, "cfg": cfg},
             lambda: VC.generate_coor_to_coor(
-                rel, self.store, vis,
+                inputs()[0], self.store, inputs()[1],
                 os.path.join(self._train_dir(task), f"train_{task}.jsonl"),
                 desired_count, cfg))
         out["coor_2_coor_eval"] = self._unit(
             f"engine.{task}", "eval", {"n": eval_count, "cfg": cfg},
             lambda: VC.generate_coor_to_coor(
-                rel, self.store, vis,
+                inputs()[0], self.store, inputs()[1],
                 os.path.join(self._eval_dir(task), f"val_{task}.jsonl"),
                 eval_count, cfg, eval_mode=True))
         task2 = "visual_correspondence_dot_2_multichoice"
         out["dot_2_multichoice"] = self._unit(
             f"engine.{task2}", "train", {"n": dot_count, "cfg": cfg},
             lambda: VC.generate_dot_to_multichoice_to_jsonl(
-                rel, self.store, vis,
+                inputs()[0], self.store, inputs()[1],
                 os.path.join(self._train_dir(task2), f"train_{task2}.jsonl"),
                 dot_count,
                 os.path.join(self._train_dir(task2), "images"),
@@ -351,7 +387,7 @@ class SpatialEnginePipeline:
         out["dot_2_multichoice_eval"] = self._unit(
             f"engine.{task2}", "eval", {"n": dot_eval_count, "cfg": cfg},
             lambda: VC.generate_dot_to_multichoice_to_jsonl(
-                rel, self.store, vis,
+                inputs()[0], self.store, inputs()[1],
                 os.path.join(self._eval_dir(task2), f"val_{task2}.jsonl"),
                 dot_eval_count,
                 os.path.join(self._eval_dir(task2), "images"),
@@ -384,6 +420,7 @@ class SpatialEnginePipeline:
         single_object_movement_engine_dot.py:676-686)."""
         from .engines import object_movement as OM
 
+        inputs = _records_fingerprint(scene_records)
         out = {}
         for qtype, dot in (("tapvid3d_total_distance", False),
                            ("tapvid3d_displacement_vector", True)):
@@ -394,7 +431,8 @@ class SpatialEnginePipeline:
             img_dir = (os.path.join(self._train_dir(engine), "images")
                        if dot else None)
             out[f"{tag}_train"] = self._unit(
-                f"engine.{engine}", "train", {"cfg": cfg},
+                f"engine.{engine}", "train",
+                {"cfg": cfg, "inputs": inputs},
                 lambda engine=engine, cfg=cfg, img_dir=img_dir:
                 OM.generate_to_jsonl(
                     scene_records,
@@ -405,7 +443,7 @@ class SpatialEnginePipeline:
                            if dot else None)
             out[f"{tag}_eval"] = self._unit(
                 f"engine.{engine}", "eval",
-                {"cfg": cfg, "max": max_eval_samples},
+                {"cfg": cfg, "max": max_eval_samples, "inputs": inputs},
                 lambda engine=engine, cfg=cfg, img_dir_val=img_dir_val:
                 OM.generate_to_jsonl(
                     scene_records,

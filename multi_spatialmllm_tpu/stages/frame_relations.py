@@ -112,6 +112,22 @@ def compute_relations_multichip(
     return out
 
 
+def _dispatch_scene_relations(scene: Scene, vis: np.ndarray, dtype):
+    """Dispatch one scene's relation program; returns the device dict.
+
+    Shared by `compute_scene_relations` and `project_scenes_pipelined` so
+    the two paths cannot drift (padding, bit-packing, program cache key).
+    Caller is responsible for `ensure_x64(dtype)`.
+    """
+    ext, _, ivalid = scene.padded_images(dtype)
+    i_pad = ext.shape[0]
+    vis_pad = np.zeros((i_pad, vis.shape[1]), dtype=bool)
+    vis_pad[: vis.shape[0]] = vis
+    fn = _relations_fn(i_pad, vis.shape[1], np.dtype(dtype).name)
+    return fn(jnp.asarray(np.packbits(vis_pad, axis=1)), jnp.asarray(ext),
+              jnp.asarray(ivalid))
+
+
 def compute_scene_relations(
     scene: Scene,
     vis: np.ndarray | None = None,
@@ -123,13 +139,7 @@ def compute_scene_relations(
     ensure_x64(dtype)
     if vis is None:
         vis = compute_scene_visibility(scene, dtype)
-    ext, _, ivalid = scene.padded_images(dtype)
-    i_pad = ext.shape[0]
-    vis_pad = np.zeros((i_pad, vis.shape[1]), dtype=bool)
-    vis_pad[: vis.shape[0]] = vis
-    fn = _relations_fn(i_pad, vis.shape[1], np.dtype(dtype).name)
-    rel = fn(jnp.asarray(np.packbits(vis_pad, axis=1)), jnp.asarray(ext),
-             jnp.asarray(ivalid))
+    rel = _dispatch_scene_relations(scene, vis, dtype)
     n = scene.num_images
     return {k: np.asarray(v)[:n, :n] for k, v in rel.items()}
 
@@ -163,19 +173,14 @@ def project_scenes_pipelined(
     times the sequential loop; production multi-core hosts should use
     this path.
     """
-    from .visibility import _hybrid_dispatch, _hybrid_finalize
+    from .visibility import _hybrid_dispatch, _hybrid_finalize, ensure_x64
 
+    ensure_x64(dtype)
     hyb_pending = None   # (scene, handles, fn_chunk)
     rel_pending = None   # (scene, vis, device rel dict)
 
     def rel_dispatch(scene, vis):
-        ext, _, ivalid = scene.padded_images(dtype)
-        i_pad = ext.shape[0]
-        vis_pad = np.zeros((i_pad, vis.shape[1]), dtype=bool)
-        vis_pad[: vis.shape[0]] = vis
-        fn = _relations_fn(i_pad, vis.shape[1], np.dtype(dtype).name)
-        return fn(jnp.asarray(np.packbits(vis_pad, axis=1)),
-                  jnp.asarray(ext), jnp.asarray(ivalid))
+        return _dispatch_scene_relations(scene, vis, dtype)
 
     def rel_fetch(scene, rel):
         n = scene.num_images

@@ -32,19 +32,27 @@ from .visibility import compute_scene_visibility
 NONINFORMATIVE_DESC = {"wall", "object", "floor", "ceiling", "window"}
 
 
+def _count_kernel(packed, instance_ids, n: int, num_segments: int):
+    """counts[img, obj] for obj ids 0..num_segments-1 (0 = unannotated).
+
+    `packed` is the host-packbits'd `[I, ceil(n/8)]` visibility matrix
+    (big-endian bit order within each byte, numpy.packbits default):
+    unpacking on device keeps the host->device transfer 8x smaller — the
+    transfer, not the matmul, dominates this stage's wall clock. The ONE
+    definition of the bit order / one_hot dtype, traced by both the
+    single-device and the shard_map multichip programs so they cannot
+    diverge."""
+    bits = (packed[:, :, None] >> jnp.arange(7, -1, -1, dtype=packed.dtype)) & 1
+    vis = bits.reshape(packed.shape[0], -1)[:, :n]
+    onehot = jax.nn.one_hot(instance_ids, num_segments, dtype=jnp.float32)
+    return vis.astype(jnp.float32) @ onehot
+
+
 @functools.lru_cache(maxsize=32)
 def _counts_fn(i: int, n: int, num_segments: int):
     @jax.jit
     def fn(packed, instance_ids):
-        # counts[img, obj] for obj ids 0..num_segments-1 (0 = unannotated).
-        # `packed` is the host-packbits'd visibility matrix (big-endian
-        # bit order within each byte, numpy.packbits default): unpacking
-        # on device keeps the host->device transfer 8x smaller — the
-        # transfer, not the matmul, dominates this stage's wall clock.
-        bits = (packed[:, :, None] >> jnp.arange(7, -1, -1, dtype=packed.dtype)) & 1
-        vis = bits.reshape(packed.shape[0], -1)[:, :n]
-        onehot = jax.nn.one_hot(instance_ids, num_segments, dtype=jnp.float32)
-        return vis.astype(jnp.float32) @ onehot
+        return _count_kernel(packed, instance_ids, n, num_segments)
 
     return fn
 
@@ -117,11 +125,7 @@ def _counts_multichip_fn(mesh, n_pad: int, seg_pad: int):
 
     def local(packed, instance_ids):
         def one(pk, ii):
-            bits = (pk[:, :, None]
-                    >> jnp.arange(7, -1, -1, dtype=pk.dtype)) & 1
-            vis = bits.reshape(pk.shape[0], -1)[:, :n_pad]
-            onehot = jax.nn.one_hot(ii, seg_pad, dtype=jnp.float32)
-            return vis.astype(jnp.float32) @ onehot
+            return _count_kernel(pk, ii, n_pad, seg_pad)
 
         return jax.vmap(one)(packed, instance_ids)
 

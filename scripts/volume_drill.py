@@ -74,9 +74,27 @@ def _counts(scale: str) -> dict:
     }
 
 
+def _check_marker(root: str, scale: str) -> "str | None":
+    """The store marker records the scale it was built at; a --root
+    reused at a DIFFERENT scale must error, not silently reuse the old
+    store + manifest (r5 review: smoke-then-full on the default root
+    produced a 'full' report over the 2-scene smoke store)."""
+    marker = os.path.join(root, "scenes", ".complete")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        built = f.read().strip()
+    if built != scale:
+        raise SystemExit(
+            f"{root} was built at scale={built or '<unknown>'} but this "
+            f"run asks for scale={scale}; pass a fresh --root (the store "
+            f"AND out/manifest.jsonl there belong to the old scale)")
+    return built
+
+
 def build_inputs(root: str, scale: str) -> None:
     """Synthetic store at ScanNet-export geometry (480x640 frames,
-    120x160 depth) + TAPVid sequences; idempotent."""
+    120x160 depth) + TAPVid sequences; idempotent per scale."""
     from multi_spatialmllm_tpu.core.scene import SceneStore
     from multi_spatialmllm_tpu.core.synthetic import (
         make_scene,
@@ -85,8 +103,7 @@ def build_inputs(root: str, scale: str) -> None:
 
     c = _counts(scale)
     scene_dir = os.path.join(root, "scenes")
-    marker = os.path.join(scene_dir, ".complete")
-    if not os.path.exists(marker):
+    if _check_marker(root, scale) is None:
         scenes = [
             make_scene(scene_id=f"vol{i:04d}_00", seed=7_000 + i,
                        n_images=296 if scale == "full" else 10,
@@ -96,8 +113,8 @@ def build_inputs(root: str, scale: str) -> None:
             for i in range(c["n_scenes"])
         ]
         SceneStore.write(scenes, scene_dir)
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        with open(os.path.join(scene_dir, ".complete"), "w") as f:
+            f.write(scale + "\n")
     del make_tapvid_npz  # TAPVid records are rebuilt in-memory (seeded)
 
 
@@ -181,14 +198,19 @@ def _manifest_units(root: str) -> list[str]:
         with open(path) as f:
             for line in f:
                 line = line.strip()
-                if line:
-                    rec = json.loads(line)
-                    units.append(f'{rec["stage"]}:{rec["unit"]}')
+                if not line:
+                    continue
+                try:  # the campaign may be mid-append: a partially
+                    rec = json.loads(line)  # flushed tail line is never
+                except json.JSONDecodeError:  # a completed unit
+                    continue
+                units.append(f'{rec["stage"]}:{rec["unit"]}')
     return units
 
 
 def drive(root: str, scale: str, kill_after: float) -> None:
     os.makedirs(root, exist_ok=True)
+    _check_marker(root, scale)  # fail fast on a scale-mismatched root
     cmd = [sys.executable, os.path.abspath(__file__), "--mode", "campaign",
            "--root", root, "--scale", scale]
     log1 = os.path.join(root, "phase1.log")
@@ -196,22 +218,29 @@ def drive(root: str, scale: str, kill_after: float) -> None:
 
     # Phase 1: run + SIGKILL mid-campaign (no cleanup chance — the
     # resume path must cope with whatever was on disk at that instant).
-    # The kill fires as soon as `kill_units` manifest units are complete
-    # (so it reliably lands MID-campaign whatever the wall time);
+    # The kill fires as soon as `kill_units` NEW manifest units complete
+    # (so it reliably lands MID-campaign whatever the wall time, and a
+    # pre-populated manifest cannot trigger it instantly);
     # `kill_after` is the fallback bound.
     kill_units = 8
+    base_units = len(_manifest_units(root))
     t0 = time.time()
     with open(log1, "w") as lf:
         proc = subprocess.Popen(cmd, stdout=lf, stderr=subprocess.STDOUT)
         killed = False
-        while proc.poll() is None:
-            done = len(_manifest_units(root))
-            if done >= kill_units or time.time() - t0 >= kill_after:
-                proc.send_signal(signal.SIGKILL)
+        try:
+            while proc.poll() is None:
+                done = len(_manifest_units(root)) - base_units
+                if done >= kill_units or time.time() - t0 >= kill_after:
+                    proc.send_signal(signal.SIGKILL)
+                    proc.wait()
+                    killed = True
+                    break
+                time.sleep(2.0)
+        finally:
+            if proc.poll() is None:  # poller crashed: never orphan the
+                proc.kill()          # full-scale campaign subprocess
                 proc.wait()
-                killed = True
-                break
-            time.sleep(2.0)
     t_phase1 = time.time() - t0
     units_at_kill = _manifest_units(root)
     outputs_at_kill = _walk_outputs(root)

@@ -552,6 +552,43 @@ class TestPipelinedSplitProjection:
             got1[0][1], compute_scene_visibility_hybrid(scenes[0]))
         assert list(project_scenes_pipelined([])) == []
 
+    def test_pipelined_f64_enables_x64_fresh_process(self):
+        """Regression (r5 review): project_scenes_pipelined must call
+        ensure_x64 itself — in a fresh process (jax_enable_x64 off, the
+        default) dtype=float64 silently computed float32 relations,
+        violating the 'IDENTICAL to the unpipelined stages' contract.
+        Runs in a subprocess because any earlier ensure_x64 in this
+        suite would mask the bug."""
+        import os
+        import subprocess
+        import sys
+        import textwrap
+
+        prog = textwrap.dedent("""
+            import numpy as np
+            from multi_spatialmllm_tpu.core.synthetic import make_scene
+            from multi_spatialmllm_tpu.stages.frame_relations import (
+                compute_scene_relations, project_scenes_pipelined)
+            s = make_scene(scene_id="f64p0000_00", seed=9, n_images=6,
+                           n_background=800, n_objects=2)
+            ((_, vis, rel),) = project_scenes_pipelined(
+                [s], dtype=np.float64)
+            assert rel["distance"].dtype == np.float64, rel[
+                "distance"].dtype
+            seq = compute_scene_relations(s, vis=vis, dtype=np.float64)
+            for k, v in seq.items():
+                np.testing.assert_array_equal(rel[k], v)
+            print("F64-PIPE-OK")
+        """)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   JAX_PLATFORM_NAME="cpu")
+        repo = os.path.join(os.path.dirname(__file__), "..")
+        r = subprocess.run([sys.executable, "-c", prog],
+                           capture_output=True, text=True, env=env,
+                           cwd=repo)
+        assert r.returncode == 0 and "F64-PIPE-OK" in r.stdout, (
+            r.stderr[-800:])
+
 
 class TestBatchedRelations:
     def test_batched_matches_per_scene(self):
