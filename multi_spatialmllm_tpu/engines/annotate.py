@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
+import weakref
 from typing import Protocol
 
 import numpy as np
@@ -33,12 +34,16 @@ def generate_distinct_colors(n: int, rng: np.random.Generator,
     colors: list[tuple] = []
     retries = 0
     while len(colors) < n and retries < max_retries:
-        color = tuple(int(rng.integers(0, 256)) for _ in range(3))
-        if all(
-            sum(abs(c1 - c2) for c1, c2 in zip(color, existing)) > 300
-            for existing in colors
-        ):
-            colors.append(color)
+        # three separate scalar draws — the exact stream order the dict
+        # and fast emission paths both rely on for byte parity
+        r = int(rng.integers(0, 256))
+        g = int(rng.integers(0, 256))
+        b = int(rng.integers(0, 256))
+        for e in colors:
+            if abs(r - e[0]) + abs(g - e[1]) + abs(b - e[2]) <= 300:
+                break
+        else:
+            colors.append((r, g, b))
         retries += 1
     if len(colors) < n:
         pick = rng.choice(len(PREDEFINED_COLORS), size=n - len(colors),
@@ -226,6 +231,37 @@ class AnnotatedJpegWriter:
         self.out_dir = image_output_dir
         enabled = jpeg_available() if use_native is None else use_native
         self._splice = self._shared() if enabled else None
+        # per-writer fast-path caches (annotation is per-sample host work;
+        # profiling shows ~25% of a steady pass is fs metadata + repeated
+        # cache-key CRCs): created output dirs, and the prepared-frame
+        # cache key memoized per live base array (identity-checked via
+        # weakref, so provider evictions/reloads can never alias).
+        self._dirs: set[str] = set()
+        self._keys: dict[int, tuple] = {}
+
+    def _write_bytes(self, rel_path: str, buf) -> None:
+        full = os.path.join(self.out_dir, rel_path)
+        d = os.path.dirname(full)
+        if d not in self._dirs:
+            mkdir_or_exist(d)
+            self._dirs.add(d)
+        fd = os.open(full, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
+        try:
+            view = memoryview(buf)
+            while view:
+                view = view[os.write(fd, view):]
+        finally:
+            os.close(fd)
+
+    def _key_for(self, scene_id: str, image_id: str, base) -> tuple:
+        ent = self._keys.get(id(base))
+        if ent is not None and ent[0]() is base:
+            return ent[1]
+        key = self._cache_key(scene_id, image_id, base)
+        if len(self._keys) > 512:  # id() reuse after gc: bound + refresh
+            self._keys.clear()
+        self._keys[id(base)] = (weakref.ref(base), key)
+        return key
 
     @staticmethod
     def _text_extent(y: int, text_offset=(15, 15), font_scale=1.0,
@@ -285,13 +321,10 @@ class AnnotatedJpegWriter:
                     img[lo:hi] = base[lo:hi]
             draw(img, 0)
             buf = self._splice.encode_cols(
-                self._cache_key(scene_id, image_id, base), base, img,
+                self._key_for(scene_id, image_id, base), base, img,
                 spans)
             if buf is not None:
-                full = os.path.join(self.out_dir, rel_path)
-                mkdir_or_exist(os.path.dirname(full))
-                with open(full, "wb") as f:
-                    f.write(buf)
+                self._write_bytes(rel_path, buf)
                 return
             # native failure (evicted handle / short cap): the scratch's
             # clean rows are STALE — rebuild a fully-valid frame
@@ -322,13 +355,10 @@ class AnnotatedJpegWriter:
                 band = base[lo:hi].copy()
                 draw(band, lo)
                 buf = self._splice.encode_cols_band(
-                    self._cache_key(scene_id, image_id, base), base, band,
+                    self._key_for(scene_id, image_id, base), base, band,
                     lo, spans)
                 if buf is not None:
-                    full = os.path.join(self.out_dir, rel_path)
-                    mkdir_or_exist(os.path.dirname(full))
-                    with open(full, "wb") as f:
-                        f.write(buf)
+                    self._write_bytes(rel_path, buf)
                     return
         img = base.copy()
         draw(img, 0)
@@ -363,15 +393,12 @@ class AnnotatedJpegWriter:
         if self._splice is None:
             save_annotated(img, self.out_dir, rel_path)
             return
-        buf = self._splice.encode(self._cache_key(scene_id, image_id, base),
+        buf = self._splice.encode(self._key_for(scene_id, image_id, base),
                                   base, img, y0, y1)
         if buf is None:  # output cap short / lib off: cv2 fallback
             save_annotated(img, self.out_dir, rel_path)
             return
-        full = os.path.join(self.out_dir, rel_path)
-        mkdir_or_exist(os.path.dirname(full))
-        with open(full, "wb") as f:
-            f.write(buf)
+        self._write_bytes(rel_path, buf)
 
     def close(self) -> None:
         # the prepared-frame cache is process-wide (see _shared) — it

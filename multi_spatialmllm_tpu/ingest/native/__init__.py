@@ -244,8 +244,8 @@ class JpegSpliceCache:
         """(x0s, x1s) int32 [mcu_h] from (y0, y1, x0, x1) pixel spans —
         per MCU row, the union x-range of the spans covering it."""
         mcu_h = (h + 15) // 16
-        x0s = np.full(mcu_h, -1, np.int32)
-        x1s = np.full(mcu_h, -1, np.int32)
+        x0s = np.empty(mcu_h, np.int32); x0s.fill(-1)
+        x1s = np.empty(mcu_h, np.int32); x1s.fill(-1)
         for y0, y1, x0, x1 in spans:
             r0 = max(0, int(y0)) // 16
             r1 = min((int(y1) + 15) // 16, mcu_h)
