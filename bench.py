@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -459,7 +460,8 @@ def _run(out: dict) -> None:
         for s in scenes:
             vindex.add_scene(s.scene_id, s.image_ids, vis[s.scene_id])
 
-        def measured(fn, passes: int = 3):
+        def measured(fn, passes: int = 3, indexed: bool = False,
+                     cleanup=None):
             """Steady-state per-pass rates: host caches warm on the
             first (untimed-elsewhere) warmup; the dispersion block makes
             tunnel/disk jitter visible instead of hiding behind a
@@ -470,15 +472,22 @@ def _run(out: dict) -> None:
             throttles the annotated engines' file writes 2-3x — that
             measures accumulated writeback debt, not the engine (the
             per-pass write cost itself stays inside the timing).
-            Returns (n, [rates])."""
+            `indexed` passes the pass number to fn so annotated engines
+            can write each pass to a FRESH output dir — a real campaign
+            creates every file once, and O_TRUNC-overwriting the prior
+            pass's files costs ~4x a fresh create on this fs (bench
+            residue, not engine work). `cleanup(i)` reclaims pass i's
+            tree untimed. Returns (n, [rates])."""
             rates = []
-            for _ in range(passes):
+            for i in range(passes):
+                if cleanup is not None and i > 0:
+                    cleanup(i - 1)
                 try:
                     os.sync()
                 except OSError:
                     pass
                 t0 = time.perf_counter()
-                n = fn()
+                n = fn(i) if indexed else fn()
                 rates.append(n / (time.perf_counter() - t0))
             return n, rates
 
@@ -529,12 +538,14 @@ def _run(out: dict) -> None:
                 image_provider=provider,
                 image_output_dir=f"{tmp}/dd_images_w")
             n, rates = measured(
-                lambda: DP.generate_depth_estimation_to_jsonl(
-                    ann_store, ann_index, f"{tmp}/dd.jsonl", "dot",
+                lambda i: DP.generate_depth_estimation_to_jsonl(
+                    ann_store, ann_index, f"{tmp}/dd{i}.jsonl", "dot",
                     DP.DepthEngineConfig(max_n_points_per_image=4),
                     image_provider=provider,
-                    image_output_dir=f"{tmp}/dd_images").n_train,
-                passes=5)
+                    image_output_dir=f"{tmp}/dd_images{i}").n_train,
+                passes=5, indexed=True,
+                cleanup=lambda i: shutil.rmtree(f"{tmp}/dd_images{i}",
+                                                ignore_errors=True))
             log(f"depth estimation dot (annotated 480x640): {n} samples, "
                 f"rates {[round(r) for r in rates]}/s")
             stages["depth_estimation_dot"] = rate_entry(
@@ -552,12 +563,14 @@ def _run(out: dict) -> None:
                 image_provider=provider,
                 image_output_dir=f"{tmp}/dc_images_w")
             n, rates = measured(
-                lambda: DP.generate_depth_comparison_to_jsonl(
-                    ann_store, ann_index, f"{tmp}/dc.jsonl", "dot",
+                lambda i: DP.generate_depth_comparison_to_jsonl(
+                    ann_store, ann_index, f"{tmp}/dc{i}.jsonl", "dot",
                     DP.DepthEngineConfig(max_n_points_per_image=4),
                     image_provider=provider,
-                    image_output_dir=f"{tmp}/dc_images").n_train,
-                passes=5)
+                    image_output_dir=f"{tmp}/dc_images{i}").n_train,
+                passes=5, indexed=True,
+                cleanup=lambda i: shutil.rmtree(f"{tmp}/dc_images{i}",
+                                                ignore_errors=True))
             log(f"depth comparison dot (annotated 480x640): {n} samples, "
                 f"rates {[round(r) for r in rates]}/s")
             stages["depth_comparison_dot"] = rate_entry(rates)
@@ -611,11 +624,14 @@ def _run(out: dict) -> None:
                 sc(400, 60), f"{tmp}/vcd_imgs_w", image_provider=provider,
                 config=vcd_cfg)
             n, rates = measured(
-                lambda: VC.generate_dot_to_multichoice_to_jsonl(
-                    ann_rel, ann_store, ann_index, f"{tmp}/vcd.jsonl",
-                    sc(400, 60), f"{tmp}/vcd_imgs",
+                lambda i: VC.generate_dot_to_multichoice_to_jsonl(
+                    ann_rel, ann_store, ann_index, f"{tmp}/vcd{i}.jsonl",
+                    sc(400, 60), f"{tmp}/vcd_imgs{i}",
                     image_provider=provider,
-                    config=vcd_cfg).n_train, passes=sc(5, 2))
+                    config=vcd_cfg).n_train, passes=sc(5, 2),
+                indexed=True,
+                cleanup=lambda i: shutil.rmtree(f"{tmp}/vcd_imgs{i}",
+                                                ignore_errors=True))
             log(f"correspondence dot->multichoice (annotated): {n} "
                 f"samples, rates {[round(r) for r in rates]}/s")
             stages["correspondence_dot_multichoice"] = rate_entry(
@@ -652,9 +668,12 @@ def _run(out: dict) -> None:
                 npoints_per_group=15, npairs_per_bin=2, dot_variant=True)
             OM.generate_to_jsonl(records, f"{tmp}/omd_warm.jsonl", omd_cfg,
                                  img_output_dir=f"{tmp}/omd_imgs_w")
-            n, rates = measured(lambda: OM.generate_to_jsonl(
-                records, f"{tmp}/omd.jsonl", omd_cfg,
-                img_output_dir=f"{tmp}/omd_imgs").n_train, passes=5)
+            n, rates = measured(lambda i: OM.generate_to_jsonl(
+                records, f"{tmp}/omd{i}.jsonl", omd_cfg,
+                img_output_dir=f"{tmp}/omd_imgs{i}").n_train,
+                passes=5, indexed=True,
+                cleanup=lambda i: shutil.rmtree(f"{tmp}/omd_imgs{i}",
+                                                ignore_errors=True))
             log(f"object movement dot (annotated): {n} samples, rates "
                 f"{[round(r) for r in rates]}/s")
             stages["object_movement_dot"] = rate_entry(rates)

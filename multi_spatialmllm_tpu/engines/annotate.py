@@ -63,10 +63,69 @@ def _letter_metrics(font_scale: float, thickness: int):
     return tw, th, baseline
 
 
-def draw_dot(image: np.ndarray, xy: tuple[int, int], color, radius: int = 10):
+# -- glyph-mask stamping ----------------------------------------------------
+# cv2 glyph rasterization is translation-invariant (integer geometry,
+# fixed-point stroke coverage), so a glyph drawn ONCE by cv2 onto a
+# scratch canvas characterizes every later draw of the same glyph:
+#   - cv2.circle(..., -1) fills pure color -> a boolean "touched" mask,
+#     stamp = masked assignment, cropped to the image like cv2's clipping.
+#   - cv2.putText edge pixels are coverage-blended; rendering color=255 on
+#     a zero canvas recovers the per-pixel coverage a (0..255) exactly, and
+#     OpenCV's blend is d = (base*(255-a) + color*a + 127) // 255 per
+#     channel (saturated pixels a==255 are plain fills) — verified
+#     bit-exact against cv2.putText over 4,800 randomized renders.
+# The dot engines draw the same few glyphs (radius-10 circle, letters)
+# thousands of times per second; the numpy stamp replaces a per-draw cv2
+# dispatch. (tests/test_jpeg_native.py asserts pixel equality vs cv2.)
+
+@functools.lru_cache(maxsize=32)
+def _circle_mask(radius: int) -> tuple[np.ndarray, int]:
     import cv2
 
-    cv2.circle(image, (int(xy[0]), int(xy[1])), radius, color, -1)
+    pad = radius + 2
+    canvas = np.zeros((2 * pad + 1, 2 * pad + 1), np.uint8)
+    cv2.circle(canvas, (pad, pad), radius, 255, -1)
+    assert not (canvas[0].any() or canvas[-1].any()
+                or canvas[:, 0].any() or canvas[:, -1].any())
+    return canvas.astype(bool), pad
+
+
+@functools.lru_cache(maxsize=64)
+def _letter_glyph(letter: str, font_scale: float, thickness: int):
+    """(full_mask, partial_mask, coverage, org_x, org_y): the pixels
+    cv2.putText fills solid, the coverage-blended edge pixels with their
+    0..255 coverage, and the putText org's position inside the canvas
+    (padded so the glyph incl. stroke overdraw never clips)."""
+    import cv2
+
+    (tw, th), baseline = cv2.getTextSize(
+        letter, cv2.FONT_HERSHEY_SIMPLEX, font_scale, thickness)
+    pad = thickness + 4
+    canvas = np.zeros((th + baseline + 2 * pad, tw + 2 * pad), np.uint8)
+    cv2.putText(canvas, letter, (pad, pad + th), cv2.FONT_HERSHEY_SIMPLEX,
+                font_scale, 255, thickness)
+    assert not (canvas[0].any() or canvas[-1].any()
+                or canvas[:, 0].any() or canvas[:, -1].any())
+    cov = canvas.astype(np.int32)
+    return (cov == 255, (cov > 0) & (cov < 255), cov, pad, pad + th)
+
+
+def _stamp(image: np.ndarray, x0: int, y0: int, mask: np.ndarray,
+           color) -> None:
+    h, w = image.shape[:2]
+    mh, mw = mask.shape
+    sy0, sx0 = max(0, -y0), max(0, -x0)
+    sy1, sx1 = min(mh, h - y0), min(mw, w - x0)
+    if sy1 <= sy0 or sx1 <= sx0:
+        return
+    sub = mask if (sy0 == 0 and sx0 == 0 and sy1 == mh and sx1 == mw) \
+        else mask[sy0:sy1, sx0:sx1]
+    image[y0 + sy0:y0 + sy1, x0 + sx0:x0 + sx1][sub] = color
+
+
+def draw_dot(image: np.ndarray, xy: tuple[int, int], color, radius: int = 10):
+    mask, pad = _circle_mask(radius)
+    _stamp(image, int(xy[0]) - pad, int(xy[1]) - pad, mask, color)
 
 
 def draw_lettered_dot(
@@ -79,12 +138,26 @@ def draw_lettered_dot(
     font_scale: float = 1.0,
     thickness: int = 2,
 ):
-    import cv2
-
     x, y = int(xy[0]), int(xy[1])
-    cv2.circle(image, (x, y), radius, color, -1)
-    cv2.putText(image, letter, (x + text_offset[0], y + text_offset[1]),
-                cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, thickness)
+    draw_dot(image, (x, y), color, radius)
+    full, part, cov, px, py = _letter_glyph(letter, font_scale, thickness)
+    x0, y0 = x + text_offset[0] - px, y + text_offset[1] - py
+    h, w = image.shape[:2]
+    mh, mw = full.shape
+    sy0, sx0 = max(0, -y0), max(0, -x0)
+    sy1, sx1 = min(mh, h - y0), min(mw, w - x0)
+    if sy1 <= sy0 or sx1 <= sx0:
+        return
+    reg = image[y0 + sy0:y0 + sy1, x0 + sx0:x0 + sx1]
+    fsub = full[sy0:sy1, sx0:sx1]
+    reg[fsub] = color
+    psub = part[sy0:sy1, sx0:sx1]
+    if psub.any():
+        a = cov[sy0:sy1, sx0:sx1][psub][:, None]
+        base_px = reg[psub].astype(np.int32)
+        col = np.asarray(color, np.int32)
+        reg[psub] = ((base_px * (255 - a) + col * a + 127) // 255
+                     ).astype(np.uint8)
 
 
 class ImageProvider(Protocol):

@@ -68,6 +68,14 @@ def _load():
         lib._has_jpeg = True
     except AttributeError:  # stale .so from before the jpeg engine
         lib._has_jpeg = False
+    try:  # multi-interval span splice (added after _cols; optional)
+        lib.msm_jpeg_encode_spliced_spans.restype = ctypes.c_long
+        lib.msm_jpeg_encode_spliced_spans.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_long]
+        lib._has_jpeg_spans = lib._has_jpeg
+    except AttributeError:
+        lib._has_jpeg_spans = False
     _lib = lib
     return lib
 
@@ -260,6 +268,13 @@ class JpegSpliceCache:
                     x1s[r] = max(x1s[r], int(x1))
         return x0s, x1s
 
+    @staticmethod
+    def _span_array(spans) -> np.ndarray:
+        """Contiguous int32 [n, 4] of (y0, y1, x0, x1) pixel rects for
+        the native span-splice entry point."""
+        sp = np.array(list(spans), np.int32)
+        return np.ascontiguousarray(sp.reshape(-1, 4))
+
     def encode_cols(self, key, base: np.ndarray, annotated: np.ndarray,
                     spans) -> bytes | None:
         """Bit-granular column splice: `spans` is a list of
@@ -277,12 +292,20 @@ class JpegSpliceCache:
         hdl = self._handle_for(key, base)
         img = np.ascontiguousarray(annotated)
         h, w = base.shape[:2]
-        x0s, x1s = self._col_arrays(h, spans)
         cap = h * w * 4 + (1 << 16)
         out = self._out_buf(cap)
-        n = lib.msm_jpeg_encode_spliced_cols(
-            hdl, img.ctypes.data, x0s.ctypes.data, x1s.ctypes.data,
-            out.ctypes.data, out.size)
+        if lib._has_jpeg_spans:
+            # per-row MCU interval LISTS (multi-dot rows re-encode each
+            # dot's MCUs, not the union span between them)
+            sp = self._span_array(spans)
+            n = lib.msm_jpeg_encode_spliced_spans(
+                hdl, img.ctypes.data, sp.ctypes.data, sp.shape[0],
+                out.ctypes.data, out.size)
+        else:
+            x0s, x1s = self._col_arrays(h, spans)
+            n = lib.msm_jpeg_encode_spliced_cols(
+                hdl, img.ctypes.data, x0s.ctypes.data, x1s.ctypes.data,
+                out.ctypes.data, out.size)
         if n <= 0:
             return None
         return out[:n].tobytes()
@@ -298,18 +321,31 @@ class JpegSpliceCache:
         hdl = self._handle_for(key, base)
         band = np.ascontiguousarray(band)
         h, w = base.shape[:2]
-        x0s, x1s = self._col_arrays(h, spans)
-        rows = np.where(x0s >= 0)[0]
-        if rows.size:
-            lo, hi = int(rows[0]) * 16, min((int(rows[-1]) + 1) * 16, h)
-            if not (band_y0 <= lo and band_y0 + band.shape[0] >= hi):
-                raise ValueError((band_y0, band.shape, lo, hi))
+        mcu_h = (h + 15) // 16
+        lo = hi = None
+        for y0, y1, _, _ in spans:
+            r0 = max(0, int(y0)) // 16
+            r1 = min((int(y1) + 15) // 16, mcu_h)
+            if r1 > r0:
+                lo = r0 if lo is None else min(lo, r0)
+                hi = r1 if hi is None else max(hi, r1)
+        if lo is not None:
+            plo, phi = lo * 16, min(hi * 16, h)
+            if not (band_y0 <= plo and band_y0 + band.shape[0] >= phi):
+                raise ValueError((band_y0, band.shape, plo, phi))
         virtual = band.ctypes.data - band_y0 * w * 3
         cap = h * w * 4 + (1 << 16)
         out = self._out_buf(cap)
-        n = lib.msm_jpeg_encode_spliced_cols(
-            hdl, virtual, x0s.ctypes.data, x1s.ctypes.data,
-            out.ctypes.data, out.size)
+        if lib._has_jpeg_spans:
+            sp = self._span_array(spans)
+            n = lib.msm_jpeg_encode_spliced_spans(
+                hdl, virtual, sp.ctypes.data, sp.shape[0],
+                out.ctypes.data, out.size)
+        else:
+            x0s, x1s = self._col_arrays(h, spans)
+            n = lib.msm_jpeg_encode_spliced_cols(
+                hdl, virtual, x0s.ctypes.data, x1s.ctypes.data,
+                out.ctypes.data, out.size)
         if n <= 0:
             return None
         return out[:n].tobytes()

@@ -18,10 +18,13 @@
 //
 // Plain C, no dependencies; exported via ctypes (ingest/native/__init__).
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
+#include <utility>
 #include <vector>
 #include <mutex>
 #include <unordered_map>
@@ -155,6 +158,13 @@ struct RawBits {
     acc = (acc << n) | (uint64_t)(bits & (n == 32 ? 0xFFFFFFFFu
                                                   : ((1u << n) - 1)));
     nacc += n;
+    if (nacc >= 32) {  // bulk: 4 bytes in one append (hot in bit-copies)
+      uint32_t w = (uint32_t)(acc >> (nacc - 32));
+      uint8_t be[4] = {(uint8_t)(w >> 24), (uint8_t)(w >> 16),
+                       (uint8_t)(w >> 8), (uint8_t)w};
+      bytes.insert(bytes.end(), be, be + 4);
+      nacc -= 32;
+    }
     while (nacc >= 8) {
       bytes.push_back((uint8_t)(acc >> (nacc - 8)));
       nacc -= 8;
@@ -179,22 +189,45 @@ struct RawBits {
         ? 0xFFFFFFFFull : ((1ull << n) - 1)));
   }
 
-  // append source bits [lo, hi) — word-wise
+  // append source bits [lo, hi) — word-wise; the splice bit-copies run
+  // through here, so the 32-bit reads take a direct 5-byte load instead
+  // of read()'s per-byte shift loop whenever in bounds
   inline void append_range(const RawBits &src, uint64_t lo, uint64_t hi) {
+    const uint8_t *sb = src.bytes.data();
+    const size_t sbn = src.bytes.size();
     while (lo + 32 <= hi) {
-      put(src.read(lo, 32), 32);
+      uint64_t b = lo >> 3;
+      int off = (int)(lo & 7);
+      if (b + 5 <= sbn) {
+        uint64_t w = ((uint64_t)sb[b] << 32) | ((uint64_t)sb[b + 1] << 24) |
+                     ((uint64_t)sb[b + 2] << 16) |
+                     ((uint64_t)sb[b + 3] << 8) | (uint64_t)sb[b + 4];
+        put((uint32_t)(w >> (8 - off)), 32);
+      } else {
+        put(src.read(lo, 32), 32);
+      }
       lo += 32;
     }
     if (lo < hi) put(src.read(lo, (int)(hi - lo)), (int)(hi - lo));
   }
 
   // byte-stuffed copy (0xFF -> 0xFF 0x00) appended to `out`; stream must
-  // be byte-flushed
+  // be byte-flushed. Bulk-copies the runs between 0xFF bytes (memchr)
+  // instead of branching per byte.
   void stuff_into(std::vector<uint8_t> *out) const {
     out->reserve(out->size() + bytes.size() + 16);
-    for (uint8_t b : bytes) {
-      out->push_back(b);
-      if (b == 0xFF) out->push_back(0x00);
+    const uint8_t *p = bytes.data();
+    const uint8_t *end = p + bytes.size();
+    while (p < end) {
+      const uint8_t *ff =
+          (const uint8_t *)std::memchr(p, 0xFF, (size_t)(end - p));
+      if (!ff) {
+        out->insert(out->end(), p, end);
+        break;
+      }
+      out->insert(out->end(), p, ff + 1);
+      out->push_back(0x00);
+      p = ff + 1;
     }
   }
 };
@@ -555,30 +588,51 @@ struct Cached {
   std::vector<RowCache> rows;
 };
 
-// Column splice of ONE row: re-encode MCUs [m0, m1) from `img`, recode
-// the bridge MCU m1's three chain-entry DC diffs against the fresh
-// predictors, and bit-copy everything else from the cached raw stream.
+// Column splice of ONE row: re-encode each dirty MCU interval
+// [m0, m1) of `ivs` (sorted, disjoint, separated by >= 1 clean MCU)
+// from `img`, recode the bridge MCU after each interval (its three
+// chain-entry DC diffs change because its predecessors were
+// re-encoded; every later diff is unchanged — the bridge re-syncs the
+// absolute DC chain), and bit-copy everything else from the cached raw
+// stream.
+void splice_row_cols_multi(Encoder &enc, const RowCache &rc,
+                           const uint8_t *img, int mr,
+                           const std::pair<int, int> *ivs, int nivs,
+                           std::vector<uint8_t> *stuffed_out) {
+  RawBits out;
+  out.bytes.reserve(rc.raw.bytes.size() + 256);
+  uint64_t copied = 0;  // cached-bit position copied so far
+  int32_t dc[3];
+  for (int i = 0; i < nivs; ++i) {
+    int m0 = ivs[i].first, m1 = ivs[i].second;
+    const McuMeta &first = rc.mcus[(size_t)m0];
+    out.append_range(rc.raw, copied, first.start_bit);
+    dc[0] = first.dc_y_in;
+    dc[1] = first.dc_cb_in;
+    dc[2] = first.dc_cr_in;
+    enc.encode_mcus(img, mr, m0, m1, dc, out, nullptr);
+    if (m1 < enc.mcu_w) {
+      const McuMeta &b = rc.mcus[(size_t)m1];
+      emit_dc(out, b.dc_y00 - dc[0], g_tables.dc_luma);
+      out.append_range(rc.raw, b.y00_dc_end, b.cb_start);
+      emit_dc(out, b.dc_cb_v - dc[1], g_tables.dc_chroma);
+      out.append_range(rc.raw, b.cb_dc_end, b.cr_start);
+      emit_dc(out, b.dc_cr_v - dc[2], g_tables.dc_chroma);
+      copied = b.cr_dc_end;
+    } else {
+      copied = rc.raw_nbits;
+    }
+  }
+  out.append_range(rc.raw, copied, rc.raw_nbits);
+  out.pad_to_byte();
+  out.stuff_into(stuffed_out);
+}
+
 void splice_row_cols(Encoder &enc, const RowCache &rc, const uint8_t *img,
                      int mr, int m0, int m1,
                      std::vector<uint8_t> *stuffed_out) {
-  RawBits out;
-  const McuMeta &first = rc.mcus[(size_t)m0];
-  out.append_range(rc.raw, 0, first.start_bit);
-  int32_t dc[3] = {first.dc_y_in, first.dc_cb_in, first.dc_cr_in};
-  enc.encode_mcus(img, mr, m0, m1, dc, out, nullptr);
-  if (m1 < enc.mcu_w) {
-    const McuMeta &b = rc.mcus[(size_t)m1];
-    // bridge: the three DC diffs entering MCU m1 change (their
-    // predecessors were re-encoded); every later diff is unchanged
-    emit_dc(out, b.dc_y00 - dc[0], g_tables.dc_luma);
-    out.append_range(rc.raw, b.y00_dc_end, b.cb_start);
-    emit_dc(out, b.dc_cb_v - dc[1], g_tables.dc_chroma);
-    out.append_range(rc.raw, b.cb_dc_end, b.cr_start);
-    emit_dc(out, b.dc_cr_v - dc[2], g_tables.dc_chroma);
-    out.append_range(rc.raw, b.cr_dc_end, rc.raw_nbits);
-  }
-  out.pad_to_byte();
-  out.stuff_into(stuffed_out);
+  std::pair<int, int> iv(m0, m1);
+  splice_row_cols_multi(enc, rc, img, mr, &iv, 1, stuffed_out);
 }
 
 std::mutex g_mutex;
@@ -727,6 +781,58 @@ long msm_jpeg_encode_spliced_cols(int64_t handle, const uint8_t *bgr,
     if (m1 <= m0) m1 = m0 + 1;
     use_dirty[mr] = 1;
     splice_row_cols(enc, c->rows[mr], bgr, mr, m0, m1, &dirty[mr]);
+  }
+  return emit_rows(c, dirty, use_dirty, out, cap);
+}
+
+// Like msm_jpeg_encode_spliced_cols but taking the dirty pixel rects
+// directly: `spans` is nspans * (y0, y1, x0, x1) int32. Each MCU row
+// keeps the LIST of disjoint dirty MCU intervals the rects induce
+// (merged when touching), so two dots far apart on one row re-encode
+// ~4-6 MCUs instead of the whole union interval between them — the
+// single-interval entry point above re-encoded ~1.3x the necessary
+// MCUs on the multi-dot engines.
+long msm_jpeg_encode_spliced_spans(int64_t handle, const uint8_t *bgr,
+                                   const int32_t *spans, int nspans,
+                                   uint8_t *out, long cap) {
+  Cached *c = lookup(handle);
+  if (!c || !bgr || (!spans && nspans > 0) || nspans < 0) return 0;
+  Encoder &enc = *c->enc;
+  // gather (row, m0, m1) triples — tiny (<= nspans * rows_per_span)
+  std::vector<std::array<int, 3>> tri;
+  tri.reserve((size_t)nspans * 4);
+  for (int i = 0; i < nspans; ++i) {
+    int y0 = spans[4 * i], y1 = spans[4 * i + 1];
+    int x0 = spans[4 * i + 2], x1 = spans[4 * i + 3];
+    int r0 = (y0 < 0 ? 0 : y0) / 16;
+    int r1 = (y1 + 15) / 16;
+    if (r1 > enc.mcu_h) r1 = enc.mcu_h;
+    int m0 = (x0 < 0 ? 0 : x0) / 16;
+    if (m0 >= enc.mcu_w) m0 = enc.mcu_w - 1;
+    int m1 = (x1 + 15) / 16;
+    if (m1 > enc.mcu_w) m1 = enc.mcu_w;
+    if (m1 <= m0) m1 = m0 + 1;
+    for (int r = r0; r < r1; ++r) tri.push_back({r, m0, m1});
+  }
+  std::sort(tri.begin(), tri.end());
+  std::vector<std::vector<uint8_t>> dirty((size_t)enc.mcu_h);
+  std::vector<uint8_t> use_dirty((size_t)enc.mcu_h, 0);
+  std::vector<std::pair<int, int>> ivs;
+  size_t i = 0;
+  while (i < tri.size()) {
+    int mr = tri[i][0];
+    ivs.clear();
+    for (; i < tri.size() && tri[i][0] == mr; ++i) {
+      // merge when the gap leaves no clean bridge MCU between intervals
+      if (!ivs.empty() && tri[i][1] <= ivs.back().second) {
+        if (tri[i][2] > ivs.back().second) ivs.back().second = tri[i][2];
+      } else {
+        ivs.emplace_back(tri[i][1], tri[i][2]);
+      }
+    }
+    use_dirty[mr] = 1;
+    splice_row_cols_multi(enc, c->rows[(size_t)mr], bgr, mr, ivs.data(),
+                          (int)ivs.size(), &dirty[(size_t)mr]);
   }
   return emit_rows(c, dirty, use_dirty, out, cap);
 }

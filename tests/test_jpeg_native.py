@@ -124,6 +124,39 @@ class TestEncoder:
         finally:
             cache.close()
 
+
+    def test_multi_interval_same_row_splice(self):
+        """Two+ dirty rects far apart on the SAME MCU row: the span
+        entry point re-encodes each rect's MCUs separately (clean MCUs
+        between them bit-copy with recoded bridge DCs) and must still
+        be BIT-IDENTICAL to a full encode — including adjacent and
+        overlapping rects that merge into one interval."""
+        img = _image(seed=12)
+        cache = JpegSpliceCache()
+        rng = np.random.default_rng(13)
+        try:
+            cases = [
+                [(100, 123, 20, 43), (100, 123, 590, 613)],   # far apart
+                [(100, 123, 20, 43), (104, 127, 52, 75)],     # adjacent
+                [(100, 123, 20, 43), (96, 119, 30, 53)],      # overlap
+                [(100, 123, 20, 43), (100, 123, 300, 323),
+                 (100, 123, 590, 613)],                        # three
+                [(0, 23, 0, 23), (0, 23, 617, 640)],          # corners
+            ]
+            for _ in range(8):  # randomized same-row multi-dot fuzz
+                y = int(rng.integers(0, 468))
+                xs = sorted(int(rng.integers(0, 629)) for _ in range(3))
+                cases.append([(y, y + 12, x, x + 11) for x in xs])
+            for ci, spans in enumerate(cases):
+                ann = img.copy()
+                for y0, y1, x0, x1 in spans:
+                    ann[max(0, y0):y1, max(0, x0):x1] = (0, 255, 0)
+                got = cache.encode_cols(f"mi{ci}", img, ann, spans)
+                assert got == jpeg_encode(ann), (ci, spans)
+        finally:
+            cache.close()
+
+
     def test_splice_detects_handle_reuse(self):
         """Two different base frames under different keys don't cross."""
         a, b = _image(seed=1), _image(seed=2)
@@ -218,3 +251,57 @@ class TestAnnotatedJpegWriter:
         # and specifically: no row came from the poisoned frame
         stale = np.abs(got.astype(np.int16) - other.astype(np.int16))
         assert stale.mean() > 10
+
+
+class TestGlyphMaskStamping:
+    """draw_dot / draw_lettered_dot stamp cached cv2-rendered glyph masks
+    instead of dispatching cv2 per draw — the stamp must reproduce direct
+    cv2.circle + cv2.putText BIT-exactly at every position, including
+    draws clipped at each image border."""
+
+    def test_stamp_equals_cv2_everywhere(self):
+        from multi_spatialmllm_tpu.engines.annotate import (
+            draw_dot,
+            draw_lettered_dot,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 256, size=(120, 160, 3), dtype=np.uint8)
+        # positions covering interior + all four borders + fully outside
+        xys = [(80, 60), (0, 0), (159, 119), (-5, 60), (80, -7),
+               (158, 60), (80, 118), (-30, -30), (200, 200),
+               (3, 60), (80, 3), (156, 117)]
+        for i, xy in enumerate(xys):
+            color = tuple(int(c) for c in rng.integers(0, 256, size=3))
+            got = base.copy()
+            want = base.copy()
+            draw_dot(got, xy, color)
+            cv2.circle(want, (int(xy[0]), int(xy[1])), 10, color, -1)
+            np.testing.assert_array_equal(got, want, err_msg=f"dot {xy}")
+            for letter in "ABCD":
+                got = base.copy()
+                want = base.copy()
+                draw_lettered_dot(got, xy, letter, color)
+                cv2.circle(want, (int(xy[0]), int(xy[1])), 10, color, -1)
+                cv2.putText(want, letter,
+                            (int(xy[0]) + 15, int(xy[1]) + 15),
+                            cv2.FONT_HERSHEY_SIMPLEX, 1.0, color, 2)
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"letter {letter} at {xy}")
+
+    def test_stamp_random_fuzz(self):
+        from multi_spatialmllm_tpu.engines.annotate import draw_lettered_dot
+
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 256, size=(480, 640, 3), dtype=np.uint8)
+        for _ in range(50):
+            xy = (int(rng.integers(-40, 680)), int(rng.integers(-40, 520)))
+            letter = "ABCD"[int(rng.integers(0, 4))]
+            color = tuple(int(c) for c in rng.integers(0, 256, size=3))
+            got = base.copy()
+            want = base.copy()
+            draw_lettered_dot(got, xy, letter, color)
+            cv2.circle(want, (int(xy[0]), int(xy[1])), 10, color, -1)
+            cv2.putText(want, letter, (int(xy[0]) + 15, int(xy[1]) + 15),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1.0, color, 2)
+            np.testing.assert_array_equal(got, want)
