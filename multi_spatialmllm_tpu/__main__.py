@@ -46,11 +46,18 @@ def _mllm_config(args):
             overrides["moe_group"] = args.moe_group
         if getattr(args, "moe_impl", None):
             overrides["moe_impl"] = args.moe_impl
-    elif getattr(args, "moe_group", 0) or getattr(args, "moe_impl", None):
+        if getattr(args, "moe_kernel", None):
+            if overrides.get("moe_impl", cfg.llm.moe_impl) != "ragged":
+                raise SystemExit(
+                    "--moe-kernel applies to the ragged impl's grouped "
+                    "matmuls only (pass --moe-impl ragged)")
+            overrides["moe_kernel"] = args.moe_kernel
+    elif (getattr(args, "moe_group", 0) or getattr(args, "moe_impl", None)
+          or getattr(args, "moe_kernel", None)):
         raise SystemExit(
-            "--moe-group/--moe-impl require --moe-experts (a dense "
-            "config has no routed FFN; the checkpoint's param tree "
-            "would not match)")
+            "--moe-group/--moe-impl/--moe-kernel require --moe-experts "
+            "(a dense config has no routed FFN; the checkpoint's param "
+            "tree would not match)")
     if overrides:
         cfg = dataclasses.replace(
             cfg, llm=dataclasses.replace(cfg.llm, **overrides))
@@ -994,6 +1001,11 @@ def main() -> None:
                    help="MoE dispatch implementation (serve a "
                         "ragged-trained checkpoint with ragged for "
                         "matching routing semantics)")
+    p.add_argument("--moe-kernel", choices=("xla", "pallas"),
+                   default=None,
+                   help="grouped-matmul backend for --moe-impl ragged: "
+                        "xla (lax.ragged_dot) or pallas (megablox MXU "
+                        "kernel)")
     p.add_argument("--eval-jsonl", default=None,
                    help="one engine evaluation_data JSONL")
     p.add_argument("--eval-root", default=None,
@@ -1044,6 +1056,11 @@ def main() -> None:
                    help="MoE dispatch implementation (serve a "
                         "ragged-trained checkpoint with ragged for "
                         "matching routing semantics)")
+    p.add_argument("--moe-kernel", choices=("xla", "pallas"),
+                   default=None,
+                   help="grouped-matmul backend for --moe-impl ragged: "
+                        "xla (lax.ragged_dot) or pallas (megablox MXU "
+                        "kernel)")
     p.add_argument("--images-root", default=".")
     p.add_argument("--max-tiles", type=int, default=6,
                    help="dynamic-tiling cap per image")
@@ -1130,6 +1147,11 @@ def main() -> None:
                         "(capacity binds per group; REQUIRED for "
                         "training-scale sequences — whole-row dispatch "
                         "is O(T^2)). 256 is a good default")
+    p.add_argument("--moe-kernel", choices=("xla", "pallas"),
+                   default=None,
+                   help="grouped-matmul backend for --moe-impl ragged: "
+                        "xla (lax.ragged_dot) or pallas (megablox MXU "
+                        "kernel)")
     p.add_argument("--moe-impl", choices=("einsum", "ragged"),
                    default=None,
                    help="MoE dispatch implementation: einsum (GShard "

@@ -59,6 +59,12 @@ class LLMConfig:
     #   dispatch/combine tensors are O(T * top_k*group*cap) instead of
     #   O(top_k * T^2); required for training-scale sequences. 0 keeps
     #   whole-row routing (fine for short rows and all inference paths)
+    moe_kernel: str = "xla"  # grouped-matmul backend for moe_impl=
+    #   "ragged": "xla" = lax.ragged_dot (measured 87 TFLOP/s at bench
+    #   shapes vs 142 for same-FLOPs dense — docs/profiles/moe_train.md);
+    #   "pallas" = the megablox Pallas grouped-matmul kernel (MXU-tiled,
+    #   group boundaries masked in-kernel). Same math, same dropless
+    #   semantics; numerics differ at bf16 accumulation order only.
 
     @property
     def head_dim(self) -> int:

@@ -221,7 +221,8 @@ def bench_1chip_config() -> MLLMConfig:
 
 
 def bench_1chip_moe_config(num_experts: int = 4,
-                           impl: str = "einsum") -> MLLMConfig:
+                           impl: str = "einsum",
+                           kernel: str = "xla") -> MLLMConfig:
     """bench_1chip_config with every decoder MLP swapped for top-2
     routed MoE (models/moe.py) at the SAME total parameter count:
     ffn_size 8192/E per expert, so params + AdamW memory match the
@@ -239,7 +240,7 @@ def bench_1chip_moe_config(num_experts: int = 4,
     llm = dataclasses.replace(base.llm, moe_experts=num_experts,
                               ffn_size=base.llm.ffn_size // num_experts,
                               moe_group=256, moe_impl=impl,
-                              remat_policy=pol)
+                              moe_kernel=kernel, remat_policy=pol)
     return dataclasses.replace(base, llm=llm)
 
 

@@ -70,10 +70,99 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import functools
+
 # Inference chunks up to this length route with a no-drop capacity
 # (C = top_k * T). Decode chunks and chunked prefills sit far below it;
 # above it the O(k*T^2) dispatch tensor stops being free.
 NO_DROP_MAX_T = 512
+
+
+def _grouped_dot(xs, w, group_sizes, kernel: str = "xla"):
+    """lhs[start_g:end_g] @ w[g] for each group — the ragged impl's
+    core op. kernel="xla" lowers through `lax.ragged_dot`; "pallas"
+    runs the megablox Pallas grouped-matmul (MXU-sized tiles, group
+    boundaries masked in-kernel; custom VJP computes dlhs with the same
+    kernel and dw with its transposed variant). Measured motivation:
+    ragged_dot reaches 87 TFLOP/s at the bench MoE shapes vs 142 for a
+    same-FLOPs dense dot (docs/profiles/moe_train.md) — the grouped
+    lowering, not data movement, is the gap the kernel closes. Off-TPU
+    backends run the kernel in interpret mode (tests); production CPU
+    paths should keep "xla"."""
+    if kernel == "xla":
+        return jax.lax.ragged_dot(xs, w, group_sizes)
+    if kernel != "pallas":
+        raise ValueError(f"unknown moe_kernel {kernel!r}")
+
+    def tile(dim, prefs):
+        # megablox requires tile | dim; whole-dim tiles always divide
+        for c in prefs:
+            if dim % c == 0:
+                return c
+        return dim
+
+    m, k = xs.shape
+    n = w.shape[-1]
+    tiling = (tile(m, (512, 256, 128, 64, 32, 16, 8)),
+              tile(k, (1024, 512, 256, 128)),
+              tile(n, (1024, 512, 256, 128)))
+    return _pallas_gmm(xs, w, group_sizes.astype(jnp.int32), tiling,
+                       jax.default_backend() != "tpu")
+
+
+class _NoX64:
+    """Scope jax_enable_x64 off around a megablox kernel TRACE: the
+    library's kernel bodies mix `pl.num_programs(...) - 1` (weak int,
+    int64 under x64) with int32 grid ids, which fails to trace when the
+    suite-wide x64 flag (tests/conftest.py — f64 geometry parity) is
+    on. The scoped flip only affects ops created inside the kernel
+    trace; every array crossing the boundary is explicitly f32/bf16/
+    int32."""
+
+    def __enter__(self):
+        self.prev = jax.config.jax_enable_x64
+        if self.prev:
+            jax.config.update("jax_enable_x64", False)
+
+    def __exit__(self, *exc):
+        if self.prev:
+            jax.config.update("jax_enable_x64", True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_gmm(lhs, rhs, group_sizes, tiling, interpret):
+    """megablox grouped matmul with an x64-safe custom VJP (dlhs via the
+    transposed-rhs gmm, drhs via tgmm — the same pairing as the
+    library's own VJP, each traced under the x64 scope guard)."""
+    import importlib
+
+    mb = importlib.import_module(
+        "jax.experimental.pallas.ops.tpu.megablox.gmm")
+    with _NoX64():
+        return mb.gmm(lhs, rhs, group_sizes, lhs.dtype, tiling,
+                      interpret=interpret)
+
+
+def _pallas_gmm_fwd(lhs, rhs, group_sizes, tiling, interpret):
+    return (_pallas_gmm(lhs, rhs, group_sizes, tiling, interpret),
+            (lhs, rhs, group_sizes))
+
+
+def _pallas_gmm_bwd(tiling, interpret, res, dy):
+    import importlib
+
+    mb = importlib.import_module(
+        "jax.experimental.pallas.ops.tpu.megablox.gmm")
+    lhs, rhs, group_sizes = res
+    with _NoX64():
+        dlhs = mb.gmm(dy, rhs, group_sizes, lhs.dtype, tiling,
+                      transpose_rhs=True, interpret=interpret)
+        drhs = mb.tgmm(lhs.swapaxes(0, 1), dy, group_sizes, rhs.dtype,
+                       tiling, None, rhs.shape[0], interpret=interpret)
+    return dlhs, drhs, None
+
+
+_pallas_gmm.defvjp(_pallas_gmm_fwd, _pallas_gmm_bwd)
 
 
 def moe_capacity(cfg, seq_len: int, inference: bool = False) -> int:
@@ -208,10 +297,12 @@ def ragged_moe(cfg, x, router, wi_gate, wi_up, wo,
     xs = jnp.take(xf, order // k, axis=0).astype(dtype)       # [N*k, D]
     group_sizes = jnp.bincount(ei, length=e).astype(jnp.int32)
 
-    hg = jax.lax.ragged_dot(xs, wi_gate.astype(dtype), group_sizes)
-    hu = jax.lax.ragged_dot(xs, wi_up.astype(dtype), group_sizes)
-    ys = jax.lax.ragged_dot(nn.silu(hg) * hu, wo.astype(dtype),
-                            group_sizes)                      # [N*k, D]
+    gd = functools.partial(_grouped_dot,
+                           kernel=getattr(cfg, "moe_kernel", "xla"))
+    hg = gd(xs, wi_gate.astype(dtype), group_sizes)
+    hu = gd(xs, wi_up.astype(dtype), group_sizes)
+    ys = gd(nn.silu(hg) * hu, wo.astype(dtype),
+            group_sizes)                                      # [N*k, D]
     inv = jnp.argsort(order, stable=True)
     yk = jnp.take(ys, inv, axis=0).reshape(n, k, d)
     y = jnp.sum(yk * gates.astype(dtype)[..., None], axis=1)

@@ -190,6 +190,30 @@ def main() -> int:
     _paged_case("native")
     _paged_case("int8")
 
+    # ---- megablox grouped matmul (moe_kernel="pallas") at the exact
+    # ragged-MoE bench shapes (docs/profiles/moe_train.md: NK=16384
+    # routed copies, D=F=2048, E=4) — fwd through the wi_gate shape and
+    # grad through the full gmm VJP (transposed gmm + tgmm kernels)
+    from multi_spatialmllm_tpu.models.moe import _grouped_dot
+
+    nk_, d_, f_, e_ = 16384, 2048, 2048, 4
+    xs_ = _rand((nk_, d_))
+    wg_ = _rand((e_, d_, f_), seed=5)
+    gs_ = jnp.array([4096, 4096, 4096, 4096], jnp.int32)
+
+    @check("megablox_gmm_fwd")
+    def _gmm_fwd():
+        _force(jax.jit(lambda a, b_: _grouped_dot(
+            a, b_, gs_, kernel="pallas"))(xs_, wg_))
+
+    @check("megablox_gmm_grad")
+    def _gmm_grad():
+        f = jax.jit(jax.grad(
+            lambda a, b_: _grouped_dot(
+                a, b_, gs_, kernel="pallas").astype(jnp.float32).sum(),
+            argnums=(0, 1)))
+        _force(f(xs_, wg_)[0])
+
     # ring attention is pure XLA under shard_map (ops/ring_attention.py)
     # — no Mosaic lowering surface; covered by the CPU-mesh tests and
     # dryrun_multichip instead.

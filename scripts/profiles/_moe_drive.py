@@ -32,7 +32,8 @@ from multi_spatialmllm_tpu.utils.flops import (
     device_peak_flops, mllm_train_flops,
 )
 
-_over = list(map(int, sys.argv[1:5]))  # any prefix of the 4 overrides
+_nums = [a for a in sys.argv[1:] if not a.startswith("-")]
+_over = list(map(int, _nums[:4]))  # any prefix of the 4 overrides
 B, S, TILES, CHAIN = _over + [4, 2048, 2, 8][len(_over):]
 
 dev = jax.devices()[0]
@@ -82,6 +83,18 @@ def drive(name, cfg):
           f"tok/s, MFU {best[2]*100:.1f}%", flush=True)
     return best
 
+
+if "--pallas-only" in sys.argv:
+    ragged = drive("moe ragged xla",
+                   M.bench_1chip_moe_config(impl="ragged"))
+    pallas = drive("moe ragged pallas",
+                   M.bench_1chip_moe_config(impl="ragged",
+                                            kernel="pallas"))
+    print(f"SUMMARY: ragged xla {ragged[0]*1e3:.1f} ms/step "
+          f"(MFU {ragged[2]*100:.1f}%) vs ragged pallas "
+          f"{pallas[0]*1e3:.1f} ms/step (MFU {pallas[2]*100:.1f}%), "
+          f"pallas/xla {pallas[0]/ragged[0]:.3f}", flush=True)
+    sys.exit(0)
 
 moe = drive("moe E=4 top2", M.bench_1chip_moe_config())
 ragged = drive("moe ragged", M.bench_1chip_moe_config(impl="ragged"))

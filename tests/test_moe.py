@@ -454,3 +454,77 @@ class TestMoEDecode:
         np.testing.assert_allclose(np.asarray(logits_pf[:, -1]),
                                    np.asarray(full[:, -1]),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestRaggedPallasKernel:
+    """moe_kernel="pallas" swaps the ragged impl's three lax.ragged_dot
+    calls for the megablox Pallas grouped matmul (interpret mode off-TPU).
+    Same math — outputs and grads must match the xla kernel to float
+    tolerance on every shape the engine produces, including empty
+    expert groups."""
+
+    def _pair(self, seed=3, b=2, t=16):
+        cfg_x = dc.replace(_f32_moe_cfg(4).llm, moe_impl="ragged")
+        cfg_p = dc.replace(cfg_x, moe_kernel="pallas")
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(b, t, cfg_x.hidden_size)),
+                        jnp.float32)
+        m = MoEMLP(cfg_x)
+        p = m.init(jax.random.key(0), x)
+        return cfg_x, cfg_p, p, x
+
+    def test_forward_matches_xla_kernel(self):
+        cfg_x, cfg_p, p, x = self._pair()
+        y_x = MoEMLP(cfg_x).apply(p, x)
+        y_p = MoEMLP(cfg_p).apply(p, x)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_forward_with_empty_groups(self):
+        # a router bias that starves two experts: their group_sizes are 0
+        cfg_x, cfg_p, p, x = self._pair(seed=5)
+        pp = jax.tree_util.tree_map(lambda a: a, p)
+        router = np.zeros_like(np.asarray(pp["params"]["router"]))
+        router[:, 2:] = -1e9  # experts 2,3 never chosen
+        pp = {"params": {**pp["params"], "router": jnp.asarray(router)}}
+        y_x = MoEMLP(cfg_x).apply(pp, x)
+        y_p = MoEMLP(cfg_p).apply(pp, x)
+        np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_xla_kernel(self):
+        cfg_x, cfg_p, p, x = self._pair(seed=9)
+
+        def loss(cfg):
+            def f(params):
+                return jnp.sum(MoEMLP(cfg).apply(params, x) ** 2)
+            return jax.grad(f)(p)
+
+        g_x = loss(cfg_x)
+        g_p = loss(cfg_p)
+        flat_x = jax.tree_util.tree_leaves(g_x)
+        flat_p = jax.tree_util.tree_leaves(g_p)
+        for a, b_ in zip(flat_x, flat_p):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_identical_experts_dense_oracle_through_pallas(self):
+        cfg = dc.replace(_f32_moe_cfg(4).llm, moe_impl="ragged",
+                         moe_kernel="pallas")
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2, 8, cfg.hidden_size)),
+                        jnp.float32)
+        dense = MLP(dc.replace(cfg, moe_experts=0))
+        dp = dense.init(jax.random.key(0), x)
+        y_dense = dense.apply(dp, x)
+        e, d_, f = cfg.moe_experts, cfg.hidden_size, cfg.ffn_size
+        k = dp["params"]
+        mp = {"params": {
+            "router": jnp.zeros((d_, e), jnp.float32),
+            "wi_gate": jnp.broadcast_to(k["gate"]["kernel"], (e, d_, f)),
+            "wi_up": jnp.broadcast_to(k["up"]["kernel"], (e, d_, f)),
+            "wo": jnp.broadcast_to(k["down"]["kernel"], (e, f, d_)),
+        }}
+        y_moe = MoEMLP(cfg).apply(mp, x)
+        np.testing.assert_allclose(np.asarray(y_moe), np.asarray(y_dense),
+                                   atol=1e-5, rtol=1e-5)
